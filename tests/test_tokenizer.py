@@ -1,0 +1,137 @@
+"""Pure-Python unit tests for the from-scratch HTML tokenizer.
+
+Pin the reference parser behaviors (src/infrastructure/html_parser.py)
+without a Spark session — these run in milliseconds.
+"""
+
+from __future__ import annotations
+
+from web_content_extractor_spark.functions import urlnorm
+from web_content_extractor_spark.functions.tokenizer import (
+    tokenize_doc,
+    tokenize_html,
+)
+
+BASE = "https://example.com"
+
+
+def links(html: str, base: str = BASE):
+    cands, _, _ = tokenize_html(html, base)
+    return cands
+
+
+def test_anchor_extraction_order_and_resolution():
+    html = (
+        '<a href="https://a.com/x">A</a>'
+        '<a href="/rel/path">B</a>'
+        '<iframe src="https://www.youtube.com/embed/v1"></iframe>'
+        '<object data="/doc.pdf" title="Spec"></object>'
+        '<embed src="/clip.mp4">'
+    )
+    got = links(html)
+    # order: anchors, then iframes, then objects, then embeds
+    # (html_parser.py:56-62)
+    assert got == [
+        ("https://a.com/x", "A"),
+        ("https://example.com/rel/path", "B"),
+        ("https://www.youtube.com/embed/v1", "Embedded Video Content"),
+        ("https://example.com/doc.pdf", "Spec"),
+        ("https://example.com/clip.mp4", "Embedded Content"),
+    ]
+
+
+def test_scheme_prefixes_skipped():
+    html = (
+        '<a href="javascript:void(0)">x</a><a href="#f">y</a>'
+        '<a href="mailto:a@b.c">z</a><a href="tel:+1">t</a>'
+    )
+    assert links(html) == []
+
+
+def test_download_attr_priority_and_bare_download():
+    # non-empty download attr wins (html_parser.py:125-148)
+    assert links('<a href="/f" download="Name.pdf">Inner</a>') == [
+        ("https://example.com/f", "Name.pdf")
+    ]
+    # bare download attr (value None) falls through to inner text
+    assert links('<a href="/d.pdf" download>Download PDF</a>') == [
+        ("https://example.com/d.pdf", "Download PDF")
+    ]
+
+
+def test_empty_text_falls_back_to_raw_href():
+    # text is the raw href, media_ref the normalized URL
+    # (test_infrastructure.py:66-74 + HttpUrl normalization)
+    assert links('<a href="https://example.com"></a>') == [
+        ("https://example.com/", "https://example.com")
+    ]
+
+
+def test_nested_markup_text_is_stripped_concat():
+    # bs4 get_text(strip=True) semantics: strip each node, join with ""
+    assert links('<a href="/x"> Foo <b>bar</b> </a>') == [
+        ("https://example.com/x", "Foobar")
+    ]
+
+
+def test_pdf_suffix_run_collapse_matches_reference_regex():
+    # (\.pdf)+$ collapses dotted repeats only (html_parser.py:146)
+    assert links('<a href="/a">r.pdf.PDF</a>')[0][1] == "r.pdf"
+    assert links('<a href="/a">r.pdfpdf</a>')[0][1] == "r.pdfpdf"
+    assert links('<a href="/a">r.pdf.pdf.pdf</a>')[0][1] == "r.pdf"
+
+
+def test_iframe_golden_text_rule():
+    # test-pinned _get_iframe_text (html_parser.py:150-166)
+    assert links('<iframe src="https://cdn.iframe.ly/X"></iframe>') == [
+        ("https://cdn.iframe.ly/X", "Embedded Video Content")
+    ]
+    assert links('<iframe src="https://other.com/page" title="T"></iframe>') == [
+        ("https://other.com/page", "T")
+    ]
+    got = links('<iframe src="https://other.com/page"></iframe>')
+    assert got == [
+        ("https://other.com/page", "Embedded Content: https://other.com/page")
+    ]
+
+
+def test_img_and_empty_href_ignored():
+    assert links('<img src="image.jpg"><a href="">x</a>') == []
+
+
+def test_invalid_url_dropped_and_counted():
+    cands, _, failures = tokenize_html('<a href="http://">Invalid</a>', BASE)
+    assert cands == [] and failures == 1
+
+
+def test_title_captured():
+    _, title, _ = tokenize_html("<title> My Page </title>", BASE)
+    assert title == "My Page"
+
+
+def test_interleaved_doc_positions():
+    row = tokenize_doc(
+        "https://d.org",
+        [
+            {"kind": "html", "text": '<a href="/a">A</a>', "media_ref": None, "offset": 0},
+            {"kind": "media", "text": None, "media_ref": "s3://b/i.png", "offset": 1},
+            {"kind": "text", "text": "plain", "media_ref": None, "offset": 2},
+            {"kind": "html", "text": '<a href="/b">B</a>', "media_ref": None, "offset": 3},
+        ],
+    )
+    c = row["candidates"]
+    assert [x["pos"] for x in c] == [0, 1, 2]
+    assert c[1]["is_media"] and c[1]["url"] == "s3://b/i.png"
+    assert c[2]["url"] == "https://d.org/b"
+
+
+def test_urlnorm_httpurl_parity():
+    # pydantic-HttpUrl-style stringification
+    assert urlnorm.normalize("https://Example.COM") == "https://example.com/"
+    assert urlnorm.normalize("https://a.com:443/x") == "https://a.com/x"
+    assert urlnorm.normalize("http://a.com:80/x") == "http://a.com/x"
+    assert urlnorm.normalize("http://a.com:8080/x") == "http://a.com:8080/x"
+    assert urlnorm.normalize("https://a.com/P?q=1#f") == "https://a.com/P?q=1#f"
+    assert urlnorm.normalize("ftp://a.com/x") is None
+    assert urlnorm.normalize("http://") is None
+    assert urlnorm.normalize("not a url") is None

@@ -1,0 +1,254 @@
+"""From-scratch HTML link tokenizer (stdlib ``html.parser``).
+
+This is the engine's single Python stage.  It re-implements, from the
+observable behavior only, the candidate-link extraction of the
+reference parser (src/infrastructure/html_parser.py:47-148) as an
+event-driven tokenizer — no DOM materialization, one pass per
+document:
+
+- anchors with an ``href`` (skip javascript:/#/mailto:/tel: prefixes,
+  html_parser.py:84), then iframes (``src``), then objects (``data``),
+  then embeds (``src``) — concatenated in that order
+  (html_parser.py:56-62);
+- anchor text priority: non-empty ``download`` attr → stripped inner
+  text → raw href → url, then collapse a trailing run of ``.pdf``
+  suffixes to a single ``.pdf`` (html_parser.py:125-148);
+- iframe text uses the *test-pinned* golden rule ``_get_iframe_text``
+  (html_parser.py:150-166; pinned by
+  tests/unit/test_enhanced_parsing.py:35-38 over the live code path):
+  URL containing youtube/youtu.be/embed/iframe.ly → "Embedded Video
+  Content", else the title attr, else "Embedded Content: {url}";
+- object text = title or "Embedded Object"; embed text = title or
+  "Embedded Content" (html_parser.py:103-123);
+- every candidate URL is urljoin-resolved and HttpUrl-normalized;
+  invalid URLs are dropped and counted (drop-not-fail semantics,
+  link_classifier.py:50-53).
+
+Interleaved input: a document is an array of spans ordered by
+``offset``.  ``kind='html'`` spans are tokenized; ``kind='media'``
+spans pass through as candidates with ``is_media=True`` (their
+media_ref is preserved verbatim — opaque payload, no validation);
+``kind='text'`` spans yield no link candidates.  A single monotonically
+increasing ``pos`` preserves document parse order across spans.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from collections.abc import Iterable, Iterator
+from html.parser import HTMLParser
+from typing import Any
+
+import pandas as pd
+
+from web_content_extractor_spark.functions import urlnorm
+
+_PDF_SUFFIX_RUN = re.compile(r"(\.pdf)+$", re.IGNORECASE)
+_VIDEO_HINTS = ("youtube", "youtu.be", "embed", "iframe.ly")
+
+
+class _LinkTokenizer(HTMLParser):
+    """One-pass event tokenizer collecting the four candidate classes."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str | None, str]] = []  # (href, download, text)
+        self.iframes: list[tuple[str, str | None]] = []  # (src, title)
+        self.objects: list[tuple[str, str | None]] = []  # (data, title)
+        self.embeds: list[tuple[str, str | None]] = []  # (src, title)
+        self.title: str | None = None
+        self._open_anchor: tuple[str, str | None, list[str]] | None = None
+        self._in_title = False
+
+    # -- tag events ------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        a = dict(attrs)
+        if tag == "a":
+            self._close_anchor()  # nested <a> implicitly closes the open one
+            href = a.get("href")
+            if href is not None:
+                self._open_anchor = (href, a.get("download"), [])
+        elif tag == "iframe":
+            src = a.get("src")
+            if src:
+                self.iframes.append((src, a.get("title")))
+        elif tag == "object":
+            data = a.get("data")
+            if data:
+                self.objects.append((data, a.get("title")))
+        elif tag == "embed":
+            src = a.get("src")
+            if src:
+                self.embeds.append((src, a.get("title")))
+        elif tag == "title":
+            self._in_title = True
+
+    def handle_startendtag(
+        self, tag: str, attrs: list[tuple[str, str | None]]
+    ) -> None:
+        if tag != "a":
+            self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close_anchor()
+        elif tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data: str) -> None:
+        if self._open_anchor is not None:
+            self._open_anchor[2].append(data)
+        if self._in_title and self.title is None and data.strip():
+            self.title = data.strip()
+
+    def close(self) -> None:
+        super().close()
+        self._close_anchor()
+
+    def _close_anchor(self) -> None:
+        if self._open_anchor is not None:
+            href, download, chunks = self._open_anchor
+            # bs4 get_text(strip=True): each text node stripped, joined by ""
+            text = "".join(c.strip() for c in chunks)
+            self.anchors.append((href, download, text))
+            self._open_anchor = None
+
+
+def _anchor_text(href: str, download: str | None, inner: str, url: str) -> str:
+    """Reference text-selection priority (html_parser.py:125-148)."""
+    raw = download or inner or href or url
+    return _PDF_SUFFIX_RUN.sub(".pdf", raw).strip()
+
+
+def _iframe_text(url: str, title: str | None) -> str:
+    """Golden iframe text rule (html_parser.py:150-166, test-pinned)."""
+    low = url.lower()
+    if any(h in low for h in _VIDEO_HINTS):
+        return "Embedded Video Content"
+    if title:
+        return title
+    return f"Embedded Content: {url}"
+
+
+def tokenize_html(
+    html: str, base_url: str
+) -> tuple[list[tuple[str, str]], str | None, int]:
+    """Tokenize one HTML payload.
+
+    Returns (candidates, page_title, failures) where candidates is the
+    ordered list of (raw_or_resolved_url, text) *before* validation —
+    mirroring the reference's list[tuple[url, text]] IR
+    (src/core/interfaces.py:24) — except URLs are already
+    urljoin-resolved.  ``failures`` counts candidates dropped for
+    invalid URLs or empty text; dropped candidates are excluded.
+
+    The returned URLs are HttpUrl-normalized absolute URLs.
+    """
+    tok = _LinkTokenizer()
+    tok.feed(html)
+    tok.close()
+
+    out: list[tuple[str, str]] = []
+    failures = 0
+
+    def push(raw_target: str, text_fn: Any) -> None:
+        nonlocal failures
+        resolved = urlnorm.resolve(base_url, raw_target)
+        normalized = urlnorm.normalize(resolved)
+        if normalized is None:
+            failures += 1
+            return
+        text = text_fn(normalized)
+        if not text:
+            failures += 1
+            return
+        out.append((normalized, text))
+
+    for href, download, inner in tok.anchors:
+        if not href or href.startswith(urlnorm.SKIP_PREFIXES):
+            continue
+        push(href, lambda u, h=href, d=download, i=inner: _anchor_text(h, d, i, u))
+    for src, title in tok.iframes:
+        push(src, lambda u, t=title: _iframe_text(u, t))
+    for data, title in tok.objects:
+        push(data, lambda u, t=title: (t or "Embedded Object"))
+    for src, title in tok.embeds:
+        push(src, lambda u, t=title: (t or "Embedded Content"))
+    return out, tok.title, failures
+
+
+def tokenize_doc(
+    doc_id: str, spans: Iterable[dict[str, Any]] | None
+) -> dict[str, Any]:
+    """Tokenize one interleaved document row -> TOKENIZED-shaped dict."""
+    t0 = time.perf_counter()
+    base_url = doc_id  # fixture convention: doc_id IS the base URL
+    candidates: list[dict[str, Any]] = []
+    failures = 0
+    title: str | None = None
+    pos = 0
+    span_list = list(spans) if spans is not None else []
+    for span in sorted(span_list, key=lambda s: s["offset"] or 0):
+        kind = span.get("kind")
+        if kind == "html" and span.get("text"):
+            try:
+                cands, t, f = tokenize_html(span["text"], base_url)
+            except Exception:
+                failures += 1
+                continue
+            failures += f
+            title = title or t
+            for url, text in cands:
+                candidates.append(
+                    {
+                        "pos": pos,
+                        "url": url,
+                        "text": text,
+                        "is_media": False,
+                        "valid": True,
+                    }
+                )
+                pos += 1
+        elif kind == "media" and span.get("media_ref"):
+            # opaque media payload: passes through unvalidated
+            candidates.append(
+                {
+                    "pos": pos,
+                    "url": span["media_ref"],
+                    "text": "",
+                    "is_media": True,
+                    "valid": True,
+                }
+            )
+            pos += 1
+    return {
+        "doc_id": doc_id,
+        "base_url": base_url,
+        "page_title": title,
+        "candidates": candidates,
+        "parse_failures": failures,
+        "proc_us": int((time.perf_counter() - t0) * 1e6),
+    }
+
+
+def tokenize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: DOCS batches in, TOKENIZED batches out."""
+    for pdf in batches:
+        rows = [
+            tokenize_doc(doc_id, spans)
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "base_url",
+                "page_title",
+                "candidates",
+                "parse_failures",
+                "proc_us",
+            ],
+        )

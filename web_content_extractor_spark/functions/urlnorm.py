@@ -1,0 +1,77 @@
+"""URL resolution, validation and normalization.
+
+Reproduces the observable URL behavior of the reference:
+
+- relative hrefs are resolved against the page base with RFC-3986 join
+  (reference: urljoin calls, src/infrastructure/html_parser.py:85,98,111,119);
+- a link whose resolved URL is not a valid http(s) URL is *dropped*,
+  not errored (reference: pydantic HttpUrl ValueError swallowed,
+  src/infrastructure/link_classifier.py:50-53, pinned by
+  tests/unit/test_enhanced_parsing.py:101-106);
+- surviving URLs are normalized the way pydantic v2's HttpUrl
+  stringifies them: scheme/host lowercased, default port stripped,
+  bare authority gains a trailing "/" (pinned by
+  tests/integration/test_extraction_service.py:65,82).
+
+Pure-Python on purpose: these run *inside* the Arrow-batched tokenizer
+(mapInPandas), so cost is amortized per batch; everything downstream
+is native Column algebra.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+# Hrefs skipped before URL resolution (reference html_parser.py:84).
+SKIP_PREFIXES = ("javascript:", "#", "mailto:", "tel:")
+
+
+def resolve(base_url: str, href: str) -> str:
+    """RFC-3986 join of an href against the document base URL."""
+    try:
+        return urljoin(base_url, href)
+    except ValueError:
+        return href
+
+
+def normalize(url: str) -> str | None:
+    """HttpUrl-style canonical form, or None if the URL is invalid.
+
+    Valid means: scheme is http/https and a non-empty host is present
+    (reference validity: html_parser.py:177-191 + HttpUrl constraint
+    of models.py:25).
+    """
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if parts.username:
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+    if port is not None and port != _DEFAULT_PORTS[scheme]:
+        netloc = f"{netloc}:{port}"
+    path = parts.path or "/"
+    out = f"{scheme}://{netloc}{path}"
+    if parts.query:
+        out += f"?{parts.query}"
+    if parts.fragment:
+        out += f"#{parts.fragment}"
+    return out
+
+
+def resolve_and_normalize(base_url: str, href: str) -> str | None:
+    """Join + canonicalize; None when the result is not a valid http URL."""
+    return normalize(resolve(base_url, href))

@@ -1,0 +1,66 @@
+"""The end-to-end extraction plan.
+
+    docs(doc_id, spans[]) --(optional repartitionByRange)--
+      mapInPandas(tokenize) -> assemble_spans (native) -> spans + stats
+
+Scale notes (the plan you'd want on 1000 executors over 100 TB):
+
+- The only shuffle in the whole pipeline is the *optional*
+  ``repartitionByRange(doc_id)`` rebalance; with well-sized input
+  files the pipeline is shuffle-free and scales linearly (the
+  north-rule scaling-efficiency criterion).  Turn ``balance=True``
+  when the input layout is skewed (a few giant files / giant hosts):
+  range partitioning splits hot doc_id ranges across executors and
+  AQE coalesces the small ones.
+- Column pruning reaches the parquet/Iceberg scan: the tokenizer only
+  consumes (doc_id, spans), nothing else is read.
+- Arrow batch size is bounded (session.py) so a batch of padded
+  ~100 KB documents stays within executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.functions.tokenizer import tokenize_batches
+from web_content_extractor_spark.operators.assemble import assemble_spans
+from web_content_extractor_spark.schemas import TOKENIZED
+
+
+def tokenize(docs: DataFrame, balance: bool = False, partitions: int | None = None) -> DataFrame:
+    """DOCS -> TOKENIZED (the engine's single Python/Arrow stage)."""
+    df = docs.select("doc_id", "spans")
+    if balance:
+        df = (
+            df.repartitionByRange(partitions, "doc_id")
+            if partitions
+            else df.repartitionByRange("doc_id")
+        )
+    return df.mapInPandas(tokenize_batches, schema=TOKENIZED)
+
+
+def extract(
+    docs: DataFrame,
+    variant: str = "context",
+    balance: bool = False,
+    partitions: int | None = None,
+    with_stats: bool = False,
+) -> DataFrame:
+    """Full extraction: docs -> (doc_id, spans[, stats columns]).
+
+    Output spans satisfy the per-row invariant: sequence equality of
+    (kind, text, media_ref, order) against the reference extractor.
+    """
+    tok = tokenize(docs, balance=balance, partitions=partitions)
+    cols = [
+        F.col("doc_id"),
+        assemble_spans(F.col("candidates"), variant).alias("spans"),
+    ]
+    if with_stats:
+        cols += [
+            F.col("page_title"),
+            F.col("parse_failures"),
+            F.col("proc_us"),
+        ]
+    return tok.select(*cols)

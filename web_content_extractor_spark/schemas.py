@@ -1,0 +1,95 @@
+"""Table schemas for the extraction engine.
+
+The input shape is fixed by the graft contract (BASELINE.json
+``input_hint``): an Iceberg/parquet table of interleaved text + media
+documents ``docs(doc_id string, spans array<struct<kind,text,media_ref,
+offset>>)``.  The output table has the identical spans shape, which is
+what makes span-sequence equality (kind, text, media_ref, order) the
+per-row invariant (reference semantics: src/core/models.py:134-240 —
+three typed link lists reassembled in type-rank order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# One interleaved span of a document: kind='html' carries markup in
+# `text`; kind='media' carries an opaque media URL in `media_ref`;
+# kind='text' carries plain text.  Output spans reuse the same struct
+# with kind in {pdf, youtube, other} (reference LinkType,
+# src/core/models.py:14-19).
+SPAN = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+DOCS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), nullable=False),
+        T.StructField("spans", T.ArrayType(SPAN)),
+    ]
+)
+
+# Intermediate candidate-link IR produced by the tokenizer stage.
+# Mirrors the reference's list[tuple[url, text]] between parser and
+# classifier (src/core/interfaces.py:24) plus bookkeeping:
+#   pos       — document parse order (anchors, iframes, objects, embeds;
+#               reference order html_parser.py:56-62)
+#   url       — absolute URL after urljoin + HttpUrl-style normalization
+#   is_media  — candidate came from an input media span (passes through)
+#   valid     — URL survived HttpUrl-style validation (invalid => drop
+#               semantics, link_classifier.py:50-53)
+CANDIDATE = T.StructType(
+    [
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("is_media", T.BooleanType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+# Tokenizer stage output: one row per document, candidates nested so
+# the downstream classify/assemble steps stay shuffle-free.
+TOKENIZED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), nullable=False),
+        T.StructField("base_url", T.StringType()),
+        T.StructField("page_title", T.StringType()),
+        T.StructField("candidates", T.ArrayType(CANDIDATE)),
+        T.StructField("parse_failures", T.IntegerType()),
+        T.StructField("proc_us", T.LongType()),
+    ]
+)
+
+EXTRACTED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), nullable=False),
+        T.StructField("spans", T.ArrayType(SPAN)),
+    ]
+)
+
+# Per-partition lineage + metrics (reference ExtractionMetadata,
+# src/core/models.py:93-131, lifted from per-document to per-partition
+# granularity as the north rule requires).
+METRICS = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("doc_count", T.LongType()),
+        T.StructField("total_links", T.LongType()),
+        T.StructField("pdf_count", T.LongType()),
+        T.StructField("youtube_count", T.LongType()),
+        T.StructField("other_count", T.LongType()),
+        T.StructField("parse_failures", T.LongType()),
+        T.StructField("blocks_kept", T.LongType()),
+        T.StructField("blocks_dropped", T.LongType()),
+        T.StructField("processing_ms", T.DoubleType()),
+        T.StructField("correlation_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
