@@ -1,0 +1,134 @@
+"""Crawl rounds (D1-D5, A7) and checkpoint/resume lineage tests."""
+
+from __future__ import annotations
+
+import os
+
+from web_content_extractor_spark import datagen
+from web_content_extractor_spark.operators.crawl import crawl, navigation_links, prioritize
+from web_content_extractor_spark.plans.pipeline import tokenize
+from web_content_extractor_spark.schemas import DOCS
+from web_content_extractor_spark.sources import checkpoint
+
+
+def _site_docs(spark):
+    """Tiny site: root -> {lesson-1 (priority), about}; lesson-1 -> page2."""
+    H = "https://site.example.org"
+    rows = [
+        (
+            f"{H}/",
+            [
+                {
+                    "kind": "html",
+                    "text": (
+                        f'<a href="{H}/about">About</a>'
+                        f'<a href="{H}/lesson-1">Lesson 1</a>'
+                        f'<a href="{H}/file.pdf">Syllabus</a>'
+                        '<a href="https://other.org/x">External</a>'
+                    ),
+                    "media_ref": None,
+                    "offset": 0,
+                }
+            ],
+        ),
+        (
+            f"{H}/lesson-1",
+            [
+                {
+                    "kind": "html",
+                    "text": (
+                        f'<a href="{H}/page2">Next</a>'
+                        '<a href="https://youtu.be/abc">Watch clip</a>'
+                    ),
+                    "media_ref": None,
+                    "offset": 0,
+                }
+            ],
+        ),
+        (
+            f"{H}/about",
+            [{"kind": "html", "text": "<p>nothing</p>", "media_ref": None, "offset": 0}],
+        ),
+        (
+            f"{H}/page2",
+            [
+                {
+                    "kind": "html",
+                    "text": '<a href="/deep.pdf">Deep PDF</a>',
+                    "media_ref": None,
+                    "offset": 0,
+                }
+            ],
+        ),
+    ]
+    return spark.createDataFrame(rows, schema=DOCS)
+
+
+def test_navigation_links_same_host_no_downloads(spark):
+    docs = _site_docs(spark)
+    tok = tokenize(docs.where("doc_id = 'https://site.example.org/'"))
+    nav = sorted(r.nav_url for r in navigation_links(tok).collect())
+    # external + .pdf excluded (html_parser.py:193-213)
+    assert nav == [
+        "https://site.example.org/about",
+        "https://site.example.org/lesson-1",
+    ]
+
+
+def test_priority_ordering(spark):
+    tok = tokenize(_site_docs(spark).where("doc_id = 'https://site.example.org/'"))
+    ordered = [r.nav_url for r in prioritize(navigation_links(tok)).collect()]
+    # lesson-1 matches the module/lesson/course/chapter/part rule -> first
+    assert ordered[0] == "https://site.example.org/lesson-1"
+
+
+def test_crawl_bounded_and_merged(spark):
+    docs = _site_docs(spark)
+    res = crawl(spark, docs, "https://site.example.org/", max_pages=2).collect()
+    assert len(res) == 1
+    row = res[0]
+    # visits root + lesson-1 (priority beats about)
+    # root: pdf(file.pdf) + other(About, Lesson 1, External)
+    # lesson-1: youtube(Watch clip... url youtu.be) + other(Next)
+    assert row.total_links == 6
+    assert row.pdf_count == 1
+    assert row.youtube_count == 1
+    assert row.other_count == 4
+    kinds = [s.kind for s in row.spans]
+    # page-major order, type-rank within page (A7 merge semantics)
+    assert kinds == ["pdf", "other", "other", "other", "youtube", "other"]
+
+
+def test_crawl_ignores_unknown_start(spark):
+    docs = _site_docs(spark)
+    res = crawl(spark, docs, "https://missing.example.org/", max_pages=3).collect()
+    assert len(res) == 1 and res[0].total_links == 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    docs_path = str(tmp_path / "docs")
+    out_path = str(tmp_path / "out")
+    datagen.fixture_docs(spark).repartition(4).write.parquet(docs_path)
+
+    r1 = checkpoint.run_resumable_extract(spark, docs_path, out_path)
+    assert r1["files_processed"] > 0 and r1["docs"] == len(datagen.FIXTURES)
+    n1 = spark.read.parquet(out_path).count()
+    assert n1 == len(datagen.FIXTURES)
+
+    # resume: nothing left to do, output unchanged (idempotent append)
+    r2 = checkpoint.run_resumable_extract(spark, docs_path, out_path)
+    assert r2["files_processed"] == 0
+    assert spark.read.parquet(out_path).count() == n1
+
+    # new input file arrives -> only it is processed
+    extra = spark.createDataFrame(
+        [("https://new.example.org", [
+            {"kind": "html", "text": '<a href="/n.pdf">N</a>', "media_ref": None, "offset": 0}
+        ])],
+        schema=DOCS,
+    )
+    extra.coalesce(1).write.mode("append").parquet(docs_path)
+    r3 = checkpoint.run_resumable_extract(spark, docs_path, out_path)
+    assert r3["files_processed"] == 1 and r3["docs"] == 1
+    assert spark.read.parquet(out_path).count() == n1 + 1
+    assert os.path.isdir(os.path.join(out_path, "_lineage"))

@@ -149,10 +149,10 @@ def tokenize_html(
     tok.feed(html)
     tok.close()
 
-    out: list[tuple[str, str]] = []
+    out: list[tuple[str, str, str]] = []
     failures = 0
 
-    def push(raw_target: str, text_fn: Any) -> None:
+    def push(raw_target: str, tag: str, text_fn: Any) -> None:
         nonlocal failures
         resolved = urlnorm.resolve(base_url, raw_target)
         normalized = urlnorm.normalize(resolved)
@@ -163,18 +163,20 @@ def tokenize_html(
         if not text:
             failures += 1
             return
-        out.append((normalized, text))
+        out.append((normalized, text, tag))
 
     for href, download, inner in tok.anchors:
         if not href or href.startswith(urlnorm.SKIP_PREFIXES):
             continue
-        push(href, lambda u, h=href, d=download, i=inner: _anchor_text(h, d, i, u))
+        push(
+            href, "a", lambda u, h=href, d=download, i=inner: _anchor_text(h, d, i, u)
+        )
     for src, title in tok.iframes:
-        push(src, lambda u, t=title: _iframe_text(u, t))
+        push(src, "iframe", lambda u, t=title: _iframe_text(u, t))
     for data, title in tok.objects:
-        push(data, lambda u, t=title: (t or "Embedded Object"))
+        push(data, "object", lambda u, t=title: (t or "Embedded Object"))
     for src, title in tok.embeds:
-        push(src, lambda u, t=title: (t or "Embedded Content"))
+        push(src, "embed", lambda u, t=title: (t or "Embedded Content"))
     return out, tok.title, failures
 
 
@@ -199,12 +201,13 @@ def tokenize_doc(
                 continue
             failures += f
             title = title or t
-            for url, text in cands:
+            for url, text, tag in cands:
                 candidates.append(
                     {
                         "pos": pos,
                         "url": url,
                         "text": text,
+                        "tag": tag,
                         "is_media": False,
                         "valid": True,
                     }
@@ -217,6 +220,7 @@ def tokenize_doc(
                     "pos": pos,
                     "url": span["media_ref"],
                     "text": "",
+                    "tag": "media",
                     "is_media": True,
                     "valid": True,
                 }

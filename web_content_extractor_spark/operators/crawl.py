@@ -1,0 +1,164 @@
+"""Crawl-as-rounds: BFS over the docs corpus as DataFrame batches.
+
+The reference crawls one page at a time with an in-memory frontier
+(src/core/service.py:142-229).  The engine re-expresses the loop as
+bounded rounds where the *entire* frontier is extracted in one
+vectorized pass:
+
+- visited-set dedup      -> left_anti join frontier vs visited (D1/D2,
+                            service.py:152-158, 200-202)
+- navigation discovery   -> same-host anchors minus file downloads
+                            (html_parser.py:193-213); the reference's
+                            set() ordering is nondeterministic, the
+                            engine imposes orderBy(url) (documented
+                            divergence, SURVEY §7.3)
+- priority ordering      -> module/lesson/course/chapter/part first,
+                            stable (D4, service.py:182-198)
+- max_pages bound        -> driver-side round budget (D5)
+- result merge           -> one distributed agg over all crawled pages
+                            (A7, models.py:201-240): counts sum,
+                            spans concatenate in crawl order
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.operators.assemble import assemble_spans
+from web_content_extractor_spark.plans.pipeline import tokenize
+
+# same-host nav exclusion list (html_parser.py:207-209)
+_NAV_EXCLUDE_RE = r"\.(pdf|zip|tar\.gz|docx|xlsx|pptx)$"
+# crawl priority keywords (service.py:188-193)
+_PRIORITY_RE = r"(?i)(module|lesson|course|chapter|part)"
+
+
+def navigation_links(tokenized: DataFrame) -> DataFrame:
+    """(doc_id, nav_url): same-host anchor targets, downloads excluded."""
+    cand = tokenized.select(
+        "doc_id",
+        F.parse_url(F.col("base_url"), F.lit("HOST")).alias("base_host"),
+        F.explode("candidates").alias("c"),
+    )
+    return (
+        cand.where(
+            (F.col("c.tag") == "a")
+            & F.col("c.valid")
+            & (F.parse_url(F.col("c.url"), F.lit("HOST")) == F.col("base_host"))
+            & ~F.col("c.url").rlike(_NAV_EXCLUDE_RE)
+        )
+        .select("doc_id", F.col("c.url").alias("nav_url"), F.col("c.pos").alias("pos"))
+        .dropDuplicates(["doc_id", "nav_url"])
+    )
+
+
+def prioritize(frontier: DataFrame) -> DataFrame:
+    """D4: keyword pages first, stable within groups (service.py:182-198)."""
+    return frontier.orderBy(
+        F.when(F.col("nav_url").rlike(_PRIORITY_RE), 0).otherwise(1),
+        F.col("pos"),
+        F.col("nav_url"),
+    )
+
+
+def crawl(
+    spark: SparkSession,
+    docs: DataFrame,
+    start_url: str,
+    max_pages: int = 5,
+    variant: str = "context",
+) -> DataFrame:
+    """BFS crawl over the corpus; returns the merged ExtractionResult
+    analog: one row (crawl root) with spans from every crawled page in
+    crawl order, pdf -> youtube -> other within each page, plus counts.
+    """
+    visited: list[str] = []
+    frontier: list[str] = [start_url]
+    page_frames: list[DataFrame] = []
+
+    while frontier and len(visited) < max_pages:
+        budget = max_pages - len(visited)
+        batch = [u for u in frontier if u not in visited][:budget]
+        if not batch:
+            break
+        visited.extend(batch)
+        batch_df = spark.createDataFrame([(u,) for u in batch], "doc_id string")
+        # broadcast the (small) frontier batch into a semi join: never
+        # shuffles the corpus side
+        pages = docs.join(F.broadcast(batch_df), "doc_id", "left_semi")
+        tok = tokenize(pages)
+        tok.persist()
+        # crawl order = visit order (BFS), for deterministic span concat
+        rank_map = F.create_map(
+            *[F.lit(x) for u in batch for x in (u, visited.index(u))]
+        )
+        page_frames.append(
+            tok.select(
+                "doc_id",
+                rank_map[F.col("doc_id")].alias("crawl_rank"),
+                assemble_spans(F.col("candidates"), variant).alias("spans"),
+                "parse_failures",
+                "proc_us",
+            )
+        )
+        nav = (
+            navigation_links(tok)
+            .join(
+                F.broadcast(
+                    spark.createDataFrame([(u,) for u in visited], "nav_url string")
+                ),
+                "nav_url",
+                "left_anti",
+            )
+        )
+        frontier = [r.nav_url for r in prioritize(nav).collect()]
+        tok.unpersist()
+
+    empty_result_schema = (
+        "source_url string, total_links bigint, pdf_count bigint, "
+        "youtube_count bigint, other_count bigint, processing_ms double, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    # empty-crawl fallback result (service.py:211-221)
+    fallback = spark.createDataFrame(
+        [(start_url, 0, 0, 0, 0, 0.0, [])], empty_result_schema
+    )
+    if not page_frames:
+        return fallback
+
+    all_pages = page_frames[0]
+    for f in page_frames[1:]:
+        all_pages = all_pages.unionByName(f)
+    if all_pages.isEmpty():
+        return fallback
+
+    # A7 merge: associative counts + ordered span concatenation
+    merged = all_pages.select(
+        F.lit(start_url).alias("source_url"),
+        "crawl_rank",
+        "spans",
+        "parse_failures",
+        "proc_us",
+    )
+    return merged.groupBy("source_url").agg(
+        F.sum(F.size("spans")).alias("total_links"),
+        F.sum(
+            F.size(F.filter("spans", lambda s: s["kind"] == F.lit("pdf")))
+        ).alias("pdf_count"),
+        F.sum(
+            F.size(F.filter("spans", lambda s: s["kind"] == F.lit("youtube")))
+        ).alias("youtube_count"),
+        F.sum(
+            F.size(F.filter("spans", lambda s: s["kind"] == F.lit("other")))
+        ).alias("other_count"),
+        (F.sum("proc_us") / 1000.0).alias("processing_ms"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("crawl_rank"), F.col("spans")))
+                ),
+                lambda x: x["spans"],
+            )
+        ).alias("spans"),
+    )

@@ -43,11 +43,15 @@ DOCS = T.StructType(
 #   is_media  — candidate came from an input media span (passes through)
 #   valid     — URL survived HttpUrl-style validation (invalid => drop
 #               semantics, link_classifier.py:50-53)
+#   tag       — source element ('a'/'iframe'/'object'/'embed'/'media');
+#               navigation-link discovery only follows anchors
+#               (html_parser.py:193-213)
 CANDIDATE = T.StructType(
     [
         T.StructField("pos", T.IntegerType()),
         T.StructField("url", T.StringType()),
         T.StructField("text", T.StringType()),
+        T.StructField("tag", T.StringType()),
         T.StructField("is_media", T.BooleanType()),
         T.StructField("valid", T.BooleanType()),
     ]
