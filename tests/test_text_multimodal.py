@@ -1,0 +1,149 @@
+"""Text-analysis functions + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from web_content_extractor_spark.functions import text_quality as tq
+from web_content_extractor_spark.operators import multimodal
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("one",)], "text string"
+    )
+    got = df.select(
+        tq.token_count(F.col("text")).alias("n"),
+        tq.subword_count(F.col("text")).alias("s"),
+    ).collect()
+    assert [r.n for r in got] == [3, 0, 0, 1]
+    assert got[0].s == 3
+
+
+def test_subword_count_splits_punct(spark):
+    df = spark.createDataFrame([("don't stop, v2.0!",)], "text string")
+    # don + ' + t + stop + , + v + 2 + . + 0 + !
+    assert df.select(tq.subword_count(F.col("text")).alias("s")).first().s == 10
+
+
+def test_stopword_and_punct_ratio(spark):
+    df = spark.createDataFrame([("the cat and the hat!!!",)], "text string")
+    r = df.select(
+        tq.stopword_ratio(F.col("text")).alias("sw"),
+        tq.punct_ratio(F.col("text")).alias("p"),
+    ).first()
+    assert abs(r.sw - 3 / 5) < 1e-9
+    assert r.p == pytest.approx(3 / 22)
+
+
+def test_detect_lang(spark):
+    df = spark.createDataFrame(
+        [
+            ("the dog is in the house and it is big",),
+            ("el perro es grande y no se ve en la casa",),
+            ("der hund ist von den nicht zu mit das und",),
+            ("xyzzy plugh qwop",),
+        ],
+        "text string",
+    )
+    got = [r.l for r in df.select(tq.detect_lang(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [
+            ("the and of to in is it that for on " * 20,),  # rich
+            ("!!! ??? ### $$$ %%%",),  # noise
+            ("",),
+        ],
+        "text string",
+    )
+    got = [
+        r.q for r in df.select(tq.quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert 0.0 <= got[2] <= got[1] < got[0] <= 100.0
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("hello worlds",)], "text string"
+    )
+    fps = [r.f for r in df.select(tq.fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_text_functions_on_real_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    res = docs.select(
+        tq.token_count(F.col("text")).alias("n"),
+        tq.quality_score(F.col("text")).alias("q"),
+        tq.detect_lang(F.col("text")).alias("l"),
+        tq.fingerprint(F.col("text")).alias("f"),
+    )
+    agg = res.agg(
+        F.min("n").alias("mn"),
+        F.max("q").alias("mq"),
+        F.count(F.when(F.col("l") == "und", 1)).alias("und"),
+        F.countDistinct("f").alias("nf"),
+    ).first()
+    assert agg.mn >= 0 and 0 <= agg.mq <= 100
+    assert agg.nf > 0
+
+
+# --- multimodal plumbing -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("m1", "d1", "image", "image/png", b"\x89PNG-fake-bytes-1",
+         {"width": 100, "height": 50, "duration_ms": None, "n_bytes": 17}),
+        ("m2", "d1", "image", "image/jpeg", b"\xff\xd8-fake-2",
+         {"width": 10, "height": 10, "duration_ms": None, "n_bytes": 9}),
+        ("m3", "d2", "video", "video/mp4", b"fake-video",
+         {"width": 640, "height": 480, "duration_ms": 3500, "n_bytes": 10}),
+        ("m4", "d3", "image", "image/png", None,
+         {"width": None, "height": None, "duration_ms": None, "n_bytes": 0}),
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA)
+
+
+def test_image_features_schema_and_determinism(spark, media_df):
+    f1 = multimodal.extract_image_features(media_df).collect()
+    f2 = multimodal.extract_image_features(media_df).collect()
+    by_id = {r.media_id: r for r in f1}
+    assert set(by_id) == {"m1", "m2", "m3", "m4"}
+    assert by_id["m1"].n_bytes == 17
+    assert len(by_id["m1"].features) == 8
+    assert all(0.0 <= v <= 1.0 for v in by_id["m1"].features)
+    # deterministic across runs
+    assert {r.media_id: r.content_hash for r in f1} == {
+        r.media_id: r.content_hash for r in f2
+    }
+    # null payload handled
+    assert by_id["m4"].n_bytes == 0
+
+
+def test_real_decoder_is_marked_stub(spark, media_df):
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_image_features(
+            media_df, deterministic_fake=False
+        ).collect()
+    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_frame_sampling_fanout(spark, media_df):
+    frames = multimodal.sample_frames(
+        media_df.where("media_type = 'video'"), every_ms=1000
+    ).collect()
+    # 3500 ms at 1000 ms cadence -> ts 0,1000,2000,3000
+    assert [r.frame_ts_ms for r in sorted(frames, key=lambda r: r.frame_ts_ms)] == [
+        0,
+        1000,
+        2000,
+        3000,
+    ]
+    assert len({r.frame_hash for r in frames}) == 4

@@ -1,0 +1,111 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Column algebra (JVM-side, codegen-friendly, no UDFs): token
+counting, quality scoring, n-gram-heuristic language ID, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table.  Each has
+an ANSI-SQL equivalent (used as the DuckDB oracle in
+``__spark_entry__.py``), so the formulas below deliberately stick to
+portable primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "und", "das", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+}
+
+# whitespace tokenization; BPE-ish subword estimate uses a regex over
+# letter-runs / digit-runs / single punctuation marks
+_WORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty-string-safe)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token estimate: letter runs + digit runs + punctuation."""
+    return F.size(F.regexp_extract_all(text, F.lit(_WORD_RE), F.lit(0)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(0.0)
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """0-100 heuristic: length band + stopword presence - punct noise.
+
+    Engine-defined (the reference's quality score, models.py:187-199,
+    scores link inventories, not prose; this is its text-corpus
+    analog): 50 * saturating length term + 50 * stopword term,
+    penalized by punctuation density.
+    """
+    safe = F.coalesce(text, F.lit(""))  # NULL text scores 0, not NULL
+    n_tok = token_count(safe).cast("double")
+    length_term = F.least(n_tok / 100.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(safe, lang) * 4.0, F.lit(1.0))
+    noise = F.least(punct_ratio(safe) * 2.0, F.lit(1.0))
+    return F.round(
+        F.greatest(
+            F.lit(0.0), (50.0 * length_term + 50.0 * stop_term) * (1.0 - noise)
+        ),
+        2,
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-profile hit counts per language."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: F.length(t) > 0)
+
+    def hits(sw: list[str]) -> Column:
+        # closure factory keeps the HOF lambda unary (pyspark derives
+        # lambda arity from the Python signature)
+        return F.size(F.filter(toks, lambda t: t.isin(sw)))
+
+    return {lang: hits(sw) for lang, sw in STOPWORDS.items()}
+
+
+def detect_lang(text: Column) -> Column:
+    """Argmax of the stopword profiles; 'und' when nothing matches.
+
+    Deterministic tie-break: language order en > es > de > fr
+    (strictly-greater comparison in that order).
+    """
+    scores = lang_scores(text)
+    # fold right-to-left so earlier languages win ties
+    langs = list(STOPWORDS)
+    out = F.lit("und")
+    for lang in reversed(langs):
+        others = [scores[o] for o in langs if o != lang]
+        is_max = (scores[lang] > 0) & (
+            scores[lang] >= F.greatest(*others) if others else F.lit(True)
+        )
+        out = F.when(is_max, F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable document fingerprint: md5 of the whitespace-normalized,
+    lowercased text (the distributed analog of content-hash dedup keys).
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

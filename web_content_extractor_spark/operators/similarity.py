@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+- brute-force cosine top-k — the correctness baseline: broadcast the
+  (small) query set, JVM-side dot products via zip_with/aggregate
+  (no Python), window top-k.  Cost O(|Q| * N); at 100 TB you only run
+  this for small query batches, which is exactly when the broadcast
+  join is free of shuffles on the corpus side.
+- LSH-bucketed (random hyperplanes) — the scale path: a deterministic
+  seeded set of H hyperplanes maps every vector to an H-bit bucket;
+  candidate search touches only matching buckets (equi-join on the
+  bucket key).  Bits are computed natively from literal hyperplane
+  arrays — again no Python in the hot path.
+
+Embedding-cosine near-duplicate detection reuses the same kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cos, rank).
+
+    ``queries`` must be small (it is broadcast); self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (public LSH construction)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """H-bit signature bucket id for a vector, computed natively."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1).otherwise(0)
+        for p in planes
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out.cast("bigint")
+
+
+def lsh_buckets(
+    vec: Column, planes: list[list[float]], r: int, tables: int
+) -> Column:
+    """OR-amplified multi-table buckets: array of `tables` bucket ids,
+    table t built from planes [t*r, (t+1)*r).  A pair is a candidate if
+    it collides in ANY table — the standard recall amplification for
+    random-hyperplane LSH (prob 1-(1-p^r)^L for per-plane agreement p).
+    """
+    return F.array(
+        *[
+            lsh_bucket(vec, planes[t * r : (t + 1) * r]) for t in range(tables)
+        ]
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    r: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    Candidates = union over tables of same-bucket rows (deduped), so the
+    corpus-side cost is |tables| bucket probes instead of a full scan;
+    tests measure recall vs brute force.
+    """
+    planes = hyperplanes(dim, r * tables, seed)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.posexplode(lsh_buckets(F.col(vec_col), planes, r, tables)).alias(
+            "table", "bucket"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode(lsh_buckets(F.col(vec_col), planes, r, tables)).alias(
+            "table", "bucket"
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    min_cos: float = 0.95,
+    r: int = 6,
+    tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine, multi-table LSH self-join.
+
+    At min_cos 0.95 (angle ~18deg, per-plane agreement ~0.9) the r=6 /
+    L=6 configuration catches a true near-dup pair with prob ~0.98
+    while keeping bucket sizes ~n/2^6 per table.
+    """
+    planes = hyperplanes(dim, r * tables, seed)
+    d = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(lsh_buckets(F.col(vec_col), planes, r, tables)).alias(
+            "table", "bucket"
+        ),
+    )
+    lhs = d.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "table", "bucket"
+    )
+    rhs = d.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "table", "bucket"
+    )
+    return (
+        lhs.join(rhs, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+    )
