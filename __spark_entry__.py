@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction over sf0.001;
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives the
+DuckDB-ANSI equivalent for every SQL-expressible one.
+
+Extraction queries synthesize HTML *deterministically from the
+documents table inside the query itself* (same construction on both
+sides), so the Spark side exercises the REAL tokenizer/classifier/
+assembly pipeline while DuckDB computes the expected output
+analytically — a genuine independent oracle for the whole engine.
 """
 
 from __future__ import annotations
@@ -12,27 +17,742 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.functions import text_quality as tq
+from web_content_extractor_spark.functions.classify import classify_kind
+from web_content_extractor_spark.operators import dedup_docs, similarity
+from web_content_extractor_spark.operators.assemble import explode_spans
+from web_content_extractor_spark.operators.crawl import crawl
+from web_content_extractor_spark.plans.pipeline import extract
+
+# ---------------------------------------------------------------------------
+# synthesized-docs construction (shared by entry + extraction queries)
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _synth_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id=base_url, spans=[html span]) built from the documents table.
+
+    Per source doc: one skipped javascript link, one relative PDF link,
+    one youtu.be link, one plain link carrying the first 20 chars of the
+    doc text, and one iframe.ly iframe — exercising T1-T7, F1-F2 and
+    the full golden classifier path.
+    """
+    d = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/d"),
+        d,
+        F.lit(".html"),
+    )
+    t20 = F.trim(F.substring(F.col("text"), 1, 20))
+    html = F.concat(
+        F.lit('<html><body><a href="javascript:void(0)">skip</a>'),
+        F.lit('<a href="/files/doc'), d, F.lit('.pdf">Report '), d, F.lit("</a>"),
+        F.lit('<a href="https://youtu.be/v'), d, F.lit('">Clip '), d, F.lit("</a>"),
+        F.lit('<a href="https://pages.example.com/p'), d, F.lit('">'), t20,
+        F.lit("</a>"),
+        F.lit('<iframe src="https://cdn.iframe.ly/f'), d, F.lit('"></iframe>'),
+        F.lit("</body></html>"),
+    )
+    return documents.select(
+        base.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+_SYNTH_ORACLE_CTE = """
+WITH d AS (
+  SELECT doc_id,
+         'https://host' || (doc_id % 7) || '.example.org/d' || doc_id || '.html' AS base,
+         trim(substr(text, 1, 20)) AS t20
+  FROM documents
+), links AS (
+  SELECT base, 0 AS pos, 'pdf' AS kind, 'Report ' || doc_id AS text,
+         'https://host' || (doc_id % 7) || '.example.org/files/doc' || doc_id || '.pdf' AS media_ref
+  FROM d
+  UNION ALL
+  SELECT base, 1, 'youtube', 'Clip ' || doc_id, 'https://youtu.be/v' || doc_id FROM d
+  UNION ALL
+  SELECT base, 2,
+         CASE WHEN lower(t20) LIKE '%watch%' THEN 'youtube' ELSE 'other' END,
+         t20, 'https://pages.example.com/p' || doc_id
+  FROM d
+  UNION ALL
+  SELECT base, 3, 'youtube', 'Embedded Video Content',
+         'https://cdn.iframe.ly/f' || doc_id
+  FROM d
+)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over sf0.001-derived docs."""
+    docs = _synth_docs(_read(spark, "/root/testdata/sf0.001", "documents"))
+    return explode_spans(extract(docs))
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _synth_docs(_read(spark, sf_dir, "documents"))
+    return explode_spans(extract(docs)).select(
+        "doc_id", "kind", "text", "media_ref", F.col("offset").cast("int").alias("offset")
+    )
+
+
+def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _synth_docs(_read(spark, sf_dir, "documents"))
+    ex = extract(docs, with_stats=True)
+    return ex.select(
+        "doc_id",
+        F.size("spans").cast("bigint").alias("total_links"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("pdf")))
+        .cast("bigint")
+        .alias("pdf_count"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("youtube")))
+        .cast("bigint")
+        .alias("youtube_count"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("other")))
+        .cast("bigint")
+        .alias("other_count"),
+        F.col("parse_failures").cast("bigint").alias("parse_failures"),
+    )
+
+
+def q_classifier_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden classifier as a pure Column battery over synthesized URLs."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.substring("text", 1, 12)).alias("txt")
+    )
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://e.com/f"), sid, F.lit(".pdf")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("https://e.com/f"), sid, F.lit(".PDF?dl=1")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("https://youtube.com/watch?v="), sid))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("https://iframe.ly/api?url=https%3A%2F%2Fyoutu.be%2F"), sid))
+        .otherwise(F.concat(F.lit("https://pages.e.com/p"), sid))
+    )
+    text = F.when(F.col("doc_id") % 7 == 0, F.lit("watch this")).otherwise(F.col("txt"))
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        text.alias("text"),
+        classify_kind(url, text, "context").alias("kind"),
+    )
+
+
+def q_url_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4-F8 projections via parse_url over synthesized URLs."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://www.h"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".example.com/files/a"), sid, F.lit(".pdf")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".example.org/p"), sid),
+        )
+        .otherwise(
+            F.concat(F.lit("https://media.example.net/x/y/z"), sid, F.lit(".tar.gz"))
+        )
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    path = F.parse_url(url, F.lit("PATH"))
+    trimmed = F.regexp_replace(path, r"^/+|/+$", "")
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_replace(host, r"^www\.", "").alias("domain"),
+        F.nullif(F.regexp_extract(F.lower(path), r"\.([^./]+)$", 1), F.lit("")).alias(
+            "file_ext"
+        ),
+        F.when(F.length(trimmed) == 0, 0)
+        .otherwise(F.size(F.split(trimmed, "/")))
+        .cast("int")
+        .alias("url_depth"),
+        url.startswith("https://").alias("is_secure"),
+    )
+
+
+def q_crawl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl a synthesized 4-page chain (rows-only check: iterative op)."""
+    d = _read(spark, sf_dir, "documents").where("doc_id < 4").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    nxt = (F.col("doc_id") + 1).cast("string")
+    html = F.concat(
+        F.lit('<a href="/doc'), nxt, F.lit('.html">lesson next</a>'),
+        F.lit('<a href="/file'), sid, F.lit('.pdf">PDF</a>'),
+    )
+    docs = d.select(
+        F.concat(F.lit("https://chain.example.org/doc"), sid, F.lit(".html")).alias(
+            "doc_id"
+        ),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    res = crawl(spark, docs, "https://chain.example.org/doc0.html", max_pages=3)
+    return res.select(
+        "source_url", "total_links", "pdf_count", "youtube_count", "other_count"
+    )
+
+
+# --- relational battery (SURVEY §2.5-§2.7) --------------------------------
+
+
+def q_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+def q_link_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    total = o.count()
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.count("*") * 100.0 / F.lit(total), 1).alias("pct"),
+    )
+
+
+def q_quality_score_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 analog over orders: capped linear score per customer."""
+    o = _read(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+    )
+    return per.select(
+        "o_custkey",
+        F.least(
+            F.lit(100.0),
+            F.least(F.col("n_orders") * 5, F.lit(50)).cast("double")
+            + F.col("n_prio") * 5.0
+            + F.col("n_urgent") * 10.0,
+        ).alias("quality_score"),
+    )
+
+
+def q_group_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim star join: revenue per nation."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return rev
+
+
+def q_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 analog: keyword rows first, stable by doc_id; top 50."""
+    d = _read(spark, sf_dir, "documents")
+    pri = F.when(F.col("text").rlike("(?i)(spark|stream)"), 0).otherwise(1)
+    return (
+        d.select("doc_id", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(50)
+    )
+
+
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 analog: earliest event per user (first-wins dedup)."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type")
+    )
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-ordering window analog: first 3 events per user."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 3")
+        .select("user_id", "event_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum)."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = e.withColumn("new_sess", F.coalesce(gap, F.lit(0))).withColumn(
+        "session_id", F.sum("new_sess").over(w)
+    )
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- dedup / text / similarity over documents + embeddings -----------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_docs.exact_duplicates(_read(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_docs.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), min_jaccard=0.8
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tq.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        tq.subword_count(F.col("text")).cast("int").alias("n_subwords"),
+        tq.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", tq.detect_lang(F.col("text")).alias("lang_guess"))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", tq.quality_score(F.col("text")).alias("q"))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.where("vec_id < 5"), k=5
+    ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs (not SQL-expressible -> rows-only)."""
+    return dedup_docs.minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), min_jaccard=0.8
+    ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup (vectorized UDF -> rows-only)."""
+    return dedup_docs.simhash_duplicates(_read(spark, sf_dir, "documents"))
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (bucketed; approximate by design -> rows-only)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.where("vec_id < 5"), k=5)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads synthesized from documents."""
+    from web_content_extractor_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("image/png").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.length("text").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return extract_image_features(media).select(
+        F.col("media_id").cast("bigint").alias("doc_id"), "n_bytes", "content_hash"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
+        "extract_spans": q_extract_spans,
+        "extract_metrics": q_extract_metrics,
+        "classifier_context": q_classifier_context,
+        "url_projections": q_url_projections,
+        "crawl_merge": q_crawl_merge,
+        # relational operators (SURVEY §2.5-§2.7)
+        "agg_counts": q_agg_counts,
+        "link_distribution": q_link_distribution,
+        "quality_score_rel": q_quality_score_rel,
+        "group_by_source": q_group_by_source,
+        "anti_join": q_anti_join,
+        "join_agg": q_join_agg,
+        "priority_order": q_priority_order,
+        "dedup_first_wins": q_dedup_first_wins,
+        "distinct_sorted": q_distinct_sorted,
+        "topk": q_topk,
+        "window_rank": q_window_rank,
+        "sessionize": q_sessionize,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_stats": q_token_stats,
+        "lang_detect": q_lang_detect,
+        "quality_scores": q_quality_scores,
+        "similarity_topk": q_similarity_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "lsh_topk": q_lsh_topk,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOPWORD_SQL = {
+    "en": "('the','and','of','to','in','is','it','that','for','on')",
+    "es": "('el','la','de','que','y','en','un','es','se','no')",
+    "de": "('der','die','und','das','ist','von','zu','mit','den','nicht')",
+    "fr": "('le','la','de','et','les','des','est','un','une','dans')",
+}
+
+_TOKS_CTE = (
+    "SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), "
+    "x -> x <> '') AS w, text FROM documents"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    hits = {
+        lang: f"len(list_filter(w, x -> x IN {sw}))"
+        for lang, sw in _STOPWORD_SQL.items()
+    }
+    lang_case = f"""
+      CASE
+        WHEN {hits['en']} > 0 AND {hits['en']} >= greatest({hits['es']}, {hits['de']}, {hits['fr']}) THEN 'en'
+        WHEN {hits['es']} > 0 AND {hits['es']} >= greatest({hits['de']}, {hits['fr']}) THEN 'es'
+        WHEN {hits['de']} > 0 AND {hits['de']} >= greatest({hits['fr']}) THEN 'de'
+        WHEN {hits['fr']} > 0 THEN 'fr'
+        ELSE 'und'
+      END
     """
-    return {}
+    quality_expr = """
+      round(
+        greatest(0.0,
+          (50.0 * least(len(w) / 100.0, 1.0)
+           + 50.0 * least(CASE WHEN len(w) > 0
+                 THEN len(list_filter(w, x -> x IN ('the','and','of','to','in','is','it','that','for','on'))) * 1.0 / len(w)
+                 ELSE 0.0 END * 4.0, 1.0))
+          * (1.0 - least(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                 ELSE 0.0 END * 2.0, 1.0))
+        ), 2)
+    """
+    return {
+        "extract_spans": _SYNTH_ORACLE_CTE
+        + """
+        SELECT base AS doc_id, kind, text, media_ref,
+               CAST(row_number() OVER (
+                 PARTITION BY base
+                 ORDER BY CASE kind WHEN 'pdf' THEN 0 WHEN 'youtube' THEN 1 ELSE 2 END, pos
+               ) - 1 AS INTEGER) AS offset
+        FROM links
+        """,
+        "extract_metrics": _SYNTH_ORACLE_CTE
+        + """
+        SELECT base AS doc_id, count(*) AS total_links,
+               CAST(sum(CASE WHEN kind='pdf' THEN 1 ELSE 0 END) AS BIGINT) AS pdf_count,
+               CAST(sum(CASE WHEN kind='youtube' THEN 1 ELSE 0 END) AS BIGINT) AS youtube_count,
+               CAST(sum(CASE WHEN kind='other' THEN 1 ELSE 0 END) AS BIGINT) AS other_count,
+               CAST(0 AS BIGINT) AS parse_failures
+        FROM links GROUP BY base
+        """,
+        "classifier_context": """
+        WITH c AS (
+          SELECT doc_id, trim(substr(text, 1, 12)) AS txt,
+            CASE doc_id % 5
+              WHEN 0 THEN 'https://e.com/f' || doc_id || '.pdf'
+              WHEN 1 THEN 'https://e.com/f' || doc_id || '.PDF?dl=1'
+              WHEN 2 THEN 'https://youtube.com/watch?v=' || doc_id
+              WHEN 3 THEN 'https://iframe.ly/api?url=https%3A%2F%2Fyoutu.be%2F' || doc_id
+              ELSE 'https://pages.e.com/p' || doc_id
+            END AS url,
+            CASE WHEN doc_id % 7 = 0 THEN 'watch this'
+                 ELSE trim(substr(text, 1, 12)) END AS text
+          FROM documents
+        )
+        SELECT doc_id, url, text,
+          CASE
+            WHEN doc_id % 5 IN (0, 1) THEN 'pdf'          -- .pdf$/.pdf[?#]
+            WHEN doc_id % 5 = 2 THEN 'youtube'            -- watch URL
+            WHEN doc_id % 5 = 3 THEN 'youtube'            -- iframe.ly url= unwrap
+            WHEN doc_id % 7 = 0 THEN 'youtube'            -- 'watch' in text
+            ELSE 'other'
+          END AS kind
+        FROM c
+        """,
+        "url_projections": """
+        WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 3
+              WHEN 0 THEN 'https://www.h' || (doc_id % 5) || '.example.com/files/a' || doc_id || '.pdf'
+              WHEN 1 THEN 'http://h' || (doc_id % 5) || '.example.org/p' || doc_id
+              ELSE 'https://media.example.net/x/y/z' || doc_id || '.tar.gz'
+            END AS url
+          FROM documents
+        )
+        SELECT doc_id, url,
+          regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1), '^www\\.', '') AS domain,
+          nullif(regexp_extract(lower(regexp_replace(url, '^https?://[^/]+', '')), '\\.([^./]+)$', 1), '') AS file_ext,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS url_depth,
+          (url LIKE 'https://%') AS is_secure
+        FROM u
+        """,
+        "agg_counts": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "link_distribution": """
+        SELECT o_orderpriority, count(*) AS n,
+               round(count(*) * 100.0 / (SELECT count(*) FROM orders), 1) AS pct
+        FROM orders GROUP BY o_orderpriority
+        """,
+        "quality_score_rel": """
+        WITH per AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 count(DISTINCT o_orderpriority) AS n_prio,
+                 sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey,
+               least(100.0, least(n_orders * 5, 50) + n_prio * 5.0 + n_urgent * 10.0) AS quality_score
+        FROM per
+        """,
+        "group_by_source": """
+        SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY source
+        """,
+        "anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "join_agg": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        "priority_order": """
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '(?i)(spark|stream)') THEN 0 ELSE 1 END AS priority
+        FROM documents
+        ORDER BY priority, doc_id LIMIT 50
+        """,
+        "dedup_first_wins": """
+        SELECT user_id, event_id, event_type FROM (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn = 1
+        """,
+        "distinct_sorted": "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+        "topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "window_rank": """
+        SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 3
+        """,
+        "sessionize": """
+        WITH x AS (
+          SELECT user_id, event_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        ), s AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id) AS session_id
+          FROM x
+        )
+        SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM s GROUP BY user_id
+        """,
+        "dedup_exact": """
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+          FROM documents
+        ), canon AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
+        SELECT fp.doc_id, canon.canonical_id,
+               fp.doc_id <> canon.canonical_id AS is_duplicate
+        FROM fp JOIN canon ON fp.f = canon.f
+        """,
+        "ngram_jaccard": f"""
+        WITH t AS ({_TOKS_CTE}),
+        g AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+          FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+          WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        "token_stats": f"""
+        WITH t AS ({_TOKS_CTE})
+        SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_subwords,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM t
+        """,
+        "lang_detect": f"""
+        WITH t AS ({_TOKS_CTE})
+        SELECT doc_id, {lang_case} AS lang_guess FROM t
+        """,
+        "quality_scores": f"""
+        WITH t AS ({_TOKS_CTE})
+        SELECT doc_id, {quality_expr} AS q FROM t
+        """,
+        "similarity_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+          ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+        """,
+        "media_features": """
+        SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+               sha256(text) AS content_hash
+        FROM documents
+        """,
+        # minhash_pairs / simhash / lsh_topk / crawl_merge: intentionally
+        # no oracle (hash-seeded / approximate / iterative) -> rows-only.
+    }

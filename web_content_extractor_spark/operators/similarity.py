@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # accumulate in double precision (float32 dot products drift vs
+    # the DuckDB double-precision oracle)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
