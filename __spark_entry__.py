@@ -223,6 +223,72 @@ def q_crawl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_youtube_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9/D7: sorted unique YouTube URLs from the real extraction path."""
+    from web_content_extractor_spark.sinks.formatters import youtube_manifest
+
+    docs = _synth_docs(_read(spark, sf_dir, "documents"))
+    return youtube_manifest(extract(docs))
+
+
+def q_pdf_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8-prep/D6: first-wins unique PDF manifest from extraction."""
+    from web_content_extractor_spark.sinks.formatters import pdf_manifest
+
+    docs = _synth_docs(_read(spark, sf_dir, "documents"))
+    return pdf_manifest(extract(docs))
+
+
+def q_group_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-domain rollup of extracted links (www-stripped host)."""
+    docs = _synth_docs(_read(spark, sf_dir, "documents"))
+    ex = explode_spans(extract(docs))
+    domain = F.regexp_replace(
+        F.parse_url("media_ref", F.lit("HOST")), r"^www\.", ""
+    )
+    return ex.groupBy(domain.alias("domain")).agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def q_video_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: 11-char YouTube id extraction over synthesized URL variants."""
+    from web_content_extractor_spark.functions.video import video_id
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    sid = F.lpad(F.col("doc_id").cast("string"), 11, "A")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://www.youtube.com/watch?v="), sid))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://youtube.com/embed/"), sid))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://youtu.be/"), sid))
+        .otherwise(F.concat(F.lit("https://example.com/page"),
+                            F.col("doc_id").cast("string")))
+    )
+    return d.select("doc_id", url.alias("url"), video_id(url).alias("vid"))
+
+
+def q_doc_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4/A5: per-doc distribution pct, content-rich, quality score."""
+    from web_content_extractor_spark.operators.metrics import doc_metrics
+
+    docs = _synth_docs(_read(spark, sf_dir, "documents"))
+    m = doc_metrics(extract(docs, with_stats=True))
+    return m.select(
+        "doc_id",
+        F.col("total_links").cast("bigint").alias("total_links"),
+        F.col("pdf_count").cast("bigint").alias("pdf_count"),
+        "pdf_pct",
+        "youtube_pct",
+        "other_pct",
+        "is_content_rich",
+        "quality_score",
+    )
+
+
 # --- relational battery (SURVEY §2.5-§2.7) --------------------------------
 
 
@@ -475,6 +541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_context": q_classifier_context,
         "url_projections": q_url_projections,
         "crawl_merge": q_crawl_merge,
+        "youtube_manifest": q_youtube_manifest,
+        "pdf_manifest": q_pdf_manifest,
+        "group_by_domain": q_group_by_domain,
+        "video_ids": q_video_ids,
+        "doc_link_stats": q_doc_link_stats,
         # relational operators (SURVEY §2.5-§2.7)
         "agg_counts": q_agg_counts,
         "link_distribution": q_link_distribution,
@@ -562,6 +633,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN kind='youtube' THEN 1 ELSE 0 END) AS BIGINT) AS youtube_count,
                CAST(sum(CASE WHEN kind='other' THEN 1 ELSE 0 END) AS BIGINT) AS other_count,
                CAST(0 AS BIGINT) AS parse_failures
+        FROM links GROUP BY base
+        """,
+        "youtube_manifest": _SYNTH_ORACLE_CTE
+        + """
+        SELECT DISTINCT media_ref AS url FROM links
+        WHERE kind = 'youtube' ORDER BY url
+        """,
+        "pdf_manifest": _SYNTH_ORACLE_CTE
+        + """
+        SELECT media_ref AS url, text FROM links WHERE kind = 'pdf'
+        """,
+        "group_by_domain": _SYNTH_ORACLE_CTE
+        + """
+        SELECT regexp_replace(regexp_extract(media_ref, '^https?://([^/]+)', 1),
+                              '^www\\.', '') AS domain,
+               count(*) AS n_links,
+               count(DISTINCT base) AS n_docs
+        FROM links GROUP BY 1
+        """,
+        "video_ids": """
+        WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'https://www.youtube.com/watch?v=' || lpad(doc_id::VARCHAR, 11, 'A')
+              WHEN 1 THEN 'https://youtube.com/embed/' || lpad(doc_id::VARCHAR, 11, 'A')
+              WHEN 2 THEN 'https://youtu.be/' || lpad(doc_id::VARCHAR, 11, 'A')
+              ELSE 'https://example.com/page' || doc_id
+            END AS url
+          FROM documents
+        )
+        SELECT doc_id, url,
+               CASE WHEN doc_id % 4 IN (0, 1, 2)
+                    THEN lpad(doc_id::VARCHAR, 11, 'A') ELSE NULL END AS vid
+        FROM u
+        """,
+        "doc_link_stats": _SYNTH_ORACLE_CTE
+        + """
+        SELECT base AS doc_id,
+               count(*) AS total_links,
+               CAST(sum(CASE WHEN kind = 'pdf' THEN 1 ELSE 0 END) AS BIGINT) AS pdf_count,
+               round(100.0 * sum(CASE WHEN kind = 'pdf' THEN 1 ELSE 0 END) / count(*), 1) AS pdf_pct,
+               round(100.0 * sum(CASE WHEN kind = 'youtube' THEN 1 ELSE 0 END) / count(*), 1) AS youtube_pct,
+               round(100.0 * sum(CASE WHEN kind = 'other' THEN 1 ELSE 0 END) / count(*), 1) AS other_pct,
+               count(*) >= 10 AS is_content_rich,
+               least(100.0,
+                     least(count(*) * 5, 50)
+                     + count(DISTINCT regexp_replace(
+                         regexp_extract(media_ref, '^https?://([^/]+)', 1),
+                         '^www\\.', '')) * 5.0
+                     + sum(CASE WHEN kind = 'pdf' THEN 1 ELSE 0 END) * 10.0
+               ) AS quality_score
         FROM links GROUP BY base
         """,
         "classifier_context": """

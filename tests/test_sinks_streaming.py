@@ -1,0 +1,132 @@
+"""Formatters/sinks (SURVEY §2.8) + Structured Streaming incremental path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.datagen import fixture_docs
+from web_content_extractor_spark.functions.video import video_id
+from web_content_extractor_spark.plans.pipeline import extract
+from web_content_extractor_spark.sinks import formatters as fmt
+from web_content_extractor_spark.streaming.incremental import (
+    stream_extract,
+    windowed_span_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    return extract(fixture_docs(spark)).cache()
+
+
+def _f01(extracted):
+    return extracted.where(
+        F.col("doc_id") == "https://test-page.example.org/index.html"
+    ).collect()[0]
+
+
+def test_format_json(extracted):
+    import json
+
+    out = json.loads(fmt.format_result(_f01(extracted).asDict(), "json"))
+    assert out["source_url"] == "https://test-page.example.org/index.html"
+    assert [x["url"] for x in out["pdf_links"]] == [
+        "https://example.com/document.pdf",
+        "https://docs.example.com/report.PDF",
+        "https://test-page.example.org/files/manual.pdf",
+    ]
+    assert len(out["youtube_links"]) == 3 and len(out["other_links"]) == 3
+
+
+def test_format_text_markdown_csv(extracted):
+    row = _f01(extracted).asDict()
+    text = fmt.format_result(row, "text")
+    assert "PDF Links (3):" in text and "Total links: 9" in text
+    md = fmt.format_result(row, "markdown")
+    assert "## YouTube Links (3)" in md
+    assert "- [Tutorial Video](https://youtube.com/watch?v=abc123)" in md
+    csv_out = fmt.format_result(row, "csv")
+    assert csv_out.startswith("Type,Text,URL")
+    assert "pdf,Download PDF Document,https://example.com/document.pdf" in csv_out
+
+
+def test_format_unknown_raises(extracted):
+    with pytest.raises(fmt.ResultFormattingError):
+        fmt.format_result(_f01(extracted).asDict(), "yaml")
+
+
+def test_write_spans_csv_roundtrip(spark, extracted, tmp_path):
+    path = str(tmp_path / "spans_csv")
+    fmt.write_spans(extracted, path, fmt="csv")
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == extracted.select(F.explode("spans")).count()
+    assert set(back.columns) == {"doc_id", "type", "text", "url"}
+
+
+def test_manifests(extracted):
+    yt = [r.url for r in fmt.youtube_manifest(extracted).collect()]
+    assert yt == sorted(set(yt)), "manifest must be sorted unique"
+    assert "https://youtu.be/xyz789" in yt
+    pdfs = fmt.pdf_manifest(extracted).collect()
+    assert len({r.url for r in pdfs}) == len(pdfs)
+    urls = {r.url for r in pdfs}
+    assert "https://example.com/document.pdf" in urls
+
+
+def test_video_id_variants(spark):
+    rows = [
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "dQw4w9WgXcQ"),
+        ("https://youtube.com/embed/abcdefghijk", "abcdefghijk"),
+        ("https://youtu.be/AAAAAAAAAAA?t=1", "AAAAAAAAAAA"),
+        ("https://example.com/page", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], ["url"])
+    got = {r.url: r.vid for r in df.select("url", video_id(F.col("url")).alias("vid")).collect()}
+    for u, want in rows:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    """availableNow drain twice: second run processes ONLY new files."""
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    docs = fixture_docs(spark)
+    batch1 = docs.where(F.col("doc_id").contains("test-page"))
+    batch1.write.mode("append").parquet(inp)
+    q = stream_extract(spark, inp, outp, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(outp).count()
+    assert n1 == batch1.count()
+
+    batch2 = docs.where(F.col("doc_id") == "https://fixture09.example.org")
+    batch2.write.mode("append").parquet(inp)
+    q = stream_extract(spark, inp, outp, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    assert out.count() == batch1.count() + batch2.count()
+    # exactly-once: no doc extracted twice
+    assert out.select("doc_id").distinct().count() == out.count()
+    # span parity carries through the streaming path
+    row = out.where(F.col("doc_id") == "https://fixture09.example.org").collect()[0]
+    assert [s.kind for s in row.spans] == ["pdf", "pdf", "youtube", "youtube", "other"]
+
+
+def test_windowed_span_counts(spark):
+    rows = [
+        ("2026-01-01 00:01:00", "pdf"),
+        ("2026-01-01 00:04:00", "pdf"),
+        ("2026-01-01 00:12:00", "other"),
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "kind"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "kind"
+    )
+    # batch DataFrames accept the same plan (windows/watermark are no-ops)
+    got = {
+        (str(r.window_start), r.kind): r.n_spans
+        for r in windowed_span_counts(df).collect()
+    }
+    assert got[("2026-01-01 00:00:00", "pdf")] == 2
+    assert got[("2026-01-01 00:10:00", "other")] == 1

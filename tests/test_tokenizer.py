@@ -119,10 +119,9 @@ def test_interleaved_doc_positions():
             {"kind": "html", "text": '<a href="/b">B</a>', "media_ref": None, "offset": 3},
         ],
     )
-    c = row["candidates"]
-    assert [x["pos"] for x in c] == [0, 1, 2]
-    assert c[1]["is_media"] and c[1]["url"] == "s3://b/i.png"
-    assert c[2]["url"] == "https://d.org/b"
+    assert row["cand_urls"] == ["https://d.org/a", "s3://b/i.png", "https://d.org/b"]
+    assert row["cand_tags"] == ["a", "media", "a"]
+    assert row["cand_texts"][1] == ""
 
 
 def test_urlnorm_httpurl_parity():

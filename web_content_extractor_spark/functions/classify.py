@@ -118,3 +118,13 @@ def type_rank(kind: Column) -> Column:
     return (
         F.when(kind == PDF, F.lit(0)).when(kind == YOUTUBE, F.lit(1)).otherwise(2)
     )
+
+
+def rank_kind(rank: Column) -> Column:
+    """Inverse of :func:`type_rank` — lets the assembly carry a cheap
+    int through the sort and classify each candidate exactly once."""
+    return (
+        F.when(rank == 0, F.lit(PDF))
+        .when(rank == 1, F.lit(YOUTUBE))
+        .otherwise(F.lit(OTHER))
+    )

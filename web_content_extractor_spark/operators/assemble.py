@@ -1,13 +1,18 @@
 """Span assembly: classify + order candidates into the output array.
 
-Pure Column algebra over the nested candidates array — the whole
-classify/partition/sort/offset step runs JVM-side with NO shuffle:
+Pure Column algebra over the tokenizer's flat parallel candidate
+arrays — the whole zip/classify/partition/sort/offset step runs
+JVM-side with NO shuffle:
 
-1. drop invalid candidates (drop-not-fail, link_classifier.py:50-53);
+1. zip (cand_urls, cand_texts, cand_tags) with ``arrays_zip`` — the
+   array index IS the document parse order (invalid candidates were
+   already dropped in the tokenizer: drop-not-fail,
+   link_classifier.py:50-53);
 2. classify each candidate with the when/rlike chain
-   (functions/classify.py); input media spans pass through as
-   kind='other' with their media_ref preserved and used as text
-   fallback (engine rule for interleaved payloads, FIXTURES.md F14);
+   (functions/classify.py); input media spans (tag='media') pass
+   through as kind='other' with their media_ref preserved and used as
+   text fallback (engine rule for interleaved payloads, FIXTURES.md
+   F14);
 3. order by (type-rank, document parse order) — the ExtractionResult
    invariant: pdf list, then youtube list, then other list, each in
    parse order (service.py:80-88, models.py:171-173) — via
@@ -23,30 +28,22 @@ from pyspark.sql import functions as F
 from web_content_extractor_spark.functions import classify
 
 
-def assemble_spans(candidates: Column, variant: str = "context") -> Column:
-    """candidates: array<struct<pos,url,text,is_media,valid>> -> spans."""
-    kept = F.filter(candidates, lambda x: x["valid"])
-    classified = F.transform(
-        kept,
-        lambda x: F.struct(
-            F.when(x["is_media"], F.lit(classify.OTHER))
-            .otherwise(classify.classify_kind(x["url"], x["text"], variant))
-            .alias("kind"),
-            x["pos"].alias("pos"),
-            F.when(F.length(x["text"]) == 0, x["url"])
-            .otherwise(x["text"])
-            .alias("text"),
-            x["url"].alias("media_ref"),
-        ),
-    )
+def assemble_spans(
+    urls: Column, texts: Column, tags: Column, variant: str = "context"
+) -> Column:
+    """Flat (urls, texts, tags) candidate arrays -> ordered spans array."""
+    zipped = F.arrays_zip(urls.alias("u"), texts.alias("t"), tags.alias("g"))
     ranked = F.transform(
-        classified,
-        lambda x: F.struct(
-            classify.type_rank(x["kind"]).alias("rank"),
-            x["pos"].alias("pos"),
-            x["kind"].alias("kind"),
-            x["text"].alias("text"),
-            x["media_ref"].alias("media_ref"),
+        zipped,
+        lambda x, i: F.struct(
+            classify.type_rank(
+                F.when(x["g"] == "media", F.lit(classify.OTHER)).otherwise(
+                    classify.classify_kind(x["u"], x["t"], variant)
+                )
+            ).alias("rank"),
+            i.alias("pos"),
+            F.when(F.length(x["t"]) == 0, x["u"]).otherwise(x["t"]).alias("text"),
+            x["u"].alias("media_ref"),
         ),
     )
     # struct sort is lexicographic over (rank, pos, ...); pos is unique
@@ -54,7 +51,7 @@ def assemble_spans(candidates: Column, variant: str = "context") -> Column:
     return F.transform(
         ordered,
         lambda x, i: F.struct(
-            x["kind"].alias("kind"),
+            classify.rank_kind(x["rank"]).alias("kind"),
             x["text"].alias("text"),
             x["media_ref"].alias("media_ref"),
             i.cast("int").alias("offset"),

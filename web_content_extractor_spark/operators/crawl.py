@@ -39,16 +39,19 @@ def navigation_links(tokenized: DataFrame) -> DataFrame:
     cand = tokenized.select(
         "doc_id",
         F.parse_url(F.col("base_url"), F.lit("HOST")).alias("base_host"),
-        F.explode("candidates").alias("c"),
+        F.posexplode(
+            F.arrays_zip(
+                F.col("cand_urls").alias("url"), F.col("cand_tags").alias("tag")
+            )
+        ).alias("pos", "c"),
     )
     return (
         cand.where(
             (F.col("c.tag") == "a")
-            & F.col("c.valid")
             & (F.parse_url(F.col("c.url"), F.lit("HOST")) == F.col("base_host"))
             & ~F.col("c.url").rlike(_NAV_EXCLUDE_RE)
         )
-        .select("doc_id", F.col("c.url").alias("nav_url"), F.col("c.pos").alias("pos"))
+        .select("doc_id", F.col("c.url").alias("nav_url"), "pos")
         .dropDuplicates(["doc_id", "nav_url"])
     )
 
@@ -97,7 +100,12 @@ def crawl(
             tok.select(
                 "doc_id",
                 rank_map[F.col("doc_id")].alias("crawl_rank"),
-                assemble_spans(F.col("candidates"), variant).alias("spans"),
+                assemble_spans(
+                    F.col("cand_urls"),
+                    F.col("cand_texts"),
+                    F.col("cand_tags"),
+                    variant,
+                ).alias("spans"),
                 "parse_failures",
                 "proc_us",
             )

@@ -55,7 +55,9 @@ def extract(
     tok = tokenize(docs, balance=balance, partitions=partitions)
     cols = [
         F.col("doc_id"),
-        assemble_spans(F.col("candidates"), variant).alias("spans"),
+        assemble_spans(
+            F.col("cand_urls"), F.col("cand_texts"), F.col("cand_tags"), variant
+        ).alias("spans"),
     ]
     if with_stats:
         cols += [

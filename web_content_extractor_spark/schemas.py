@@ -36,35 +36,29 @@ DOCS = T.StructType(
 
 # Intermediate candidate-link IR produced by the tokenizer stage.
 # Mirrors the reference's list[tuple[url, text]] between parser and
-# classifier (src/core/interfaces.py:24) plus bookkeeping:
-#   pos       — document parse order (anchors, iframes, objects, embeds;
-#               reference order html_parser.py:56-62)
-#   url       — absolute URL after urljoin + HttpUrl-style normalization
-#   is_media  — candidate came from an input media span (passes through)
-#   valid     — URL survived HttpUrl-style validation (invalid => drop
-#               semantics, link_classifier.py:50-53)
-#   tag       — source element ('a'/'iframe'/'object'/'embed'/'media');
-#               navigation-link discovery only follows anchors
-#               (html_parser.py:193-213)
-CANDIDATE = T.StructType(
-    [
-        T.StructField("pos", T.IntegerType()),
-        T.StructField("url", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("tag", T.StringType()),
-        T.StructField("is_media", T.BooleanType()),
-        T.StructField("valid", T.BooleanType()),
-    ]
-)
-
-# Tokenizer stage output: one row per document, candidates nested so
-# the downstream classify/assemble steps stay shuffle-free.
+# classifier (src/core/interfaces.py:24), encoded as FLAT PARALLEL
+# ARRAYS (document parse order = array index; reference order
+# html_parser.py:56-62):
+#   cand_urls  — absolute URLs after urljoin + HttpUrl-style
+#                normalization; invalid URLs already dropped in the
+#                tokenizer (drop semantics, link_classifier.py:50-53)
+#   cand_texts — selected link text (may be '' -> url fallback applies
+#                downstream)
+#   cand_tags  — source element ('a'/'iframe'/'object'/'embed'/'media');
+#                navigation discovery follows only anchors
+#                (html_parser.py:193-213)
+# Flat list<string> columns cross the Arrow boundary ~10x faster than
+# list<struct> (no per-candidate struct conversion); the assembly step
+# re-zips them natively with arrays_zip — still one row per document,
+# still shuffle-free.
 TOKENIZED = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), nullable=False),
         T.StructField("base_url", T.StringType()),
         T.StructField("page_title", T.StringType()),
-        T.StructField("candidates", T.ArrayType(CANDIDATE)),
+        T.StructField("cand_urls", T.ArrayType(T.StringType())),
+        T.StructField("cand_texts", T.ArrayType(T.StringType())),
+        T.StructField("cand_tags", T.ArrayType(T.StringType())),
         T.StructField("parse_failures", T.IntegerType()),
         T.StructField("proc_us", T.LongType()),
     ]
