@@ -194,7 +194,7 @@ def flagship(
     # plan once, execute repeatedly: a fresh DataFrame per pass would
     # re-run Catalyst analysis/optimization/codegen on the driver each
     # time (~1-2 s), which is job-submit overhead, not engine throughput
-    out_df = explode_spans(extract(docs))
+    out_df = extract(docs)  # canonical nested output table (EXTRACTED shape)
     _force(out_df)
     best, steal_at_best = float("inf"), 0.0
     for _ in range(passes):

@@ -151,10 +151,18 @@ def tokenize_html(
 
     out: list[tuple[str, str, str]] = []
     failures = 0
+    bp = urlnorm.base_prefix(base_url)
 
     def push(raw_target: str, tag: str, text_fn: Any) -> None:
         nonlocal failures
-        resolved = urlnorm.resolve(base_url, raw_target)
+        # fast paths for the two dominant href shapes (absolute and
+        # root-relative) — both provably identical to urljoin's result
+        if raw_target.startswith(("http://", "https://")):
+            resolved = raw_target
+        elif bp and raw_target.startswith("/") and not raw_target.startswith("//"):
+            resolved = bp + raw_target
+        else:
+            resolved = urlnorm.resolve(base_url, raw_target)
         normalized = urlnorm.normalize(resolved)
         if normalized is None:
             failures += 1

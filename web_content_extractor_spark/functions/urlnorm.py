@@ -20,12 +20,37 @@ is native Column algebra.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urljoin, urlsplit
 
 _DEFAULT_PORTS = {"http": 80, "https": 443}
 
 # Hrefs skipped before URL resolution (reference html_parser.py:84).
 SKIP_PREFIXES = ("javascript:", "#", "mailto:", "tel:")
+
+# Already-canonical URL: lowercase http(s) scheme, lowercase host with
+# no userinfo/port (chars outside [a-z0-9.-] fall back to the full
+# parser), optional path.  Such a URL is its own HttpUrl form except
+# for the bare-authority trailing slash.  ~95% of real candidate URLs
+# hit this, skipping the urlsplit/urlunsplit round-trip that dominated
+# the tokenizer profile.
+_CANON_RE = re.compile(r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?(/.*)?$")
+
+
+def base_prefix(base_url: str) -> str | None:
+    """`scheme://netloc` of the base, or None if not a valid http base.
+
+    Precomputed once per document so root-relative hrefs resolve with
+    one concat instead of a full RFC-3986 join (urljoin was ~40% of
+    tokenizer CPU).
+    """
+    try:
+        p = urlsplit(base_url)
+    except ValueError:
+        return None
+    if p.scheme in ("http", "https") and p.netloc:
+        return f"{p.scheme}://{p.netloc}"
+    return None
 
 
 def resolve(base_url: str, href: str) -> str:
@@ -43,6 +68,9 @@ def normalize(url: str) -> str | None:
     (reference validity: html_parser.py:177-191 + HttpUrl constraint
     of models.py:25).
     """
+    m = _CANON_RE.match(url)
+    if m:
+        return url if m.group(1) is not None else url + "/"
     try:
         parts = urlsplit(url)
     except ValueError:
