@@ -32,7 +32,16 @@ from web_content_extractor_spark.plans.pipeline import extract
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Scan a testdata table, fanned out to the session's parallelism.
+
+    Each driver table is one small parquet file -> one input split,
+    which would serialize every downstream operator on a single task.
+    A real corpus scan provides splits by itself (many files / row
+    groups); the explicit round-robin here stands in for that and is
+    a no-op cost at these sizes (<100 MB).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _synth_docs(documents: DataFrame) -> DataFrame:

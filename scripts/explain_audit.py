@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Physical-plan audit: capture and check the plans that matter.
+
+Writes PLANS.md with the `explain("formatted")` output of the engine's
+headline plans plus automated assertions:
+
+- extraction pipeline: shuffle-free (no Exchange), column-pruned scan
+- join_agg: BroadcastHashJoin on the dim tables, no BNLJ
+- agg_counts: partial aggregation (HashAggregate x2) + pushed scan
+- filter pushdown: PushedFilters reaches the parquet scan
+- whole-stage codegen present on the native stages
+
+Run: python scripts/explain_audit.py   (writes PLANS.md, exits 1 on
+any failed assertion)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as contract  # noqa: E402
+from web_content_extractor_spark.plans.pipeline import extract  # noqa: E402
+from web_content_extractor_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _final_tree(plan: str) -> str:
+    """The Final-Plan tree section of a post-execution AQE explain."""
+    if "== Final Plan ==" in plan:
+        plan = plan.split("== Final Plan ==")[1]
+    return plan.split("== Initial Plan ==")[0]
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> int:
+    spark = get_spark("explain-audit", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures: list[str] = []
+    sections: list[tuple[str, str, list[str]]] = []
+
+    def audit(name: str, df, checks: list[tuple[str, bool]]) -> None:
+        plan = formatted(df)
+        notes = []
+        for desc, ok in checks:
+            notes.append(f"- {'PASS' if ok else 'FAIL'}: {desc}")
+            if not ok:
+                failures.append(f"{name}: {desc}")
+        sections.append((name, plan, notes))
+
+    # 1. extraction pipeline — must be shuffle-free and column-pruned
+    docs = contract._synth_docs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    ex = extract(docs)
+    p = formatted(ex)
+    audit(
+        "extract (docs -> nested spans)",
+        ex,
+        [
+            ("shuffle-free (no Exchange in plan)", "Exchange" not in p),
+            ("single Python stage (one MapInPandas node)",
+             p.count("MapInPandas") == 2),  # formatted mode renders tree + detail
+        ],
+    )
+
+    # 2. filter + projection pushdown into the parquet scan
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_quantity")
+    )
+    p = formatted(li)
+    audit(
+        "pushdown probe (filter + 2-column projection on lineitem)",
+        li,
+        [
+            ("filter pushed to scan (PushedFilters non-empty)",
+             "PushedFilters: [IsNotNull(l_shipdate)" in p
+             or "LessThanOrEqual(l_shipdate" in p),
+            ("column-pruned scan (ReadSchema has only needed cols)",
+             "l_extendedprice" not in p.split("ReadSchema")[-1]),
+        ],
+    )
+
+    # 3. star join — dims must broadcast
+    jq = contract.q_join_agg(spark, SF_DIR)
+    p = formatted(jq)
+    audit(
+        "join_agg (revenue per nation star join)",
+        jq,
+        [
+            ("BroadcastHashJoin used for dim joins",
+             "BroadcastHashJoin" in p),
+            ("no cartesian/BNL join", "BroadcastNestedLoopJoin" not in p
+             and "CartesianProduct" not in p),
+            ("partial aggregation before shuffle (2 HashAggregate levels)",
+             p.count("HashAggregate") >= 2),
+        ],
+    )
+
+    # 4. Q1-style agg — partial agg + codegen (direct scan: production
+    # shape, without the testdata fan-out repartition of _read)
+    q1 = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+    q1.collect()  # run so AQE finalizes and codegen ids materialize
+    p = formatted(q1)
+    audit(
+        "agg_counts (TPC-H Q1 shape)",
+        q1,
+        [
+            ("partial aggregation before the shuffle (HashAggregate x2)",
+             _final_tree(p).count("HashAggregate") == 2),
+            ("whole-stage codegen present (final AQE plan)",
+             "codegen id" in p),
+            ("exactly one shuffle (the groupBy exchange)",
+             _final_tree(p).count("Exchange") == 1),
+        ],
+    )
+
+    # 5. anti join — shuffled hash / broadcast, not BNLJ
+    aj = contract.q_anti_join(spark, SF_DIR)
+    p = formatted(aj)
+    audit(
+        "anti_join (customers without orders)",
+        aj,
+        [
+            ("hash-based anti join (no nested loop)",
+             "BroadcastNestedLoopJoin" not in p),
+            ("column-pruned orders scan (only o_custkey read)",
+             "o_totalprice" not in p),
+        ],
+    )
+
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write(
+            "# PLANS — physical-plan audit (auto-generated by "
+            "scripts/explain_audit.py)\n\n"
+            f"Scale dir: `{SF_DIR}`.  Checks assert the plan shapes the\n"
+            "engine is designed around: shuffle-free extraction, pushed\n"
+            "filters, pruned scans, broadcast dims, partial aggs,\n"
+            "whole-stage codegen.\n"
+        )
+        for name, plan, notes in sections:
+            f.write(f"\n## {name}\n\n")
+            f.write("\n".join(notes))
+            f.write("\n\n```\n")
+            f.write(plan.strip()[:4000])
+            f.write("\n```\n")
+    print("\n".join(
+        note for _, _, notes in sections for note in notes
+    ))
+    print("FAILURES:", len(failures))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -92,22 +92,36 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_perm: int = 64, ngram: int = 3
 ) -> DataFrame:
-    """(doc_id, signature array<bigint>) — all native Column algebra."""
+    """(doc_id, signature array<bigint>).
+
+    Shingle hashing stays JVM-side (xxhash64); the 64-permutation min
+    is a vectorized numpy Pandas UDF — one (num_perm x n_shingles)
+    broadcast min per doc.  The equivalent pure-Column form (64
+    ``array_min(transform(...))`` passes) is interpreted per element by
+    Catalyst (HOFs don't codegen) and benched ~20x slower; numpy here
+    is the same sanctioned pattern as the simhash kernel.
+    """
     shingles = _shingle_hashes(F.col(text_col), ngram)
     perms = _perm_params(num_perm)
 
-    def perm_min(a: int, b: int) -> Column:
-        # closure factory: a 1-arg lambda is required (pyspark derives
-        # higher-order-function arity from the Python signature)
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.pmod(s * a + b, F.lit(_MERSENNE)))
-        )
+    @F.pandas_udf("array<bigint>")
+    def _sig(arrs: pd.Series) -> pd.Series:
+        import numpy as np
 
-    sig = F.array(*[perm_min(a, b) for a, b in perms])
+        a = np.array([p[0] for p in perms], dtype=np.int64)[:, None]
+        b = np.array([p[1] for p in perms], dtype=np.int64)[:, None]
+        out = []
+        for sh in arrs:
+            h = np.asarray(sh, dtype=np.int64)[None, :]
+            # a,b,h < 2^31 so a*h+b < 2^62: exact in int64
+            m = (a * h + b) % _MERSENNE
+            out.append(m.min(axis=1))
+        return pd.Series(out)
+
     return (
         docs.select("doc_id", shingles.alias("_sh"))
         .where(F.size("_sh") > 0)
-        .select("doc_id", sig.alias("signature"))
+        .select("doc_id", _sig("_sh").alias("signature"))
     )
 
 
