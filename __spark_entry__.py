@@ -298,6 +298,127 @@ def q_doc_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-parity Regex classifier variant (link_classifier.py:15-72).
+
+    Differential vs the golden ContextAware rules: no iframe.ly
+    unwrap, broader PDF text heuristics.  Deterministic synthesized
+    texts so the oracle CASE mirrors the regex battery exactly.
+    """
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://e.com/f"), sid, F.lit(".pdf")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("https://e.com/f"), sid, F.lit(".PDF?dl=1")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("https://youtube.com/watch?v="), sid))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("https://iframe.ly/api?url=https%3A%2F%2Fyoutu.be%2F"), sid))
+        .otherwise(F.concat(F.lit("https://pages.e.com/p"), sid))
+    )
+    text = F.when(F.col("doc_id") % 7 == 0, F.lit("watch this")).otherwise(
+        F.concat(F.lit("t"), sid)
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        text.alias("text"),
+        classify_kind(url, text, "regex").alias("kind"),
+    )
+
+
+def q_nav_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/D3: same-host navigation discovery, downloads excluded."""
+    from web_content_extractor_spark.operators.crawl import navigation_links
+    from web_content_extractor_spark.plans.pipeline import tokenize
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<a href="/page'), sid, F.lit('.html">next</a>'),
+        F.lit('<a href="/files/f'), sid, F.lit('.pdf">dl</a>'),
+        F.lit('<a href="https://other.example.net/x'), sid, F.lit('">ext</a>'),
+        F.lit('<a href="/about">about</a>'),
+    )
+    docs = d.select(
+        F.concat(F.lit("https://nav"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.org/idx"), sid, F.lit(".html")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return navigation_links(tokenize(docs)).select(
+        "doc_id", "nav_url", F.col("pos").cast("int").alias("pos")
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH approximate -> rows-only).
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.51), so near-dups are planted: vec_id < 20 get a slightly
+    perturbed twin at vec_id + 100000 (cosine ~1).  The LSH self-join
+    must surface those pairs.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    twins = emb.where("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * 1.001 + (i % 3) * F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    pairs = similarity.embedding_near_duplicates(
+        emb.select("vec_id", "embedding").unionByName(twins), min_cos=0.95
+    )
+    return pairs.select("id_a", "id_b", "cos_sim")
+
+
+def _synth_content_docs(documents: DataFrame) -> DataFrame:
+    """Docs with prose + boilerplate blocks for content extraction."""
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d, F.lit("</title></head><body>"),
+        F.lit("<h1>Title "), d, F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<ul><li><a href="/f0.pdf">download one</a></li>'),
+        F.lit('<li><a href="/f1.pdf">download two</a></li></ul>'),
+        F.lit("<h2>More</h2><p>short text</p>"),
+        F.lit("</body></html>"),
+    )
+    return documents.select(
+        F.concat(F.lit("https://content.example.org/d"), d).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def q_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: boilerpipe-style heading/paragraph extraction."""
+    from web_content_extractor_spark.operators.content import extract_content
+
+    docs = _synth_content_docs(_read(spark, sf_dir, "documents"))
+    return extract_content(docs).select("doc_id", F.inline("spans")).select(
+        "doc_id", "kind", "text", F.col("offset").cast("int").alias("offset")
+    )
+
+
+def q_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star metrics: blocks kept/dropped per document."""
+    from web_content_extractor_spark.operators.content import content_stats
+
+    docs = _synth_content_docs(_read(spark, sf_dir, "documents"))
+    return content_stats(docs)
+
+
 # --- relational battery (SURVEY §2.5-§2.7) --------------------------------
 
 
@@ -550,6 +671,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_context": q_classifier_context,
         "url_projections": q_url_projections,
         "crawl_merge": q_crawl_merge,
+        "classifier_regex": q_classifier_regex,
+        "content_blocks": q_content_blocks,
+        "content_stats": q_content_stats,
+        "nav_links": q_nav_links,
+        "embedding_neardup": q_embedding_neardup,
         "youtube_manifest": q_youtube_manifest,
         "pdf_manifest": q_pdf_manifest,
         "group_by_domain": q_group_by_domain,
@@ -643,6 +769,65 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN kind='other' THEN 1 ELSE 0 END) AS BIGINT) AS other_count,
                CAST(0 AS BIGINT) AS parse_failures
         FROM links GROUP BY base
+        """,
+        "content_blocks": """
+        WITH d AS (
+          SELECT 'https://content.example.org/d' || doc_id AS doc_id,
+                 regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm,
+                 doc_id AS id
+          FROM documents
+        ), w AS (
+          SELECT *, len(string_split(norm, ' ')) AS n_words FROM d
+        )
+        SELECT doc_id, 'heading' AS kind, 'Title ' || id AS text,
+               CAST(0 AS INTEGER) AS offset FROM w
+        UNION ALL
+        SELECT doc_id, 'paragraph', norm, CAST(1 AS INTEGER)
+        FROM w WHERE n_words >= 10
+        UNION ALL
+        SELECT doc_id, 'heading', 'More',
+               CAST(CASE WHEN n_words >= 10 THEN 2 ELSE 1 END AS INTEGER)
+        FROM w
+        """,
+        "content_stats": """
+        SELECT 'https://content.example.org/d' || doc_id AS doc_id,
+               CAST(6 AS INTEGER) AS blocks_total,
+               CAST(2 + CASE WHEN len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) >= 10
+                             THEN 1 ELSE 0 END AS INTEGER) AS blocks_kept,
+               CAST(4 - CASE WHEN len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) >= 10
+                             THEN 1 ELSE 0 END AS INTEGER) AS blocks_dropped
+        FROM documents
+        """,
+        "classifier_regex": """
+        SELECT doc_id,
+          CASE doc_id % 5
+            WHEN 0 THEN 'https://e.com/f' || doc_id || '.pdf'
+            WHEN 1 THEN 'https://e.com/f' || doc_id || '.PDF?dl=1'
+            WHEN 2 THEN 'https://youtube.com/watch?v=' || doc_id
+            WHEN 3 THEN 'https://iframe.ly/api?url=https%3A%2F%2Fyoutu.be%2F' || doc_id
+            ELSE 'https://pages.e.com/p' || doc_id
+          END AS url,
+          CASE WHEN doc_id % 7 = 0 THEN 'watch this' ELSE 't' || doc_id END AS text,
+          CASE
+            WHEN doc_id % 5 IN (0, 1) THEN 'pdf'       -- .pdf$ / .pdf[?#] (PDF checked first)
+            WHEN doc_id % 5 = 2 THEN 'youtube'         -- watch URL
+            WHEN doc_id % 7 = 0 THEN 'youtube'         -- 'watch' in text
+            ELSE 'other'                               -- NB %5=3: no iframe.ly unwrap in Regex variant
+          END AS kind
+        FROM documents
+        """,
+        "nav_links": """
+        WITH b AS (
+          SELECT doc_id,
+                 'https://nav' || (doc_id % 5) || '.example.org' AS host,
+                 'https://nav' || (doc_id % 5) || '.example.org/idx' || doc_id || '.html' AS base
+          FROM documents
+        )
+        SELECT base AS doc_id, host || '/page' || doc_id || '.html' AS nav_url,
+               CAST(0 AS INTEGER) AS pos
+        FROM b
+        UNION ALL
+        SELECT base, host || '/about', CAST(3 AS INTEGER) FROM b
         """,
         "youtube_manifest": _SYNTH_ORACLE_CTE
         + """

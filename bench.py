@@ -39,6 +39,7 @@ from web_content_extractor_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "extract_spans",      # full engine: tokenize -> classify -> assemble
     "extract_metrics",    # + per-doc agg stats
+    "content_blocks",     # north-star boilerpipe-style content extraction
     "agg_counts",         # TPC-H Q1-style groupBy over lineitem
     "join_agg",           # broadcast star join revenue rollup
     "anti_join",          # frontier-dedup shaped left_anti
