@@ -411,6 +411,30 @@ def q_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star PDF/layout branch: media spans -> layout blocks."""
+    from web_content_extractor_spark.operators.multimodal import parse_pdf_layout
+
+    d = _read(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("pdf").alias("media_type"),
+        F.lit("application/pdf").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.length("text").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return parse_pdf_layout(media).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "page", "block_idx", "kind", "text",
+    )
+
+
 def q_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star metrics: blocks kept/dropped per document."""
     from web_content_extractor_spark.operators.content import content_stats
@@ -674,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_regex": q_classifier_regex,
         "content_blocks": q_content_blocks,
         "content_stats": q_content_stats,
+        "pdf_layout": q_pdf_layout,
         "nav_links": q_nav_links,
         "embedding_neardup": q_embedding_neardup,
         "youtube_manifest": q_youtube_manifest,
@@ -788,6 +813,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'heading', 'More',
                CAST(CASE WHEN n_words >= 10 THEN 2 ELSE 1 END AS INTEGER)
         FROM w
+        """,
+        "pdf_layout": """
+        SELECT doc_id,
+               CAST(0 AS INTEGER) AS page,
+               CAST(0 AS INTEGER) AS block_idx,
+               'heading' AS kind,
+               substr(sha256(text), 1, 16) AS text
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(0 AS INTEGER), CAST(1 AS INTEGER), 'paragraph',
+               substr(sha256(text || 'p'), 1, 32)
+        FROM documents
         """,
         "content_stats": """
         SELECT 'https://content.example.org/d' || doc_id AS doc_id,

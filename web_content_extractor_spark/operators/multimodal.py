@@ -120,6 +120,62 @@ def extract_image_features(
     return media.mapInPandas(run, schema=IMAGE_FEATURES)
 
 
+PDF_LAYOUT = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), nullable=False),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("block_idx", T.IntegerType()),
+        T.StructField("kind", T.StringType()),  # heading | paragraph
+        T.StructField("text", T.StringType()),
+        T.StructField("x0", T.FloatType()),
+        T.StructField("y0", T.FloatType()),
+        T.StructField("x1", T.FloatType()),
+        T.StructField("y1", T.FloatType()),
+    ]
+)
+
+
+def _parse_pdf_real(payload: bytes) -> object:
+    """Real layout-parse slot. STUB: no pdfminer/mupdf in container."""
+    raise NotImplementedError(
+        "PDF layout parse requires pdfminer/pymupdf — not available in "
+        "this environment; use deterministic_fake=True for plumbing tests"
+    )
+
+
+def parse_pdf_layout(
+    media: DataFrame, deterministic_fake: bool = True
+) -> DataFrame:
+    """PDF/layout branch for media spans (north-star requirement).
+
+    Arrow-batched layout parse of PDF payloads into ordered
+    (page, block, kind, text, bbox) rows — the media-span counterpart
+    of the HTML block classifier (operators/content.py).  The decode
+    kernel is stubbed (deterministic blocks derived from the payload
+    hash) so the distributed plumbing — schema, batch shape, fan-out,
+    downstream joins back to docs — is real and oracle-checkable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_LAYOUT.fields]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                if not deterministic_fake:
+                    _parse_pdf_real(payload)  # pragma: no cover
+                digest = hashlib.sha256(payload).hexdigest()
+                p_digest = hashlib.sha256(payload + b"p").hexdigest()
+                rows.append((r["media_id"], r["doc_id"], 0, 0, "heading",
+                             digest[:16], 72.0, 720.0, 540.0, 756.0))
+                rows.append((r["media_id"], r["doc_id"], 0, 1, "paragraph",
+                             p_digest[:32], 72.0, 96.0, 540.0, 700.0))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, schema=PDF_LAYOUT)
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, deterministic_fake: bool = True
 ) -> DataFrame:
