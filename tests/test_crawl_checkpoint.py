@@ -132,3 +132,24 @@ def test_checkpoint_resume(spark, tmp_path):
     assert r3["files_processed"] == 1 and r3["docs"] == 1
     assert spark.read.parquet(out_path).count() == n1 + 1
     assert os.path.isdir(os.path.join(out_path, "_lineage"))
+
+
+def test_jobs_cli_end_to_end(spark, tmp_path):
+    """python -m web_content_extractor_spark.jobs over fixture docs."""
+    from web_content_extractor_spark.datagen import fixture_docs
+    from web_content_extractor_spark.jobs import main
+
+    inp, outp, met, cont = (str(tmp_path / d) for d in
+                            ("in", "out", "metrics", "content"))
+    fixture_docs(spark).write.parquet(inp)
+    rc = main(["--input", inp, "--output", outp, "--metrics", met,
+               "--content-output", cont, "--resume"])
+    assert rc == 0
+    out = spark.read.parquet(outp)
+    assert out.count() == fixture_docs(spark).count()
+    assert spark.read.parquet(met).count() > 0
+    assert set(spark.read.parquet(cont).columns) == {"doc_id", "spans"}
+    # resumable: a second run is a no-op, nothing double-appended
+    rc = main(["--input", inp, "--output", outp, "--metrics", met, "--resume"])
+    assert rc == 0
+    assert spark.read.parquet(outp).count() == out.count()

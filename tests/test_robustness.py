@@ -1,0 +1,131 @@
+"""Hardening probes: malformed input must never crash the pipeline
+(drop-not-fail, link_classifier.py:50-53), plus property-based checks
+on the tokenizer/normalizer invariants."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.functions import urlnorm
+from web_content_extractor_spark.functions.blocks import segment_blocks
+from web_content_extractor_spark.functions.tokenizer import (
+    tokenize_doc,
+    tokenize_html,
+)
+from web_content_extractor_spark.plans.pipeline import extract
+from web_content_extractor_spark.schemas import DOCS
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema=DOCS)
+
+
+def test_null_and_empty_spans(spark):
+    rows = [
+        ("https://a.org", None),
+        ("https://b.org", []),
+        ("https://c.org", [{"kind": "html", "text": None, "media_ref": None,
+                           "offset": 0}]),
+        ("https://d.org", [{"kind": "text", "text": "plain only",
+                           "media_ref": None, "offset": 0}]),
+        ("https://e.org", [{"kind": "html", "text": "<a href='/x'>x</a>",
+                           "media_ref": None, "offset": None}]),
+    ]
+    out = {r.doc_id: r.spans for r in extract(_docs(spark, rows)).collect()}
+    assert out["https://a.org"] == []
+    assert out["https://b.org"] == []
+    assert out["https://c.org"] == []
+    assert out["https://d.org"] == []
+    assert out["https://e.org"][0].media_ref == "https://e.org/x"
+
+
+def test_garbage_and_binaryish_html(spark):
+    garbage = [
+        "<<<>>>&&&",
+        "\x00\x01\x02\xff binary soup \x7f",
+        "<a href=" + "x" * 5000,                      # unterminated tag
+        "<a><a><a href='/n'>nested</a>",
+        "<!DOCTYPE html><!-- comment only -->",
+        "</div></div></p>",                            # close-only
+        "<a href='http://[invalid'>bad host</a>",
+    ]
+    rows = [
+        (f"https://g{i}.org", [{"kind": "html", "text": g, "media_ref": None,
+                                "offset": 0}])
+        for i, g in enumerate(garbage)
+    ]
+    # must not raise; per-doc failures are counted, not thrown
+    res = extract(_docs(spark, rows), with_stats=True).collect()
+    assert len(res) == len(garbage)
+    nested = [r for r in res if r.doc_id == "https://g3.org"][0]
+    assert [s.text for s in nested.spans] == ["nested"]
+
+
+def test_large_document_arrow_batching(spark):
+    # >100 KB doc exercises Arrow batch sizing (session caps batch rows)
+    big = ("<p>" + "lorem ipsum dolor sit amet " * 200 + "</p>"
+           + '<a href="/big.pdf">big</a>') * 20   # ~110 KB, 20 links
+    rows = [("https://big.org", [{"kind": "html", "text": big,
+                                  "media_ref": None, "offset": 0}])]
+    row = extract(_docs(spark, rows)).collect()[0]
+    assert len(row.spans) == 20
+    assert all(s.kind == "pdf" for s in row.spans)
+
+
+def test_duplicate_offsets_stable(spark):
+    # two spans sharing an offset: sort must be stable & deterministic
+    rows = [("https://dup.org", [
+        {"kind": "html", "text": "<a href='/a'>A</a>", "media_ref": None,
+         "offset": 5},
+        {"kind": "html", "text": "<a href='/b'>B</a>", "media_ref": None,
+         "offset": 5},
+    ])]
+    a = extract(_docs(spark, rows)).collect()[0].spans
+    b = extract(_docs(spark, rows)).collect()[0].spans
+    assert [s.text for s in a] == [s.text for s in b]
+    assert {s.text for s in a} == {"A", "B"}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_tokenize_html_never_raises(html):
+    cands, title, failures = tokenize_html(html, "https://fuzz.org")
+    for url, text, tag in cands:
+        assert url and text  # empty-text candidates are dropped, not kept
+        assert urlnorm.normalize(url) == url  # output already canonical
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_segment_blocks_never_raises(html):
+    for tag, text, words, anchor_words in segment_blocks(html):
+        assert words >= 1 and 0 <= anchor_words
+        assert text == text.strip()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=120))
+def test_normalize_idempotent(url):
+    n = urlnorm.normalize(url)
+    if n is not None:
+        assert urlnorm.normalize(n) == n
+        assert n.startswith(("http://", "https://"))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.fixed_dictionaries({
+        "kind": st.sampled_from(["html", "media", "text"]),
+        "text": st.one_of(st.none(), st.text(max_size=80)),
+        "media_ref": st.one_of(st.none(), st.text(min_size=1, max_size=30)),
+        "offset": st.one_of(st.none(), st.integers(0, 100)),
+    }),
+    max_size=6,
+))
+def test_tokenize_doc_total(spans):
+    d = tokenize_doc("https://fuzz.org", spans)
+    assert len(d["cand_urls"]) == len(d["cand_texts"]) == len(d["cand_tags"])
+    assert d["parse_failures"] >= 0
