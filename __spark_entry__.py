@@ -411,6 +411,14 @@ def q_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_per_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/north-rule: salted two-phase per-host rollup of extracted links."""
+    from web_content_extractor_spark.operators.skew import per_host_link_stats
+
+    docs = _synth_docs(_read(spark, sf_dir, "documents"))
+    return per_host_link_stats(explode_spans(extract(docs)))
+
+
 def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star PDF/layout branch: media spans -> layout blocks."""
     from web_content_extractor_spark.operators.multimodal import parse_pdf_layout
@@ -699,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_blocks": q_content_blocks,
         "content_stats": q_content_stats,
         "pdf_layout": q_pdf_layout,
+        "per_host_salted": q_per_host_salted,
         "nav_links": q_nav_links,
         "embedding_neardup": q_embedding_neardup,
         "youtube_manifest": q_youtube_manifest,
@@ -813,6 +822,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'heading', 'More',
                CAST(CASE WHEN n_words >= 10 THEN 2 ELSE 1 END AS INTEGER)
         FROM w
+        """,
+        "per_host_salted": _SYNTH_ORACLE_CTE
+        + """
+        SELECT regexp_replace(regexp_extract(media_ref, '^https?://([^/]+)', 1),
+                              '^www\\.', '') AS domain,
+               count(*) AS n_links,
+               CAST(sum(CASE WHEN kind = 'pdf' THEN 1 ELSE 0 END) AS BIGINT) AS n_pdf,
+               CAST(sum(CASE WHEN kind = 'youtube' THEN 1 ELSE 0 END) AS BIGINT) AS n_youtube
+        FROM links GROUP BY 1
         """,
         "pdf_layout": """
         SELECT doc_id,
