@@ -55,6 +55,9 @@ HEADLINE = [
     "similarity_topk",    # brute-force cosine top-k
     "lsh_topk",           # LSH-bucketed ANN
     "topk",               # global order-by limit
+    "per_host_salted",    # salted two-phase Zipf-host rollup
+    "pdf_layout",         # PDF/layout media branch
+    "crawl_merge",        # iterative BFS crawl rounds
 ]
 
 
