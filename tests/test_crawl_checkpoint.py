@@ -153,3 +153,22 @@ def test_jobs_cli_end_to_end(spark, tmp_path):
     rc = main(["--input", inp, "--output", outp, "--metrics", met, "--resume"])
     assert rc == 0
     assert spark.read.parquet(outp).count() == out.count()
+
+
+def test_perf_category_thresholds(spark):
+    """Reference buckets pinned at 0.5/2/7/15 s (test_value_objects.py)."""
+    from web_content_extractor_spark.operators.metrics import (
+        is_slow,
+        perf_category,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(int(s * 1e6),) for s in (0.5, 2.0, 7.0, 15.0)]
+    df = spark.createDataFrame(rows, "proc_us long").select(
+        "proc_us",
+        perf_category(F.col("proc_us")).alias("cat"),
+        is_slow(F.col("proc_us")).alias("slow"),
+    )
+    got = [(r.cat, r.slow) for r in df.orderBy("proc_us").collect()]
+    assert got == [("fast", False), ("normal", False),
+                   ("slow", True), ("critical", True)]

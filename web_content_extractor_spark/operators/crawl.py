@@ -88,8 +88,12 @@ def crawl(
         visited.extend(batch)
         batch_df = spark.createDataFrame([(u,) for u in batch], "doc_id string")
         # broadcast the (small) frontier batch into a semi join: never
-        # shuffles the corpus side
+        # shuffles the corpus side; coalesce so a small round doesn't
+        # schedule empty tasks across every corpus partition (narrow,
+        # no shuffle — a large frontier keeps full parallelism)
         pages = docs.join(F.broadcast(batch_df), "doc_id", "left_semi")
+        n_parts = max(1, min(spark.sparkContext.defaultParallelism, len(batch)))
+        pages = pages.coalesce(n_parts)
         tok = tokenize(pages)
         tok.persist()
         # crawl order = visit order (BFS), for deterministic span concat

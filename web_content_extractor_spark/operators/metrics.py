@@ -81,6 +81,27 @@ def doc_metrics(extracted: DataFrame) -> DataFrame:
     )
 
 
+def perf_category(proc_us: F.Column) -> F.Column:
+    """Reference performance buckets (value_objects.py:56-65).
+
+    fast < 1 s, normal < 3 s, slow < 10 s, critical >= 10 s — pinned by
+    the reference's own tests at 0.5 / 2 / 7 / 15 s
+    (tests/unit/test_value_objects.py).
+    """
+    secs = proc_us / 1e6
+    return (
+        F.when(secs < 1.0, F.lit("fast"))
+        .when(secs < 3.0, F.lit("normal"))
+        .when(secs < 10.0, F.lit("slow"))
+        .otherwise(F.lit("critical"))
+    )
+
+
+def is_slow(proc_us: F.Column) -> F.Column:
+    """> 5 s per page (value_objects.py:52-54)."""
+    return proc_us / 1e6 > 5.0
+
+
 def partition_metrics(extracted: DataFrame, run_id: str | None = None) -> DataFrame:
     """METRICS-shaped per-partition lineage rollup (north rule).
 
