@@ -612,6 +612,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dedup / text / similarity over documents + embeddings -----------------
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 event-time tumbling window agg (streaming module plan,
+    exercised in batch mode over the events table)."""
+    from web_content_extractor_spark.streaming.incremental import (
+        windowed_span_counts,
+    )
+
+    e = _read(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("kind"),
+    )
+    return windowed_span_counts(e, window="10 minutes").select(
+        "window_start", "kind", "n_spans"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_docs.exact_duplicates(_read(spark, sf_dir, "documents"))
 
@@ -729,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "sessionize": q_sessionize,
         # training-data ops
+        "windowed_counts": q_windowed_counts,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
@@ -1058,6 +1075,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM s GROUP BY user_id
+        """,
+        "windowed_counts": """
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type AS kind,
+               count(*) AS n_spans
+        FROM events GROUP BY 1, 2
         """,
         "dedup_exact": """
         WITH fp AS (

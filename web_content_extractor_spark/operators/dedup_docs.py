@@ -108,15 +108,20 @@ def minhash_signatures(
     def _sig(arrs: pd.Series) -> pd.Series:
         import numpy as np
 
+        if len(arrs) == 0:
+            return pd.Series([], dtype=object)
         a = np.array([p[0] for p in perms], dtype=np.int64)[:, None]
         b = np.array([p[1] for p in perms], dtype=np.int64)[:, None]
-        out = []
-        for sh in arrs:
-            h = np.asarray(sh, dtype=np.int64)[None, :]
-            # a,b,h < 2^31 so a*h+b < 2^62: exact in int64
-            m = (a * h + b) % _MERSENNE
-            out.append(m.min(axis=1))
-        return pd.Series(out)
+        # one vectorized pass over the whole batch: flatten all docs'
+        # shingles, permute, then per-doc segment-min via reduceat
+        # (a,b,h < 2^31 so a*h+b < 2^62: exact in int64)
+        lens = np.fromiter((len(s) for s in arrs), np.int64, count=len(arrs))
+        flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in arrs])
+        m = (a * flat[None, :] + b) % _MERSENNE  # (num_perm, total)
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        mins = np.minimum.reduceat(m, offsets, axis=1)  # (num_perm, n)
+        return pd.Series(list(mins.T))
 
     return (
         docs.select("doc_id", shingles.alias("_sh"))
