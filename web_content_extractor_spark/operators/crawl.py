@@ -100,6 +100,9 @@ def crawl(
         rank_map = F.create_map(
             *[F.lit(x) for u in batch for x in (u, visited.index(u))]
         )
+        # eager localCheckpoint: the returned result is lazy, and tok is
+        # unpersisted at end-of-round — without materializing here the
+        # final merge would re-tokenize every round's pages
         page_frames.append(
             tok.select(
                 "doc_id",
@@ -112,7 +115,7 @@ def crawl(
                 ).alias("spans"),
                 "parse_failures",
                 "proc_us",
-            )
+            ).localCheckpoint(eager=True)
         )
         nav = (
             navigation_links(tok)
