@@ -244,7 +244,7 @@ def main() -> None:
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    n_docs, fl_sec, _steal = flagship(spark, sf_dir, replication)
+    n_docs, fl_sec, _steal = flagship(spark, sf_dir, replication, passes=2)
     timings["flagship_extract"] = round(fl_sec, 3)
 
     total = round(sum(timings.values()), 3)
