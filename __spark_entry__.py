@@ -274,9 +274,11 @@ def q_video_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.concat(F.lit("https://youtube.com/embed/"), sid))
         .when(F.col("doc_id") % 4 == 2,
               F.concat(F.lit("https://youtu.be/"), sid))
-        .otherwise(F.concat(F.lit("https://example.com/page"),
+        .otherwise(F.concat(F.lit("https://example.com/page.x"),
                             F.col("doc_id").cast("string")))
     )
+    # the negative arm carries a "." in its path segment so no 11-char
+    # [0-9A-Za-z_-] run after a "/" can ever form, at ANY doc_id width
     return d.select("doc_id", url.alias("url"), video_id(url).alias("vid"))
 
 
@@ -468,11 +470,17 @@ def q_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_link_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # single scan: denominator via an unpartitioned window over the
+    # (tiny) aggregated frame — no separate count() job, orders read once
     o = _read(spark, sf_dir, "orders")
-    total = o.count()
-    return o.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"),
-        F.round(F.count("*") * 100.0 / F.lit(total), 1).alias("pct"),
+    per = o.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return per.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("n") * 100.0 / total, 1).alias("pct"),
     )
 
 
@@ -909,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_manifest": _SYNTH_ORACLE_CTE
         + """
         SELECT media_ref AS url, text FROM links WHERE kind = 'pdf'
+        QUALIFY row_number() OVER (PARTITION BY media_ref ORDER BY base, pos) = 1
         """,
         "group_by_domain": _SYNTH_ORACLE_CTE
         + """
@@ -925,7 +934,7 @@ def oracle_sql() -> dict[str, str]:
               WHEN 0 THEN 'https://www.youtube.com/watch?v=' || lpad(doc_id::VARCHAR, 11, 'A')
               WHEN 1 THEN 'https://youtube.com/embed/' || lpad(doc_id::VARCHAR, 11, 'A')
               WHEN 2 THEN 'https://youtu.be/' || lpad(doc_id::VARCHAR, 11, 'A')
-              ELSE 'https://example.com/page' || doc_id
+              ELSE 'https://example.com/page.x' || doc_id
             END AS url
           FROM documents
         )

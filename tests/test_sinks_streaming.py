@@ -40,18 +40,64 @@ def test_format_json(extracted):
         "https://test-page.example.org/files/manual.pdf",
     ]
     assert len(out["youtube_links"]) == 3 and len(out["other_links"]) == 3
+    # model_dump_json field parity: is_valid on each link, metadata null
+    assert all(x["is_valid"] is True for x in out["pdf_links"])
+    assert out["metadata"] is None
+    assert "total_links" not in out  # @property in the reference, not serialized
 
 
-def test_format_text_markdown_csv(extracted):
+def test_format_text_golden(extracted):
+    # golden string: exactly what reference _format_text
+    # (formatters.py:78-102) renders for this page (no metadata)
     row = _f01(extracted).asDict()
     text = fmt.format_result(row, "text")
-    assert "PDF Links (3):" in text and "Total links: 9" in text
+    assert text.startswith(
+        "Extraction Results for: https://test-page.example.org/index.html\n"
+        "Total Links Found: 9\n"
+        "\n"
+        "PDF Links (3):\n"
+        "- Download PDF Document: https://example.com/document.pdf\n"
+    )
+    assert "\nYouTube Links (3):\n" in text
+    # the reference text format has NO Other section and no footer
+    assert "Other" not in text and "Extraction Information" not in text
+
+
+def test_format_text_metadata_footer(extracted):
+    row = _f01(extracted).asDict()
+    row["metadata"] = {
+        "processing_time_s": 2.345,
+        "extraction_timestamp": "2025-07-18 12:00:00",
+    }
+    text = fmt.format_result(row, "text")
+    assert text.endswith(
+        "Extraction Information:\n"
+        "- Processing Time: 2.35 seconds\n"
+        "- Extraction Date: 2025-07-18 12:00:00"
+    )
     md = fmt.format_result(row, "markdown")
+    assert (
+        "## Extraction Information\n"
+        "- **Processing Time:** 2.35 seconds\n"
+        "- **Extraction Date:** 2025-07-18 12:00:00"
+    ) in md
+
+
+def test_format_markdown_csv(extracted):
+    row = _f01(extracted).asDict()
+    md = fmt.format_result(row, "markdown")
+    assert md.startswith(
+        "# Extraction Results for: https://test-page.example.org/index.html\n"
+        "**Total Links Found:** 9\n"
+    )
     assert "## YouTube Links (3)" in md
     assert "- [Tutorial Video](https://youtube.com/watch?v=abc123)" in md
+    assert "## Other Links (3)" in md
     csv_out = fmt.format_result(row, "csv")
     assert csv_out.startswith("Type,Text,URL")
-    assert "pdf,Download PDF Document,https://example.com/document.pdf" in csv_out
+    # reference csv: capitalized kind, naively-quoted text, bare URL
+    assert 'PDF,"Download PDF Document",https://example.com/document.pdf' in csv_out
+    assert 'YouTube,"Tutorial Video",https://youtube.com/watch?v=abc123' in csv_out
 
 
 def test_format_unknown_raises(extracted):

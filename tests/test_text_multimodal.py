@@ -169,6 +169,80 @@ def test_pdf_layout_branch(spark):
     # deterministic across runs
     again = parse_pdf_layout(media).orderBy("block_idx").collect()
     assert [r.text for r in rows] == [r.text for r in again]
-    # the real-decoder slot is present and clearly stubbed
-    with pytest.raises(NotImplementedError):
-        _parse_pdf_real(b"x")
+    # non-PDF payloads are unparseable -> None (drop-not-fail)
+    assert _parse_pdf_real(b"x") is None
+
+
+def _tiny_pdf(compress: bool) -> bytes:
+    """Hand-built single-page PDF: one 18pt heading + one 11pt paragraph."""
+    import zlib
+
+    content = (
+        b"BT /F1 18 Tf 72 720 Td (Quarterly Report) Tj ET\n"
+        b"BT /F1 11 Tf 72 680 Td [(Revenue grew ) (12\\% \\(YoY\\)).] TJ ET\n"
+    )
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    stream_obj = (
+        b"4 0 obj\n<< " + filt + b"/Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"endstream\nendobj\n"
+    )
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + stream_obj
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_pdf_real_decode_kernel(compress):
+    # the real-decode slot actually decodes PDF bytes (pure Python +
+    # stdlib zlib): heading/paragraph split by font size, text
+    # unescaping, per-stream paging
+    from web_content_extractor_spark.operators.multimodal import _parse_pdf_real
+
+    blocks = _parse_pdf_real(_tiny_pdf(compress))
+    assert blocks is not None
+    kinds = [(b[2], b[3]) for b in blocks]
+    assert kinds == [
+        ("heading", "Quarterly Report"),
+        ("paragraph", "Revenue grew 12\\% (YoY)".replace("\\%", "%")),
+    ]
+    # positions came from the Td operators
+    assert blocks[0][4:6] == (72.0, 720.0) and blocks[1][4:6] == (72.0, 680.0)
+    assert all(b[0] == 0 for b in blocks)  # one content stream -> one page
+
+
+def test_pdf_layout_real_path_end_to_end(spark):
+    # deterministic_fake=False drives the real kernel through the full
+    # Arrow/mapInPandas plumbing; non-PDF payloads fall back to the
+    # deterministic fake in the same batch
+    from web_content_extractor_spark.operators.multimodal import parse_pdf_layout
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "d1", "pdf", "application/pdf", _tiny_pdf(True),
+             (None, None, None, 14)),
+            ("m2", "d2", "pdf", "application/pdf", b"not a pdf",
+             (None, None, None, 9)),
+        ],
+        "media_id string, doc_id string, media_type string, mime string, "
+        "payload binary, meta struct<width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    rows = parse_pdf_layout(media, deterministic_fake=False).collect()
+    real = sorted(
+        [r for r in rows if r.media_id == "m1"], key=lambda r: r.block_idx
+    )
+    assert [r.text for r in real] == ["Quarterly Report", "Revenue grew 12% (YoY)"]
+    assert [r.kind for r in real] == ["heading", "paragraph"]
+    # fallback rows for the unparseable payload still have the fake shape
+    fake = [r for r in rows if r.media_id == "m2"]
+    assert [r.kind for r in sorted(fake, key=lambda r: r.block_idx)] == [
+        "heading",
+        "paragraph",
+    ]

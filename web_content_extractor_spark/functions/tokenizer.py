@@ -155,11 +155,20 @@ def tokenize_html(
 
     def push(raw_target: str, tag: str, text_fn: Any) -> None:
         nonlocal failures
-        # fast paths for the two dominant href shapes (absolute and
-        # root-relative) — both provably identical to urljoin's result
+        # fast paths for the two dominant href shapes.  Absolute http(s)
+        # targets are returned verbatim by urljoin (urllib keeps their
+        # dot segments).  Root-relative targets get dot segments
+        # *removed* by urljoin (RFC 3986 §5.2.4), so any href containing
+        # "/." ("/./", "/../", trailing "/." or "/..") must take the
+        # full resolve path.
         if raw_target.startswith(("http://", "https://")):
             resolved = raw_target
-        elif bp and raw_target.startswith("/") and not raw_target.startswith("//"):
+        elif (
+            bp
+            and raw_target.startswith("/")
+            and not raw_target.startswith("//")
+            and "/." not in raw_target
+        ):
             resolved = bp + raw_target
         else:
             resolved = urlnorm.resolve(base_url, raw_target)

@@ -1,9 +1,14 @@
 """YouTube video-id extraction (SURVEY §2.8 O10).
 
 Reference: scripts/fetch_youtube_transcripts.py:58-69 tries three
-regexes in order — watch?v= / generic slash, /embed/, youtu.be/ —
-each capturing an 11-char id.  Pure ``regexp_extract`` columns here
-(JVM-side, whole-stage codegen), no UDF.
+regexes in order — the boundary-anchored catch-all
+``(?:v=|/)(id11)(?:[?&#/]|$)`` FIRST, then ``/embed/``, then
+``youtu.be/`` — each capturing an 11-char id.  The catch-all requires
+a ``[?&#/]`` or end-of-string boundary after the id, so e.g. a 12-char
+run after ``v=`` matches nothing; the embed/short patterns have no
+trailing boundary in the reference and keep that behavior.  Pure
+``regexp_extract`` columns here (JVM-side, whole-stage codegen), no
+UDF.
 """
 
 from __future__ import annotations
@@ -13,10 +18,9 @@ from pyspark.sql import functions as F
 
 _ID = "([0-9A-Za-z_-]{11})"
 _PATTERNS = [
-    rf"[?&]v={_ID}",
+    rf"(?:v=|/){_ID}(?:[?&#/]|$)",  # reference VIDEO_ID_RE, tried first
     rf"/embed/{_ID}",
     rf"youtu\.be/{_ID}",
-    rf"(?:v=|/){_ID}",  # reference's catch-all, tried last
 ]
 
 

@@ -77,15 +77,20 @@ def crawl(
     crawl order, pdf -> youtube -> other within each page, plus counts.
     """
     visited: list[str] = []
+    visited_set: set[str] = set()
     frontier: list[str] = [start_url]
     page_frames: list[DataFrame] = []
 
     while frontier and len(visited) < max_pages:
         budget = max_pages - len(visited)
-        batch = [u for u in frontier if u not in visited][:budget]
+        batch = [u for u in frontier if u not in visited_set][:budget]
         if not batch:
             break
+        base_rank = len(visited)
         visited.extend(batch)
+        visited_set.update(batch)
+        # crawl order = visit order (BFS); dict lookup, not list.index
+        rank_of = {u: base_rank + i for i, u in enumerate(batch)}
         batch_df = spark.createDataFrame([(u,) for u in batch], "doc_id string")
         # broadcast the (small) frontier batch into a semi join: never
         # shuffles the corpus side; coalesce so a small round doesn't
@@ -96,9 +101,8 @@ def crawl(
         pages = pages.coalesce(n_parts)
         tok = tokenize(pages)
         tok.persist()
-        # crawl order = visit order (BFS), for deterministic span concat
         rank_map = F.create_map(
-            *[F.lit(x) for u in batch for x in (u, visited.index(u))]
+            *[F.lit(x) for u in batch for x in (u, rank_of[u])]
         )
         # eager localCheckpoint: the returned result is lazy, and tok is
         # unpersisted at end-of-round — without materializing here the
@@ -117,6 +121,13 @@ def crawl(
                 "proc_us",
             ).localCheckpoint(eager=True)
         )
+        remaining = max_pages - len(visited)
+        if remaining <= 0:
+            # budget exhausted: skip nav discovery entirely — nothing
+            # collected here could ever be visited
+            tok.unpersist()
+            frontier = []
+            break
         nav = (
             navigation_links(tok)
             .join(
@@ -127,7 +138,12 @@ def crawl(
                 "left_anti",
             )
         )
-        frontier = [r.nav_url for r in prioritize(nav).collect()]
+        # collect ONLY the remaining page budget: priority order makes
+        # the prefix exactly the pages BFS visits next, so the driver
+        # never materializes more URLs than it can crawl (the reference
+        # bound, service.py:152; unbounded collect was the one real
+        # scale-killer on a link-dense corpus)
+        frontier = [r.nav_url for r in prioritize(nav).limit(remaining).collect()]
         tok.unpersist()
 
     empty_result_schema = (

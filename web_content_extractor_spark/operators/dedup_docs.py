@@ -143,12 +143,24 @@ def minhash_lsh_pairs(
     signature -> `bands` band-hashes -> explode -> equi-self-join on
     (band, band_hash) -> estimated jaccard = matching minhash fraction,
     filtered at ``min_jaccard``.  Returns (doc_a, doc_b, est_jaccard).
+
+    Shuffle profile: the band self-join and the pair dedup carry ONLY
+    (doc_id, band, band_hash) — the 64-element signatures are
+    re-attached to the (far smaller) deduped candidate-pair set by two
+    id joins afterwards, so the wide arrays never ride the banding
+    shuffle (at corpus scale that multiplied shuffle bytes ~30x).  AQE
+    turns the re-attach joins into broadcasts when the candidate set is
+    small.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, num_perm, ngram)
+    # signatures are referenced three times (banding + two re-attach
+    # joins): persist so the shingle+permute UDF runs once.  Spark's
+    # CacheManager keys on the logical plan, so repeated calls over the
+    # same input reuse one entry; at real corpus scale the signatures
+    # would be materialized to their own table instead.
+    sigs = minhash_signatures(docs, text_col, num_perm, ngram).persist()
     banded = sigs.select(
         "doc_id",
-        "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -168,21 +180,24 @@ def minhash_lsh_pairs(
         ).alias("band", "band_hash"),
     )
     left = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("signature").alias("sig_a"),
-        "band",
-        "band_hash",
+        F.col("doc_id").alias("doc_a"), "band", "band_hash"
     )
     right = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("signature").alias("sig_b"),
-        "band",
-        "band_hash",
+        F.col("doc_id").alias("doc_b"), "band", "band_hash"
     )
     pairs = (
         left.join(right, ["band", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+    )
+    # re-attach the signatures to the deduped candidates only
+    pairs = pairs.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")),
+        "doc_b",
     )
     est = (
         F.size(
@@ -261,18 +276,32 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def _simhash(arrs: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.zeros(len(arrs), dtype=np.int64)
-        for i, arr in enumerate(arrs):
-            if arr is None or len(arr) == 0:
-                continue
-            a = np.asarray(arr, dtype=np.uint64)
-            # bit matrix: (n_tokens, 64) of 0/1 -> column sums vs n/2
-            bits = (a[:, None] >> np.arange(64, dtype=np.uint64)) & 1
-            votes = bits.sum(axis=0) * 2 >= len(a)
-            val = 0
-            for b in np.nonzero(votes)[0]:
-                val |= 1 << int(b)
-            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        n = len(arrs)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        # flatten + segment-reduce over the whole batch (same pattern
+        # as the minhash kernel): one (total_tokens, 64) bit matrix,
+        # per-doc column sums via add.reduceat — no per-row Python
+        lens = np.fromiter(
+            ((0 if a is None else len(a)) for a in arrs), np.int64, count=n
+        )
+        nz = np.nonzero(lens)[0]
+        if len(nz) == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(arrs[i], dtype=np.uint64) for i in nz]
+        )
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        offsets = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=offsets[1:])
+        sums = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+        votes = sums * 2 >= lens[nz][:, None]
+        # disjoint bit positions: sum == OR; uint64 view = two's complement
+        packed = (votes.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nz] = packed.view(np.int64)
         return pd.Series(out)
 
     return hashed.select("doc_id", _simhash("th").alias("simhash"))

@@ -87,35 +87,26 @@ def extract_image_features(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_FEATURES.fields]
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            # column-wise traversal (zip of Series), not iterrows():
+            # the per-payload hash is inherently per-row but row
+            # materialization isn't — same style as the tokenizer batch
+            out: dict[str, list] = {c: [] for c in cols}
+            for media_id, doc_id, payload in zip(
+                pdf["media_id"], pdf["doc_id"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
                 if not deterministic_fake:
                     _decode_image_real(payload)  # pragma: no cover
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "doc_id": r["doc_id"],
-                        "n_bytes": len(payload),
-                        "content_hash": hashlib.sha256(payload).hexdigest(),
-                        "thumb_w": thumb[0],
-                        "thumb_h": thumb[1],
-                        "features": _fake_features(payload),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id",
-                    "doc_id",
-                    "n_bytes",
-                    "content_hash",
-                    "thumb_w",
-                    "thumb_h",
-                    "features",
-                ],
-            )
+                out["media_id"].append(media_id)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                out["content_hash"].append(hashlib.sha256(payload).hexdigest())
+                out["thumb_w"].append(thumb[0])
+                out["thumb_h"].append(thumb[1])
+                out["features"].append(_fake_features(payload))
+            yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, schema=IMAGE_FEATURES)
 
@@ -136,12 +127,111 @@ PDF_LAYOUT = T.StructType(
 )
 
 
-def _parse_pdf_real(payload: bytes) -> object:
-    """Real layout-parse slot. STUB: no pdfminer/mupdf in container."""
-    raise NotImplementedError(
-        "PDF layout parse requires pdfminer/pymupdf — not available in "
-        "this environment; use deterministic_fake=True for plumbing tests"
-    )
+_PDF_STRING_ESCAPES = {
+    b"n": b"\n",
+    b"r": b"\r",
+    b"t": b"\t",
+    b"b": b"\b",
+    b"f": b"\f",
+    b"(": b"(",
+    b")": b")",
+    b"\\": b"\\",
+}
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    """Decode a PDF literal string body: backslash escapes + octal."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                    j += 1
+                out += bytes([int(raw[i + 1 : j], 8) & 0xFF])
+                i = j
+                continue
+            out += _PDF_STRING_ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _parse_pdf_real(payload: bytes) -> list[tuple] | None:
+    """Pure-Python minimal PDF text/layout extractor (no native deps).
+
+    Real-decode slot for the north-star PDF branch: handles the common
+    single-generation PDF shape — content streams (raw or FlateDecode /
+    zlib, stdlib), BT..ET text objects, ``(…) Tj`` / ``[(…)…] TJ`` show
+    operators, ``Td``/``Tm`` positioning and ``Tf`` font size.  Blocks
+    with font size >= 14 classify as ``heading``, else ``paragraph``
+    (the same text-density-style split as the HTML branch).  Each
+    content stream is one page.  Returns None when the payload is not
+    parseable PDF (caller falls back to the deterministic fake), so
+    non-PDF payloads keep drop-not-fail semantics.
+
+    For full-fidelity production parsing swap in pdfminer/pymupdf — the
+    schema and plumbing don't change.
+    """
+    import re
+    import zlib
+
+    if not payload.startswith(b"%PDF"):
+        return None
+    blocks: list[tuple] = []
+    page = 0
+    for m in re.finditer(
+        rb"(<<.*?>>)\s*stream\r?\n(.*?)endstream", payload, re.DOTALL
+    ):
+        obj_dict, data = m.group(1), m.group(2)
+        if b"/FlateDecode" in obj_dict:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        if b"BT" not in data:
+            continue
+        block_idx = 0
+        for bt in re.finditer(rb"BT(.*?)ET", data, re.DOTALL):
+            body = bt.group(1)
+            size = 12.0
+            tx, ty = 0.0, 0.0
+            sm = re.search(rb"/\w+\s+([\d.]+)\s+Tf", body)
+            if sm:
+                size = float(sm.group(1))
+            pm = re.search(
+                rb"([-\d.]+)\s+([-\d.]+)\s+(?:Td|TD)", body
+            ) or re.search(
+                rb"(?:[-\d.]+\s+){4}([-\d.]+)\s+([-\d.]+)\s+Tm", body
+            )
+            if pm:
+                tx, ty = float(pm.group(1)), float(pm.group(2))
+            parts = [
+                _pdf_unescape(t.group(1))
+                for t in re.finditer(rb"\(((?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")", body)
+            ]
+            for arr in re.finditer(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ", body):
+                parts += [
+                    _pdf_unescape(t.group(1))
+                    for t in re.finditer(rb"\(((?:\\.|[^\\()])*)\)", arr.group(1))
+                ]
+            text = "".join(parts).strip()
+            if not text:
+                continue
+            kind = "heading" if size >= 14 else "paragraph"
+            width = 0.5 * size * len(text)
+            blocks.append(
+                (page, block_idx, kind, text, tx, ty, tx + width, ty + size)
+            )
+            block_idx += 1
+        if block_idx:
+            page += 1
+    return blocks or None
 
 
 def parse_pdf_layout(
@@ -161,16 +251,21 @@ def parse_pdf_layout(
         cols = [f.name for f in PDF_LAYOUT.fields]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            for media_id, doc_id, payload in zip(
+                pdf["media_id"], pdf["doc_id"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                blocks = None
                 if not deterministic_fake:
-                    _parse_pdf_real(payload)  # pragma: no cover
-                digest = hashlib.sha256(payload).hexdigest()
-                p_digest = hashlib.sha256(payload + b"p").hexdigest()
-                rows.append((r["media_id"], r["doc_id"], 0, 0, "heading",
-                             digest[:16], 72.0, 720.0, 540.0, 756.0))
-                rows.append((r["media_id"], r["doc_id"], 0, 1, "paragraph",
-                             p_digest[:32], 72.0, 96.0, 540.0, 700.0))
+                    blocks = _parse_pdf_real(payload)
+                if blocks is None:
+                    digest = hashlib.sha256(payload).hexdigest()
+                    p_digest = hashlib.sha256(payload + b"p").hexdigest()
+                    blocks = [
+                        (0, 0, "heading", digest[:16], 72.0, 720.0, 540.0, 756.0),
+                        (0, 1, "paragraph", p_digest[:32], 72.0, 96.0, 540.0, 700.0),
+                    ]
+                rows += [(media_id, doc_id, *b) for b in blocks]
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(run, schema=PDF_LAYOUT)
@@ -186,28 +281,26 @@ def sample_frames(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "doc_id", "frame_ts_ms", "frame_hash"]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for media_id, doc_id, payload, meta in zip(
+                pdf["media_id"], pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
                 if not deterministic_fake:
                     _decode_image_real(b"")  # pragma: no cover
-                meta = r["meta"]
                 duration = (meta or {}).get("duration_ms") or 0
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                for ts in range(0, max(duration, 1), every_ms):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "doc_id": r["doc_id"],
-                            "frame_ts_ms": ts,
-                            "frame_hash": hashlib.sha256(
-                                payload + ts.to_bytes(8, "little")
-                            ).hexdigest(),
-                        }
+                payload = bytes(payload) if payload is not None else b""
+                rows += [
+                    (
+                        media_id,
+                        doc_id,
+                        ts,
+                        hashlib.sha256(payload + ts.to_bytes(8, "little")).hexdigest(),
                     )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "doc_id", "frame_ts_ms", "frame_hash"]
-            )
+                    for ts in range(0, max(duration, 1), every_ms)
+                ]
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(
         run,

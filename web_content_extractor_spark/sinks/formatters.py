@@ -20,9 +20,6 @@ from typing import Any, Callable, Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_KIND_TITLES = {"pdf": "PDF Links", "youtube": "YouTube Links", "other": "Other Links"}
-
-
 class ResultFormattingError(ValueError):
     """Unknown output format (formatters.py:66-71 analog)."""
 
@@ -31,64 +28,131 @@ def _spans_of(row: Mapping[str, Any]) -> list[Mapping[str, Any]]:
     return [s.asDict() if hasattr(s, "asDict") else s for s in row["spans"]]
 
 
+def _groups(
+    row: Mapping[str, Any],
+) -> tuple[list[Mapping[str, Any]], dict[str, list[Mapping[str, Any]]]]:
+    spans = _spans_of(row)
+    return spans, {
+        k: [s for s in spans if s["kind"] == k] for k in ("pdf", "youtube", "other")
+    }
+
+
+def _metadata_of(row: Mapping[str, Any]) -> Mapping[str, Any] | None:
+    """Optional metadata dict carried in the row.
+
+    Keys mirror ExtractionMetadata (models.py:93-131): at least
+    ``processing_time_s`` (float seconds) and ``extraction_timestamp``.
+    """
+    md = row.get("metadata") if hasattr(row, "get") else None
+    return md if md else None
+
+
 def format_json(row: Mapping[str, Any]) -> str:
+    """JSON render (reference _format_json = model_dump_json(indent=2)).
+
+    Field parity with ExtractionResult.model_dump_json: the three typed
+    link lists (each link with url/link_text/link_type/is_valid,
+    models.py:22-28) and the optional ``metadata`` object (null when
+    absent).  ``total_links`` is a @property in the reference
+    (models.py:143-146) and is correctly NOT serialized.  Divergence:
+    ``source_url`` renders as a plain string, not the nested SourceUrl
+    value-object dict.
+    """
     import json
 
-    spans = _spans_of(row)
+    _, groups = _groups(row)
+
+    def links(kind: str) -> list[dict[str, Any]]:
+        return [
+            {
+                "url": s["media_ref"],
+                "link_text": s["text"],
+                "link_type": kind,
+                "is_valid": True,
+            }
+            for s in groups[kind]
+        ]
+
     out = {
         "source_url": row["doc_id"],
-        "pdf_links": [
-            {"url": s["media_ref"], "link_text": s["text"], "link_type": "pdf"}
-            for s in spans
-            if s["kind"] == "pdf"
-        ],
-        "youtube_links": [
-            {"url": s["media_ref"], "link_text": s["text"], "link_type": "youtube"}
-            for s in spans
-            if s["kind"] == "youtube"
-        ],
-        "other_links": [
-            {"url": s["media_ref"], "link_text": s["text"], "link_type": "other"}
-            for s in spans
-            if s["kind"] == "other"
-        ],
+        "pdf_links": links("pdf"),
+        "youtube_links": links("youtube"),
+        "other_links": links("other"),
+        "metadata": dict(_metadata_of(row)) if _metadata_of(row) else None,
     }
     return json.dumps(out, indent=2)
 
 
 def format_text(row: Mapping[str, Any]) -> str:
-    spans = _spans_of(row)
-    lines = [f"Extraction results for: {row['doc_id']}", ""]
-    for kind in ("pdf", "youtube", "other"):
-        group = [s for s in spans if s["kind"] == kind]
-        lines.append(f"{_KIND_TITLES[kind]} ({len(group)}):")
-        lines += [f"  - {s['text']}: {s['media_ref']}" for s in group]
+    """Plain-text render, exact parity with reference _format_text
+    (formatters.py:78-102): header + Total Links Found, PDF and YouTube
+    sections only (the reference text format has NO Other section),
+    optional Extraction Information footer when metadata is present.
+    """
+    spans, groups = _groups(row)
+    lines = [
+        f"Extraction Results for: {row['doc_id']}",
+        f"Total Links Found: {len(spans)}",
+        "",
+        f"PDF Links ({len(groups['pdf'])}):",
+    ]
+    lines += [f"- {s['text']}: {s['media_ref']}" for s in groups["pdf"]]
+    lines.append("")
+    lines.append(f"YouTube Links ({len(groups['youtube'])}):")
+    lines += [f"- {s['text']}: {s['media_ref']}" for s in groups["youtube"]]
+    md = _metadata_of(row)
+    if md:
         lines.append("")
-    lines.append(f"Total links: {len(spans)}")
+        lines.append("Extraction Information:")
+        lines.append(f"- Processing Time: {md['processing_time_s']:.2f} seconds")
+        lines.append(f"- Extraction Date: {md['extraction_timestamp']}")
     return "\n".join(lines)
 
 
 def format_markdown(row: Mapping[str, Any]) -> str:
-    spans = _spans_of(row)
-    lines = [f"# Extraction results for {row['doc_id']}", ""]
-    for kind in ("pdf", "youtube", "other"):
-        group = [s for s in spans if s["kind"] == kind]
-        lines.append(f"## {_KIND_TITLES[kind]} ({len(group)})")
-        lines += [f"- [{s['text']}]({s['media_ref']})" for s in group]
+    """Markdown render, exact parity with reference _format_markdown
+    (formatters.py:104-136)."""
+    spans, groups = _groups(row)
+    lines = [
+        f"# Extraction Results for: {row['doc_id']}",
+        f"**Total Links Found:** {len(spans)}",
+        "",
+        f"## PDF Links ({len(groups['pdf'])})",
+    ]
+    lines += [f"- [{s['text']}]({s['media_ref']})" for s in groups["pdf"]]
+    lines.append("")
+    lines.append(f"## YouTube Links ({len(groups['youtube'])})")
+    lines += [f"- [{s['text']}]({s['media_ref']})" for s in groups["youtube"]]
+    lines.append("")
+    lines.append(f"## Other Links ({len(groups['other'])})")
+    lines += [f"- [{s['text']}]({s['media_ref']})" for s in groups["other"]]
+    md = _metadata_of(row)
+    if md:
         lines.append("")
+        lines.append("## Extraction Information")
+        lines.append(f"- **Processing Time:** {md['processing_time_s']:.2f} seconds")
+        lines.append(f"- **Extraction Date:** {md['extraction_timestamp']}")
     return "\n".join(lines)
 
 
-def format_csv(row: Mapping[str, Any]) -> str:
-    import csv
-    import io
+_CSV_KIND = {"pdf": "PDF", "youtube": "YouTube", "other": "Other"}
 
-    buf = io.StringIO()
-    w = csv.writer(buf)
-    w.writerow(["Type", "Text", "URL"])
-    for s in _spans_of(row):
-        w.writerow([s["kind"], s["text"], s["media_ref"]])
-    return buf.getvalue()
+
+def format_csv(row: Mapping[str, Any]) -> str:
+    """CSV render, exact parity with reference _format_csv
+    (formatters.py:138-151): capitalized type names (PDF/YouTube/Other),
+    text naively double-quoted, URL bare — the reference builds lines
+    with an f-string, not a csv writer, and this reproduces that byte
+    for byte (including its non-escaping of quotes inside link text).
+    """
+    _, groups = _groups(row)
+    lines = ["Type,Text,URL"]
+    for kind in ("pdf", "youtube", "other"):
+        lines += [
+            f'{_CSV_KIND[kind]},"{s["text"]}",{s["media_ref"]}'
+            for s in groups[kind]
+        ]
+    return "\n".join(lines)
 
 
 FORMATTERS: dict[str, Callable[[Mapping[str, Any]], str]] = {
