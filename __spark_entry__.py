@@ -248,6 +248,85 @@ def q_pdf_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_manifest(extract(docs))
 
 
+def _synth_error_docs(documents: DataFrame) -> DataFrame:
+    """Docs with two deterministic failure modes per source row:
+    an invalid resolved URL (bare ``http://``) and an empty link text
+    (whitespace-only download attr), plus one good link."""
+    d = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/d"),
+        d,
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="http://">Broken</a>'),
+        F.lit('<a href="https://ok.example.com/x'), d,
+        F.lit('" download=" ">D</a>'),
+        F.lit('<a href="https://ok.example.com/g'), d, F.lit('">Good '), d,
+        F.lit("</a></body></html>"),
+    )
+    return documents.select(
+        base.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc errors table: (stage, reason, target) per dropped
+    candidate, with deterministic correlation ids (exceptions.py:46-67
+    analog, drop-not-fail preserved)."""
+    from web_content_extractor_spark.operators.errors import doc_errors
+    from web_content_extractor_spark.plans.pipeline import tokenize
+
+    docs = _synth_error_docs(_read(spark, sf_dir, "documents"))
+    return doc_errors(tokenize(docs), run_id="r2errors").select(
+        "doc_id", "stage", "reason", "target", "err_idx", "correlation_id"
+    )
+
+
+def q_url_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 blob-trigger parity: JSON URL list (mixed string / {url:…}
+    forms) -> broadcast semi-join work list -> per-URL counts (the
+    blob output's result_data fields)."""
+    import json
+
+    from web_content_extractor_spark.sources.urls import parse_url_items, url_batch
+
+    ids = sorted(
+        r.doc_id
+        for r in _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0)
+        .collect()
+    )
+    # the URL list is a trigger INPUT (driver-side by contract —
+    # the reference reads the whole blob into memory); the corpus
+    # side below is never collected
+    items: list = []
+    for i, did in enumerate(ids):
+        u = f"https://host{did % 7}.example.org/d{did}.html"
+        items.append(u if i % 2 == 0 else {"url": u})
+    urls = parse_url_items(json.dumps(items))
+    wl = spark.createDataFrame([(u,) for u in urls], "doc_id string")
+    docs = _synth_docs(_read(spark, sf_dir, "documents"))
+    ex = explode_spans(extract(url_batch(docs, wl)))
+    return ex.groupBy("doc_id").agg(
+        F.count("*").alias("total_links"),
+        F.count(F.when(F.col("kind") == "pdf", 1)).alias("pdf_count"),
+        F.count(F.when(F.col("kind") == "youtube", 1)).alias("youtube_count"),
+        F.count(F.when(F.col("kind") == "other", 1)).alias("other_count"),
+    )
+
+
 def q_group_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-domain rollup of extracted links (www-stripped host)."""
     docs = _synth_docs(_read(spark, sf_dir, "documents"))
@@ -737,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "youtube_manifest": q_youtube_manifest,
         "pdf_manifest": q_pdf_manifest,
         "group_by_domain": q_group_by_domain,
+        "extract_errors": q_extract_errors,
+        "url_batch": q_url_batch,
         "video_ids": q_video_ids,
         "doc_link_stats": q_doc_link_stats,
         # relational operators (SURVEY §2.5-§2.7)
@@ -926,6 +1007,33 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_links,
                count(DISTINCT base) AS n_docs
         FROM links GROUP BY 1
+        """,
+        "extract_errors": """
+        WITH d AS (
+          SELECT doc_id,
+                 'https://host' || (doc_id % 7) || '.example.org/d' || doc_id || '.html' AS base
+          FROM documents
+        )
+        SELECT base AS doc_id, 'url_validation' AS stage,
+               'invalid_url' AS reason, 'http://' AS target,
+               CAST(0 AS INTEGER) AS err_idx,
+               substr(md5('r2errors|' || base), 1, 12) AS correlation_id
+        FROM d
+        UNION ALL
+        SELECT base, 'text_selection', 'empty_text',
+               'https://ok.example.com/x' || doc_id, CAST(1 AS INTEGER),
+               substr(md5('r2errors|' || base), 1, 12)
+        FROM d
+        """,
+        "url_batch": _SYNTH_ORACLE_CTE
+        + """
+        SELECT base AS doc_id, count(*) AS total_links,
+               count(*) FILTER (WHERE kind = 'pdf') AS pdf_count,
+               count(*) FILTER (WHERE kind = 'youtube') AS youtube_count,
+               count(*) FILTER (WHERE kind = 'other') AS other_count
+        FROM links
+        WHERE base IN (SELECT base FROM d WHERE doc_id % 3 = 0)
+        GROUP BY base
         """,
         "video_ids": """
         WITH u AS (

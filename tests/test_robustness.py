@@ -92,7 +92,8 @@ def test_duplicate_offsets_stable(spark):
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=400))
 def test_tokenize_html_never_raises(html):
-    cands, title, failures = tokenize_html(html, "https://fuzz.org")
+    cands, title, errors = tokenize_html(html, "https://fuzz.org")
+    assert all(stage and reason for stage, reason, _ in errors)
     for url, text, tag in cands:
         assert url and text  # empty-text candidates are dropped, not kept
         assert urlnorm.normalize(url) == url  # output already canonical

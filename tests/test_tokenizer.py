@@ -100,8 +100,20 @@ def test_img_and_empty_href_ignored():
 
 
 def test_invalid_url_dropped_and_counted():
-    cands, _, failures = tokenize_html('<a href="http://">Invalid</a>', BASE)
-    assert cands == [] and failures == 1
+    cands, _, errors = tokenize_html('<a href="http://">Invalid</a>', BASE)
+    assert cands == []
+    assert errors == [("url_validation", "invalid_url", "http://")]
+
+
+def test_empty_text_dropped_with_reason():
+    # a whitespace-only download attr wins text selection then strips
+    # to empty -> empty_text drop (reference: min_length=1 validator,
+    # models.py:30-35)
+    cands, _, errors = tokenize_html(
+        '<a href="https://ok.example.com/x" download=" ">inner</a>', BASE
+    )
+    assert cands == []
+    assert errors == [("text_selection", "empty_text", "https://ok.example.com/x")]
 
 
 def test_title_captured():

@@ -133,15 +133,18 @@ def _iframe_text(url: str, title: str | None) -> str:
 
 def tokenize_html(
     html: str, base_url: str
-) -> tuple[list[tuple[str, str]], str | None, int]:
+) -> tuple[list[tuple[str, str]], str | None, list[tuple[str, str, str]]]:
     """Tokenize one HTML payload.
 
-    Returns (candidates, page_title, failures) where candidates is the
+    Returns (candidates, page_title, errors) where candidates is the
     ordered list of (raw_or_resolved_url, text) *before* validation —
     mirroring the reference's list[tuple[url, text]] IR
     (src/core/interfaces.py:24) — except URLs are already
-    urljoin-resolved.  ``failures`` counts candidates dropped for
-    invalid URLs or empty text; dropped candidates are excluded.
+    urljoin-resolved.  ``errors`` records each dropped candidate as
+    (stage, reason, target): the queryable analog of the reference's
+    ContextualExtractionError context (src/core/exceptions.py:46-67,
+    service.py:126-140) — drop-not-fail semantics preserved, but every
+    drop is attributable.
 
     The returned URLs are HttpUrl-normalized absolute URLs.
     """
@@ -150,11 +153,10 @@ def tokenize_html(
     tok.close()
 
     out: list[tuple[str, str, str]] = []
-    failures = 0
+    errors: list[tuple[str, str, str]] = []
     bp = urlnorm.base_prefix(base_url)
 
     def push(raw_target: str, tag: str, text_fn: Any) -> None:
-        nonlocal failures
         # fast paths for the two dominant href shapes.  Absolute http(s)
         # targets are returned verbatim by urljoin (urllib keeps their
         # dot segments).  Root-relative targets get dot segments
@@ -174,11 +176,11 @@ def tokenize_html(
             resolved = urlnorm.resolve(base_url, raw_target)
         normalized = urlnorm.normalize(resolved)
         if normalized is None:
-            failures += 1
+            errors.append(("url_validation", "invalid_url", resolved))
             return
         text = text_fn(normalized)
         if not text:
-            failures += 1
+            errors.append(("text_selection", "empty_text", normalized))
             return
         out.append((normalized, text, tag))
 
@@ -194,7 +196,7 @@ def tokenize_html(
         push(data, "object", lambda u, t=title: (t or "Embedded Object"))
     for src, title in tok.embeds:
         push(src, "embed", lambda u, t=title: (t or "Embedded Content"))
-    return out, tok.title, failures
+    return out, tok.title, errors
 
 
 def tokenize_doc(
@@ -216,18 +218,25 @@ def tokenize_doc(
     urls: list[str] = []
     texts: list[str] = []
     tags: list[str] = []
-    failures = 0
+    err_stages: list[str] = []
+    err_reasons: list[str] = []
+    err_targets: list[str] = []
     title: str | None = None
     span_list = list(spans) if spans is not None else []
     for span in sorted(span_list, key=lambda s: s["offset"] or 0):
         kind = span.get("kind")
         if kind == "html" and span.get("text"):
             try:
-                cands, t, f = tokenize_html(span["text"], base_url)
-            except Exception:
-                failures += 1
+                cands, t, errs = tokenize_html(span["text"], base_url)
+            except Exception as exc:
+                err_stages.append("parse")
+                err_reasons.append(f"parse_error:{type(exc).__name__}")
+                err_targets.append(base_url)
                 continue
-            failures += f
+            for stage, reason, target in errs:
+                err_stages.append(stage)
+                err_reasons.append(reason)
+                err_targets.append(target)
             title = title or t
             for url, text, tag in cands:
                 urls.append(url)
@@ -245,7 +254,10 @@ def tokenize_doc(
         "cand_urls": urls,
         "cand_texts": texts,
         "cand_tags": tags,
-        "parse_failures": failures,
+        "parse_failures": len(err_stages),
+        "err_stages": err_stages,
+        "err_reasons": err_reasons,
+        "err_targets": err_targets,
         "proc_us": int((time.perf_counter() - t0) * 1e6),
     }
 
@@ -258,6 +270,9 @@ _COLS = (
     "cand_texts",
     "cand_tags",
     "parse_failures",
+    "err_stages",
+    "err_reasons",
+    "err_targets",
     "proc_us",
 )
 

@@ -28,7 +28,13 @@ import sys
 import uuid
 
 from web_content_extractor_spark.operators.content import extract_content
+from web_content_extractor_spark.operators.errors import doc_errors, write_errors
 from web_content_extractor_spark.operators.metrics import partition_metrics
+from web_content_extractor_spark.sources.urls import (
+    UrlListError,
+    read_url_list,
+    url_batch,
+)
 from web_content_extractor_spark.plans.pipeline import extract
 from web_content_extractor_spark.session import get_spark
 from web_content_extractor_spark.sources.checkpoint import run_resumable_extract
@@ -41,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="docs path (parquet dir) or Iceberg table id")
     p.add_argument("--output", required=True, help="spans output path")
     p.add_argument("--metrics", default=None, help="metrics table path")
+    p.add_argument("--errors", default=None,
+                   help="per-doc errors table path (stage/reason per "
+                        "dropped candidate)")
+    p.add_argument("--urls", default=None,
+                   help="URL-list JSON file (blob-trigger parity): "
+                        "extract only the listed doc_ids")
     p.add_argument("--content-output", default=None,
                    help="also run the boilerpipe content branch to this path")
     p.add_argument("--variant", choices=("context", "regex"), default="context",
@@ -75,8 +87,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         run_id = uuid.uuid4().hex[:12]
         docs = read_docs(spark, args.input)
+        if args.urls:
+            try:
+                docs = url_batch(docs, read_url_list(spark, args.urls))
+            except UrlListError as e:
+                # blob-trigger error-object semantics
+                # (extract_blob_trigger.py:56-65)
+                print(json.dumps(e.error_object))
+                if not preexisting:
+                    spark.stop()
+                return 1
         extracted = extract(
-            docs, variant=args.variant, balance=args.balance, with_stats=True
+            docs,
+            variant=args.variant,
+            balance=args.balance,
+            with_stats=True,
+            with_errors=bool(args.errors),
         )
         extracted.persist()
         try:
@@ -87,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
                 partition_metrics(extracted, run_id=run_id).write.mode(
                     "append"
                 ).parquet(args.metrics)
+            if args.errors:
+                write_errors(doc_errors(extracted, run_id=run_id), args.errors)
             n_docs = extracted.count()
         finally:
             extracted.unpersist()

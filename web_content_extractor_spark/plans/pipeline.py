@@ -46,6 +46,7 @@ def extract(
     balance: bool = False,
     partitions: int | None = None,
     with_stats: bool = False,
+    with_errors: bool = False,
 ) -> DataFrame:
     """Full extraction: docs -> (doc_id, spans[, stats columns]).
 
@@ -64,5 +65,13 @@ def extract(
             F.col("page_title"),
             F.col("parse_failures"),
             F.col("proc_us"),
+        ]
+    if with_errors:
+        # carry the per-drop error records through (operators/errors.py
+        # explodes them into the errors table); empty for healthy docs
+        cols += [
+            F.col("err_stages"),
+            F.col("err_reasons"),
+            F.col("err_targets"),
         ]
     return tok.select(*cols)

@@ -60,6 +60,13 @@ TOKENIZED = T.StructType(
         T.StructField("cand_texts", T.ArrayType(T.StringType())),
         T.StructField("cand_tags", T.ArrayType(T.StringType())),
         T.StructField("parse_failures", T.IntegerType()),
+        # per-drop error records (flat parallel arrays, same Arrow
+        # rationale as the candidate arrays): the queryable analog of
+        # the reference's ContextualExtractionError context
+        # (src/core/exceptions.py:46-67, service.py:126-140)
+        T.StructField("err_stages", T.ArrayType(T.StringType())),
+        T.StructField("err_reasons", T.ArrayType(T.StringType())),
+        T.StructField("err_targets", T.ArrayType(T.StringType())),
         T.StructField("proc_us", T.LongType()),
     ]
 )
