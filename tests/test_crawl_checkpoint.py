@@ -99,6 +99,75 @@ def test_crawl_bounded_and_merged(spark):
     assert kinds == ["pdf", "other", "other", "other", "youtube", "other"]
 
 
+def test_crawl_merge_metadata_parity(spark):
+    # merge_with metadata (models.py:201-240): fresh >=8-char
+    # correlation id, page_title cleared, aggregated user agent
+    docs = _site_docs(spark)
+    a = crawl(spark, docs, "https://site.example.org/", max_pages=2).collect()[0]
+    b = crawl(spark, docs, "https://site.example.org/", max_pages=2).collect()[0]
+    assert a.page_title is None
+    assert a.user_agent == "WebExtractor/1.0 (Aggregated)"
+    assert len(a.correlation_id) >= 8
+    assert a.correlation_id != b.correlation_id  # fresh per merge
+
+
+def test_crawl_frontier_collect_is_bounded(spark):
+    # the driver never materializes more frontier URLs than the
+    # remaining page budget, even on a link-dense corpus (the VERDICT
+    # scale-killer): with max_pages=1 the crawl must not collect the
+    # 60-link frontier of the root at all
+    import web_content_extractor_spark.operators.crawl as cr
+
+    fan = "".join(
+        f'<a href="/p{i}">Page {i}</a>' for i in range(60)
+    )
+    docs = spark.createDataFrame(
+        [("https://dense.example.org/", [("html", fan, None, 0)])]
+        + [
+            (f"https://dense.example.org/p{i}",
+             [("html", '<a href="/q">Q</a>', None, 0)])
+            for i in range(60)
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    collected: list[int] = []
+    orig = cr.prioritize
+
+    def spy(frontier):
+        out = orig(frontier)
+
+        class Wrap:
+            def limit(self, n):
+                inner = out.limit(n)
+
+                class W2:
+                    def collect(self_inner):
+                        rows = inner.collect()
+                        collected.append(len(rows))
+                        return rows
+
+                return W2()
+
+            def collect(self):
+                rows = out.collect()
+                collected.append(len(rows))
+                return rows
+
+        return Wrap()
+
+    cr.prioritize = spy
+    try:
+        for pages, max_collect in ((1, 0), (3, 2)):
+            collected.clear()
+            res = cr.crawl(
+                spark, docs, "https://dense.example.org/", max_pages=pages
+            ).collect()
+            assert len(res) == 1
+            assert all(n <= max_collect for n in collected), (pages, collected)
+    finally:
+        cr.prioritize = orig
+
+
 def test_crawl_ignores_unknown_start(spark):
     docs = _site_docs(spark)
     res = crawl(spark, docs, "https://missing.example.org/", max_pages=3).collect()

@@ -146,14 +146,22 @@ def crawl(
         frontier = [r.nav_url for r in prioritize(nav).limit(remaining).collect()]
         tok.unpersist()
 
+    import uuid
+
+    # merge metadata parity (models.py:201-240): fresh correlation id,
+    # page_title cleared, user_agent marks the aggregated result
+    corr_id = uuid.uuid4().hex[:12]
+    user_agent = "WebExtractor/1.0 (Aggregated)"
     empty_result_schema = (
         "source_url string, total_links bigint, pdf_count bigint, "
         "youtube_count bigint, other_count bigint, processing_ms double, "
-        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "page_title string, user_agent string, correlation_id string"
     )
     # empty-crawl fallback result (service.py:211-221)
     fallback = spark.createDataFrame(
-        [(start_url, 0, 0, 0, 0, 0.0, [])], empty_result_schema
+        [(start_url, 0, 0, 0, 0, 0.0, [], None, user_agent, corr_id)],
+        empty_result_schema,
     )
     if not page_frames:
         return fallback
@@ -192,4 +200,7 @@ def crawl(
                 lambda x: x["spans"],
             )
         ).alias("spans"),
+        F.lit(None).cast("string").alias("page_title"),
+        F.lit(user_agent).alias("user_agent"),
+        F.lit(corr_id).alias("correlation_id"),
     )
