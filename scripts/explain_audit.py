@@ -147,6 +147,38 @@ def main() -> int:
         ],
     )
 
+    # 6. link_distribution — denominator via window, ONE scan of orders
+    ld = contract.q_link_distribution(spark, SF_DIR)
+    p = formatted(ld)
+    audit(
+        "link_distribution (pct-of-total, single scan)",
+        ld,
+        [
+            ("orders scanned exactly once (no eager count() job)",
+             p.count("Scan parquet") == 2),  # formatted renders tree + detail
+            ("denominator via unpartitioned window over the agg output",
+             "Window" in p),
+        ],
+    )
+
+    # 7. url_batch work-list restriction — broadcast semi join, corpus
+    # side never shuffled
+    from web_content_extractor_spark.sources.urls import url_batch
+
+    wl = spark.createDataFrame([("u1",), ("u2",)], "doc_id string")
+    ub = url_batch(docs, wl)
+    p = formatted(ub)
+    audit(
+        "url_batch (work-list broadcast semi-join)",
+        ub,
+        [
+            ("broadcast semi join (corpus side not shuffled)",
+             "BroadcastHashJoin" in p and "LeftSemi" in p),
+            ("no shuffle of the corpus (only the broadcast exchange)",
+             "Exchange hashpartitioning" not in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "
