@@ -748,6 +748,36 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tq.quality_score(F.col("text")).alias("q"))
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction (per-row
+    Column algebra) + top-bigram occupancy (explode -> two-level agg
+    with map-side partials — one balanced shuffle on (doc_id, gram))."""
+    d = _read(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id", F.round(tq.dup_word_fraction(F.col("text")), 6).alias("dup_word_frac")
+    )
+    grams = d.select(
+        "doc_id", F.explode(tq.word_ngrams_all(F.col("text"), 2)).alias("g")
+    )
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return per_doc.join(top, "doc_id", "left").select(
+        "doc_id",
+        "dup_word_frac",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(
@@ -840,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_detect": q_lang_detect,
         "quality_scores": q_quality_scores,
+        "repetition_scores": q_repetition_scores,
         "similarity_topk": q_similarity_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1243,6 +1274,30 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": f"""
         WITH t AS ({_TOKS_CTE})
         SELECT doc_id, {quality_expr} AS q FROM t
+        """,
+        "repetition_scores": f"""
+        WITH t AS ({_TOKS_CTE}),
+        per AS (
+          SELECT doc_id,
+                 round(CASE WHEN len(w) > 0
+                       THEN 1.0 - len(list_distinct(w))::DOUBLE / len(w)
+                       ELSE 0.0 END, 6) AS dup_word_frac
+          FROM t
+        ),
+        g AS (
+          SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+          FROM t, UNNEST(range(1, len(w))) AS u(i)
+        ),
+        c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        top AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                 round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+          FROM c GROUP BY 1
+        )
+        SELECT per.doc_id, per.dup_word_frac,
+               coalesce(top.n_bigrams, 0) AS n_bigrams,
+               coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM per LEFT JOIN top USING (doc_id)
         """,
         "similarity_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

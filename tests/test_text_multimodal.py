@@ -75,6 +75,27 @@ def test_fingerprint_normalizes(spark):
     assert fps[0] == fps[1] != fps[2]
 
 
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            ("unique words only here",),       # no repeats
+            ("spam spam spam spam",),          # all repeats
+            ("",),                             # empty-safe
+        ],
+        "text string",
+    )
+    fr = [
+        r.f
+        for r in df.select(tq.dup_word_fraction(F.col("text")).alias("f")).collect()
+    ]
+    assert fr[0] == 0.0 and fr[2] == 0.0
+    assert abs(fr[1] - 0.75) < 1e-9  # 4 tokens, 1 distinct
+    grams = df.select(tq.word_ngrams_all(F.col("text"), 2).alias("g")).collect()
+    assert grams[0].g == ["unique words", "words only", "only here"]
+    assert grams[1].g == ["spam spam"] * 3
+    assert grams[2].g == []
+
+
 def test_text_functions_on_real_documents(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     res = docs.select(

@@ -104,6 +104,31 @@ def detect_lang(text: Column) -> Column:
     return out
 
 
+def word_ngrams_all(text: Column, n: int) -> Column:
+    """All word n-grams (non-distinct, lowercased) — repetition signals
+    need occurrence counts, unlike the dedup shingles."""
+    toks = tokens(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of token occurrences
+    that are repeats of an earlier token (1 - distinct/total).  High
+    values flag boilerplate/spam docs in a training-data sweep."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    return F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(0.0)
+
+
 def fingerprint(text: Column) -> Column:
     """Stable document fingerprint: md5 of the whitespace-normalized,
     lowercased text (the distributed analog of content-hash dedup keys).
