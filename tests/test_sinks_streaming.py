@@ -160,6 +160,46 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert [s.kind for s in row.spans] == ["pdf", "pdf", "youtube", "youtube", "other"]
 
 
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState visited-set: a URL is emitted exactly
+    once across micro-batches AND across restarts (state lives in the
+    streaming checkpoint)."""
+    from web_content_extractor_spark.streaming.incremental import (
+        stateful_first_seen,
+    )
+
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = "doc_id string, media_ref string"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            stateful_first_seen(stream, key="media_ref")
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([("d2", "https://x/a"), ("d1", "https://x/a"), ("d3", "https://x/b")])
+    out1 = {r.url: r for r in spark.read.parquet(outp).collect()}
+    assert set(out1) == {"https://x/a", "https://x/b"}
+    assert out1["https://x/a"].first_doc_id == "d1"  # deterministic min
+    assert out1["https://x/a"].n_first_batch == 2
+
+    # restart with new files: seen keys suppressed, new key emitted once
+    run_batch([("d4", "https://x/a"), ("d5", "https://x/c")])
+    out2 = {r.url: r for r in spark.read.parquet(outp).collect()}
+    assert set(out2) == {"https://x/a", "https://x/b", "https://x/c"}
+    assert out2["https://x/c"].first_doc_id == "d5"
+
+
 def test_windowed_span_counts(spark):
     rows = [
         ("2026-01-01 00:01:00", "pdf"),

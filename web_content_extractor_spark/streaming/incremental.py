@@ -65,6 +65,66 @@ def stream_extract(
     return writer.start()
 
 
+FIRST_SEEN_OUTPUT = "url string, first_doc_id string, n_first_batch bigint"
+FIRST_SEEN_STATE = "n_seen bigint"
+
+
+def stateful_first_seen(spans_stream: DataFrame, key: str = "media_ref") -> DataFrame:
+    """Custom stateful operator: streaming first-seen dedup.
+
+    The continuously-running analog of the crawl visited-set (D1/D2,
+    service.py:152-158) and of the first-wins PDF manifest
+    (cli.py:381-387): keyed managed state remembers every URL the
+    stream has ever seen; a key's rows are emitted exactly once — on
+    first encounter — with the (deterministic) min doc_id and that
+    batch's occurrence count.  Later occurrences only bump the state
+    counter.
+
+    Built on ``applyInPandasWithState`` (Arrow-batched, state scoped
+    per key group, persisted in the streaming checkpoint — a restart
+    resumes with the visited set intact).  State per key is one int64:
+    at 10^12 URLs this shards across executors by the groupBy hash,
+    the same partitioning the update shuffle already pays.
+    """
+    import pandas as pd  # local: executors import lazily
+
+    def fn(key_tuple, pdfs, state):
+        total = 0
+        first_doc: str | None = None
+        for pdf in pdfs:
+            if len(pdf):
+                total += len(pdf)
+                lo = pdf["doc_id"].min()
+                first_doc = lo if first_doc is None else min(first_doc, lo)
+        if state.exists:
+            (n_seen,) = state.get
+            state.update((n_seen + total,))
+            return iter(())  # already emitted: dedup
+        state.update((total,))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "url": [key_tuple[0]],
+                        "first_doc_id": [first_doc],
+                        "n_first_batch": [total],
+                    }
+                )
+            ]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = spans_stream.withColumn("url", F.col(key))
+    return keyed.groupBy("url").applyInPandasWithState(
+        fn,
+        FIRST_SEEN_OUTPUT,
+        FIRST_SEEN_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_span_counts(
     stream: DataFrame,
     ts_col: str = "ts",
