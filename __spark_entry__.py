@@ -803,6 +803,16 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.where("vec_id < 5"), k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-kmeans coarse quantizer, nprobe inverted-list
+    probes (approximate by design -> rows-only; recall pinned in
+    tests/test_dedup_similarity.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.where("vec_id < 5"), k=5, n_centroids=16, nprobe=4
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads synthesized from documents."""
     from web_content_extractor_spark.operators.multimodal import (
@@ -875,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
     }
 

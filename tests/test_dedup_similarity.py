@@ -115,6 +115,37 @@ def test_lsh_topk_recall_vs_brute_force(spark, embeddings):
     assert all(r.cos_sim >= -1.0 for r in approx)
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    approx = similarity.ivf_topk(
+        embeddings, queries, k=5, n_centroids=16, nprobe=4
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 4/16 cells must beat the 25% chance level decisively
+    assert recall >= 0.5, recall
+    # deterministic: same index, same answer
+    again = similarity.ivf_topk(
+        embeddings, queries, k=5, n_centroids=16, nprobe=4
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in again} == approx_set
+
+
+def test_ivf_nprobe_full_equals_brute_force(spark, embeddings):
+    # probing ALL cells degenerates to the exact search (modulo the
+    # identical tie-break) — the IVF correctness anchor
+    queries = embeddings.where(F.col("vec_id") < 3)
+    exact = similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    full = similarity.ivf_topk(
+        embeddings, queries, k=5, n_centroids=8, nprobe=8
+    ).collect()
+    assert {(r.query_id, r.neighbor_id, r.cos_sim) for r in full} == {
+        (r.query_id, r.neighbor_id, r.cos_sim) for r in exact
+    }
+
+
 def test_embedding_near_duplicates_self_consistent(spark, embeddings):
     # duplicate vec 0 with a new id -> must be flagged at cos ~ 1
     v0 = embeddings.where("vec_id = 0")

@@ -180,6 +180,143 @@ def lsh_topk(
     )
 
 
+def _norm_rows(M: "np.ndarray") -> "np.ndarray":
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def _assign_udf(C: "np.ndarray"):
+    """Nearest-centroid assignment (cosine / spherical): one
+    (batch x dim) @ (dim x k) matmul per Arrow batch."""
+    Cn = _norm_rows(np.asarray(C, dtype=np.float64)).T  # (dim, k)
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        V = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in vs]))
+        return pd.Series(np.argmax(V @ Cn, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: spherical k-means.
+
+    Init = random-partition (pmod(xxhash64(id), k) — deterministic,
+    balanced); then ``iters`` Lloyd rounds: numpy matmul assignment
+    (Arrow UDF), centroid update as a posexplode -> groupBy(cid, pos)
+    mean (one balanced shuffle of n x dim scalars).  The k x dim
+    centroid matrix is collected per round — the index artifact, tiny
+    by construction.  At real corpus scale you build this from a
+    sample; the per-round plan shape is unchanged.
+    """
+
+    def means(assigned: DataFrame, prev: list[list[float]] | None) -> list[list[float]]:
+        rows = (
+            assigned.select(
+                "cid", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        dim = 1 + max(p for d in by_cid.values() for p in d)
+        out = []
+        for c in range(n_centroids):
+            if c in by_cid:
+                out.append([by_cid[c].get(p, 0.0) for p in range(dim)])
+            else:  # empty cluster keeps its previous centroid
+                out.append(list(prev[c]) if prev else [0.0] * dim)
+        return out
+
+    init = embeddings.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
+        .cast("int")
+        .alias("cid"),
+        F.col(vec_col),
+    )
+    C = means(init, None)
+    for _ in range(iters):
+        assigned = embeddings.select(
+            _assign_udf(C)(F.col(vec_col)).alias("cid"), F.col(vec_col)
+        )
+        C = means(assigned, C)
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``nprobe`` nearest inverted
+    lists per query instead of scanning the corpus.
+
+    Search cost ~= nprobe/n_centroids of a full scan: the corpus is
+    partitioned once by coarse-quantizer cell (a single int per vector
+    — at 10^12 docs the natural Iceberg partition/bucket key, making
+    probes partition-pruned scans), and each query broadcast-joins only
+    its probed cells.  Recall is tuned by nprobe; tests measure it
+    against brute force.
+    """
+    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    assign = _assign_udf(C)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        assign(F.col(vec_col)).alias("cid"),
+    )
+    Cn = _norm_rows(np.asarray(C, dtype=np.float64)).T
+    npb = min(nprobe, n_centroids)
+
+    @F.pandas_udf("array<int>")
+    def _probes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in vs]))
+        order = np.argsort(-(V @ Cn), axis=1)[:, :npb].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_probes(F.col(vec_col))).alias("cid"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     min_cos: float = 0.95,
