@@ -107,6 +107,62 @@ def test_segment_blocks_never_raises(html):
         assert text == text.strip()
 
 
+_HREF_SEG = st.sampled_from(
+    ["a", "b.pdf", ".", "..", "", "x.y", "...", "a.", ".a"]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_HREF_SEG, min_size=0, max_size=5), st.booleans())
+def test_fast_path_matches_urljoin(segs, trailing_slash):
+    # differential: the tokenizer's root-relative fast path must equal
+    # RFC-3986 urljoin for EVERY href shape, including dot segments
+    # ("/a/../b.pdf" must resolve to "/b.pdf" — the round-1 parity bug)
+    from urllib.parse import urljoin
+
+    href = "/" + "/".join(segs) + ("/" if trailing_slash and segs else "")
+    base = "https://host.example.org/x/y.html"
+    cands, _, _ = tokenize_html(f'<a href="{href}">T</a>', base)
+    expected = urlnorm.normalize(urljoin(base, href))
+    got = [u for u, _, _ in cands]
+    assert got == ([expected] if expected else [])
+
+
+def test_video_id_reference_differential(spark):
+    # differential vs the reference's exact regex battery
+    # (fetch_youtube_transcripts.py:58-69): boundary-anchored catch-all
+    # first, then /embed/, then youtu.be
+    import re
+
+    from web_content_extractor_spark.functions.video import video_id
+
+    VIDEO_ID_RE = re.compile(r"(?:v=|/)([0-9A-Za-z_-]{11})(?:[?&#/]|$)")
+    EMBED_RE = re.compile(r"/embed/([0-9A-Za-z_-]{11})")
+    SHORT_RE = re.compile(r"youtu\.be/([0-9A-Za-z_-]{11})")
+
+    def ref(url):
+        for pat in (VIDEO_ID_RE, EMBED_RE, SHORT_RE):
+            m = pat.search(url)
+            if m:
+                return m.group(1)
+        return None
+
+    urls = [
+        "https://www.youtube.com/watch?v=ABCDEFGHIJK",
+        "https://www.youtube.com/watch?v=ABCDEFGHIJKL",   # 12 chars: ref -> None
+        "https://youtube.com/embed/12345678901?x=1",
+        "https://youtu.be/abc_def-123",
+        "https://youtu.be/abc_def-123?t=10",
+        "https://example.com/page.x1234567890",
+        "https://example.com/AAAAAAAAAAA",                # bare 11-char path seg
+        "https://www.youtube.com/watch?v=short",
+        "https://cdn.iframe.ly/fABCDEFGHIJ",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: r.vid for r in df.select("url", video_id(F.col("url")).alias("vid")).collect()}
+    assert got == {u: ref(u) for u in urls}
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.text(max_size=120))
 def test_normalize_idempotent(url):
