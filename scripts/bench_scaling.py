@@ -232,13 +232,24 @@ def _write_md(ex_lo: dict, ex_hi: dict, threads: list[dict], rep: int) -> None:
         f"{round(r['docs_per_sec'] / r['cores'], 1)} |"
         for r in threads
     )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve sections other tools appended (e.g. bench_skew.py's
+    # "## Skewed-layout rebalance"): keep everything from the first
+    # non-template "## Skewed" heading onward
+    path = os.path.join(REPO, "BENCH.md")
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## Skewed")
+        if idx != -1:
+            extra = old[idx:]
+    with open(path, "w") as f:
         f.write(BENCH_MD.format(
             rep=rep, docs=ex_lo["docs"],
             exec_rows=exec_rows, thread_rows=thread_rows,
             eff_exec=round(eff_exec, 3), sec_lo=ex_lo["sec"],
             arrow=ex_lo["conf"]["spark.sql.execution.arrow.maxRecordsPerBatch"],
         ))
+        f.write(extra)
 
 
 def main() -> None:
