@@ -107,6 +107,25 @@ def test_segment_blocks_never_raises(html):
         assert text == text.strip()
 
 
+def test_large_document_roundtrip(spark):
+    # >100 KB single doc: Arrow batch sizing must carry it through the
+    # tokenizer intact (one batch may hold a handful of such docs)
+    blocks = "".join(
+        f'<p>{"x" * 200}</p><a href="/f{i}.pdf">Report {i}</a>' for i in range(500)
+    )
+    html = f"<html><body>{blocks}</body></html>"
+    assert len(html) > 100_000
+    rows = [("https://big.example.org/", [{"kind": "html", "text": html,
+                                           "media_ref": None, "offset": 0}])]
+    out = extract(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    spans = out[0].spans
+    assert len(spans) == 500
+    assert all(s.kind == "pdf" for s in spans)
+    assert spans[0].media_ref == "https://big.example.org/f0.pdf"
+    assert [s.offset for s in spans] == list(range(500))
+
+
 _HREF_SEG = st.sampled_from(
     ["a", "b.pdf", ".", "..", "", "x.y", "...", "a.", ".a"]
 )

@@ -6,6 +6,9 @@ without a Spark session — these run in milliseconds.
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from web_content_extractor_spark.functions import urlnorm
 from web_content_extractor_spark.functions.tokenizer import (
     tokenize_doc,
@@ -114,6 +117,112 @@ def test_empty_text_dropped_with_reason():
     )
     assert cands == []
     assert errors == [("text_selection", "empty_text", "https://ok.example.com/x")]
+
+
+def _both_parses(html):
+    from web_content_extractor_spark.functions.tokenizer import (
+        _fast_feed,
+        _LinkTokenizer,
+    )
+
+    ref = _LinkTokenizer()
+    ref.feed(html)
+    ref.close()
+    fast = _LinkTokenizer()
+    _fast_feed(fast, html)
+    return ref, fast
+
+
+def _assert_same(html):
+    ref, fast = _both_parses(html)
+    for field in ("anchors", "iframes", "objects", "embeds", "title"):
+        assert getattr(fast, field) == getattr(ref, field), (field, html)
+
+
+def test_fast_scanner_differential_pinned():
+    # behaviors pinned from HTMLParser(convert_charrefs=True) itself
+    cases = [
+        '<a href="x&amp;y">A&amp;B</a>',
+        "<a href='x' DOWNLOAD>t</a>",
+        "<a href=bare>t</a>",
+        '<A HREF="X">t</A>',
+        '<a href="u" />self</a>',
+        '<script>var a = "<a href=no>";</script><a href="yes">y</a>',
+        "<!-- <a href=c>c</a> --><a href=d>d</a>",
+        '<a href="x"',
+        "text < 5 and >3",
+        '<a href="a>b">t</a>',
+        '<iframe src="f" title="T"/>',
+        "<a href=x><a href=y>inner</a>",
+        '<style>a{content:"<a href=s>"}</style><a href=z>z</a>',
+        '<a href="x" download="">t</a>',
+        "<a href=x>unterminated anchor",
+        "<title> T &amp; U </title>",
+        "<a href=x>a<b>b</b>c</a>",
+        "<?pi data><a href=p>p</a>",
+        "<!DOCTYPE html><a href=dt>d</a>",
+        "</bogus><a href=e>e</a>",
+        "</><a href=f>f</a>",
+        "<a href=x junk=%$#>j</a>",
+        "<embed src=e title=T><object data=o>",
+        "<a\nhref = 'multi\nline'>m</a>",
+        "<a href=x>t1</a >after</a>",
+        "<script>never closed",
+        "<a href='q'>&lt;tag&gt; text</a>",
+        "<a href=x>t</a><!-- trailing",
+    ]
+    for html in cases:
+        _assert_same(html)
+
+
+def test_fast_scanner_differential_fixtures():
+    from web_content_extractor_spark.datagen import FIXTURES
+
+    for f in FIXTURES:
+        for span in f["spans"]:
+            if span["kind"] == "html" and span["text"]:
+                _assert_same(span["text"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.sampled_from(["a", "iframe", "object", "embed", "b", "p"]),
+                st.sampled_from(
+                    ["/x", "https://h/y?a=1&amp;b=2", "doc.pdf", "", "a>b", "x y"]
+                ),
+                st.sampled_from(["", " download", ' title="T"', " download='d.pdf'"]),
+                st.sampled_from(["text", "A &amp; B", "", "x < y", "t1<b>t2</b>"]),
+                st.booleans(),
+            ),
+            st.sampled_from(
+                [
+                    "plain text",
+                    "< stray",
+                    "<!-- c -->",
+                    "<script>x<y</script>",
+                    "</div>",
+                    "&copy; &bogus;",
+                ]
+            ),
+        ),
+        max_size=8,
+    )
+)
+def test_fast_scanner_differential_generated(parts):
+    html = ""
+    for p in parts:
+        if isinstance(p, str):
+            html += p
+        else:
+            tag, url, extra, text, close = p
+            attr = "href" if tag == "a" else ("data" if tag == "object" else "src")
+            html += f'<{tag} {attr}="{url}"{extra}>{text}'
+            if close:
+                html += f"</{tag}>"
+    _assert_same(html)
 
 
 def test_title_captured():

@@ -46,6 +46,14 @@ from web_content_extractor_spark.functions import urlnorm
 
 _PDF_SUFFIX_RUN = re.compile(r"(\.pdf)+$", re.IGNORECASE)
 _VIDEO_HINTS = ("youtube", "youtu.be", "embed", "iframe.ly")
+_CDATA_CLOSE = {
+    e: re.compile(rf"</\s*{e}", re.IGNORECASE) for e in ("script", "style")
+}
+_PLAIN_DOCTYPE = re.compile(r"<!doctype[^>\[]*>", re.IGNORECASE)
+# tags whose events the consumer observes (plus cdata-mode switches)
+_INTERESTING_TAGS = frozenset(
+    ("a", "iframe", "object", "embed", "title", "script", "style")
+)
 
 
 class _LinkTokenizer(HTMLParser):
@@ -115,6 +123,215 @@ class _LinkTokenizer(HTMLParser):
             self._open_anchor = None
 
 
+class _FastScanError(Exception):
+    """Internal: fast scanner bailed; caller falls back to HTMLParser."""
+
+
+def _fast_feed(tok: _LinkTokenizer, rawdata: str) -> None:
+    """Single-pass scanner emitting the same event stream as
+    ``HTMLParser(convert_charrefs=True)`` into ``tok``.
+
+    The stdlib parser's incremental-feed state machine (goahead /
+    updatepos bookkeeping) is ~85% of tokenizer CPU; this one-shot
+    scanner reuses the stdlib's OWN tolerant regexes
+    (tagfind/attrfind/locatestarttagend/endtagfind), its attr
+    unescaping, its CDATA (script/style) rules, its stray-'<' and
+    unterminated-tag fallbacks — so the event stream matches on
+    well-formed AND common-malformed input (differential-tested
+    against HTMLParser in tests/test_tokenizer.py; any internal
+    surprise raises and the caller re-parses with HTMLParser).
+    """
+    import html as _htmlmod
+    import html.parser as _hp
+
+    unescape = _htmlmod.unescape
+    tagfind = _hp.tagfind_tolerant
+    attrfind = _hp.attrfind_tolerant
+    locatestart = _hp.locatestarttagend_tolerant
+    endtagfind = _hp.endtagfind
+    commentclose = _hp.commentclose
+
+    n = len(rawdata)
+    i = 0
+    cdata_elem: str | None = None
+
+    def data(chunk: str, in_cdata: bool = False) -> None:
+        if not chunk:
+            return
+        if not in_cdata and "&" in chunk:
+            chunk = unescape(chunk)
+        tok.handle_data(chunk)
+
+    def incomplete(at: int) -> int:
+        # html.parser goahead(end=1) EOF rule for an incomplete
+        # construct: emit one data chunk up to and including the next
+        # '>', else up to (excluding) the next '<', else one char
+        k = rawdata.find(">", at + 1)
+        if k < 0:
+            k = rawdata.find("<", at + 1)
+            if k < 0:
+                k = at + 1
+        else:
+            k += 1
+        data(rawdata[at:k])
+        return k
+
+    while i < n:
+        if cdata_elem is not None:
+            # content is raw until a matching close tag (html.parser
+            # set_cdata_mode semantics); unterminated CDATA content is
+            # DISCARDED at EOF, exactly like goahead's cdata break
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            if not m:
+                break
+            j = m.start()
+            data(rawdata[i:j], in_cdata=True)
+            em = endtagfind.match(rawdata, j)
+            if em and em.group(1).lower() == cdata_elem:
+                tok.handle_endtag(cdata_elem)
+                cdata_elem = None
+                i = em.end()
+            else:
+                gt = rawdata.find(">", j + 1)
+                if gt < 0:
+                    # incomplete-at-EOF rule, raw (no unescape), still
+                    # in cdata: chunk to next '<' else one char
+                    k = rawdata.find("<", j + 1)
+                    if k < 0:
+                        k = j + 1
+                    data(rawdata[j:k], in_cdata=True)
+                    i = k
+                else:
+                    data(rawdata[j:gt], in_cdata=True)
+                    i = gt
+            continue
+
+        # "idle" = no open anchor, not inside <title>: data events are
+        # dropped by the consumer and non-interesting tags produce no
+        # observable event, so both can skip event dispatch entirely
+        # (tag EXTENTS are still parsed with the stdlib regexes, so
+        # quoted '>'/'<' inside attributes can never derail the scan)
+        idle = tok._open_anchor is None and not tok._in_title
+        lt = rawdata.find("<", i)
+        if lt < 0:
+            if not idle:
+                data(rawdata[i:])
+            break
+        if not idle:
+            data(rawdata[i:lt])
+        i = lt
+        nxt = rawdata[i + 1 : i + 2]
+        if nxt and nxt.isascii() and nxt.isalpha():
+            # start tag; mirror parse_starttag + check_for_whole_start_tag
+            tm = tagfind.match(rawdata, i + 1)
+            tag = tm.group(1).lower()
+            lm = locatestart.match(rawdata, i)
+            if not lm:
+                i = incomplete(i)
+                continue
+            j = lm.end()
+            after = rawdata[j : j + 1]
+            if after == ">":
+                endpos = j + 1
+            elif after == "/":
+                if rawdata.startswith("/>", j):
+                    endpos = j + 2
+                else:
+                    i = incomplete(i)
+                    continue
+            elif after == "" or after in "abcdefghijklmnopqrstuvwxyz=/":
+                i = incomplete(i)  # end of input in/before attr value
+                continue
+            elif j > i:
+                endpos = j  # junk characters in start tag (lenient)
+            else:
+                i = incomplete(i)
+                continue
+            if idle and tag not in _INTERESTING_TAGS:
+                i = endpos  # extent consumed; no observable event
+                continue
+            k = tm.end()
+            attrs: list[tuple[str, str | None]] = []
+            while k < endpos:
+                am = attrfind.match(rawdata, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (
+                    attrvalue[:1] == "'" == attrvalue[-1:]
+                    or attrvalue[:1] == '"' == attrvalue[-1:]
+                ):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue and "&" in attrvalue:
+                    attrvalue = unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = rawdata[k:endpos].strip()
+            if end not in (">", "/>"):
+                data(rawdata[i:endpos])
+                i = endpos
+                continue
+            if end.endswith("/>"):
+                tok.handle_startendtag(tag, attrs)
+            else:
+                tok.handle_starttag(tag, attrs)
+                if tag in ("script", "style"):
+                    cdata_elem = tag
+            i = endpos
+        elif rawdata.startswith("</", i):
+            gtpos = rawdata.find(">", i + 1)
+            if gtpos < 0:
+                i = incomplete(i)
+                continue
+            em = endtagfind.match(rawdata, i)
+            if em:
+                tok.handle_endtag(em.group(1).lower())
+                i = em.end()
+                continue
+            nm = tagfind.match(rawdata, i + 2)
+            if nm:  # lenient end tag w/ junk before '>'
+                tok.handle_endtag(nm.group(1).lower())
+                gt2 = rawdata.find(">", nm.end())
+                if gt2 < 0:
+                    break
+                i = gt2 + 1
+                continue
+            if rawdata[i : i + 3] == "</>":
+                i += 3
+                continue
+            i = gtpos + 1  # bogus comment: skip to '>'
+        elif rawdata.startswith("<!--", i):
+            cm = commentclose.search(rawdata, i + 4)
+            if not cm:
+                i = incomplete(i)
+                continue
+            i = cm.end()
+        elif rawdata.startswith("<?", i):
+            gt = rawdata.find(">", i + 2)
+            if gt < 0:
+                i = incomplete(i)
+                continue
+            i = gt + 1
+        elif rawdata.startswith("<!", i):
+            # plain doctype (no internal subset) is skipped inline; any
+            # other declaration / marked section goes to the stdlib
+            # parser, whose lenient-vs-raising behavior (AssertionError
+            # on bad marked sections -> doc-level parse_error) is the
+            # engine's pinned semantics
+            dm = _PLAIN_DOCTYPE.match(rawdata, i)
+            if dm:
+                i = dm.end()
+            else:
+                raise _FastScanError
+        else:
+            data("<")
+            i += 1
+
+    tok.close()
+
+
 def _anchor_text(href: str, download: str | None, inner: str, url: str) -> str:
     """Reference text-selection priority (html_parser.py:125-148)."""
     raw = download or inner or href or url
@@ -149,8 +366,13 @@ def tokenize_html(
     The returned URLs are HttpUrl-normalized absolute URLs.
     """
     tok = _LinkTokenizer()
-    tok.feed(html)
-    tok.close()
+    try:
+        _fast_feed(tok, html)
+    except Exception:
+        # any surprise in the fast scanner -> authoritative stdlib parse
+        tok = _LinkTokenizer()
+        tok.feed(html)
+        tok.close()
 
     out: list[tuple[str, str, str]] = []
     errors: list[tuple[str, str, str]] = []
