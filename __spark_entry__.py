@@ -226,7 +226,13 @@ def q_crawl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spans"),
     )
-    res = crawl(spark, docs, "https://chain.example.org/doc0.html", max_pages=3)
+    res = crawl(
+        spark,
+        docs,
+        "https://chain.example.org/doc0.html",
+        max_pages=3,
+        cache_corpus=True,  # testdata-scale corpus: probe the cache per round
+    )
     return res.select(
         "source_url", "total_links", "pdf_count", "youtube_count", "other_count"
     )

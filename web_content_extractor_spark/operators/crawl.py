@@ -71,11 +71,21 @@ def crawl(
     start_url: str,
     max_pages: int = 5,
     variant: str = "context",
+    cache_corpus: bool = False,
 ) -> DataFrame:
     """BFS crawl over the corpus; returns the merged ExtractionResult
     analog: one row (crawl root) with spans from every crawled page in
     crawl order, pdf -> youtube -> other within each page, plus counts.
+
+    ``cache_corpus=True`` persists the docs frame for the duration of
+    the rounds so each round's semi-join probes the cache instead of
+    re-scanning the source — right when the corpus fits cluster memory
+    (bench/small-site crawls).  At 10^12 docs leave it off and bucket
+    the corpus by doc_id instead, so each round's broadcast semi-join
+    prunes to the buckets of the frontier batch.
     """
+    if cache_corpus:
+        docs = docs.persist()
     visited: list[str] = []
     visited_set: set[str] = set()
     frontier: list[str] = [start_url]
@@ -145,6 +155,11 @@ def crawl(
         # scale-killer on a link-dense corpus)
         frontier = [r.nav_url for r in prioritize(nav).limit(remaining).collect()]
         tok.unpersist()
+
+    if cache_corpus:
+        # safe after the rounds: every page frame is an eager
+        # localCheckpoint, so nothing downstream re-reads docs
+        docs.unpersist()
 
     import uuid
 
