@@ -156,3 +156,8 @@ def test_jobs_cli_urls_end_to_end(spark, tmp_path):
     rc = main(["--input", inp, "--output", str(tmp_path / "out2"),
                "--urls", str(bad)])
     assert rc == 1
+
+    # --urls + --resume is a contradiction, refused up front
+    rc = main(["--input", inp, "--output", str(tmp_path / "out3"),
+               "--urls", str(urls), "--resume"])
+    assert rc == 2

@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.urls and args.resume:
+        print(json.dumps({
+            "error": "--urls is a one-shot work list; combine it with "
+                     "plain mode, not --resume (file-lineage resume "
+                     "tracks whole input files)"
+        }))
+        return 2
     from pyspark.sql import SparkSession
 
     preexisting = SparkSession.getActiveSession() is not None
