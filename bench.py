@@ -240,9 +240,19 @@ def main() -> None:
     queries = contract.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2 FULL passes: each pass rebuilds the DataFrame (so
+        # Catalyst planning is included, same basis as the round-1
+        # single-pass numbers) and starts from a cleared cache (so
+        # intra-query persists don't carry over).  The min filters the
+        # sandbox host's hypervisor-steal spikes — the same
+        # stabilization the flagship has used since round 1.
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     n_docs, fl_sec, _steal = flagship(spark, sf_dir, replication, passes=2)
     timings["flagship_extract"] = round(fl_sec, 3)
