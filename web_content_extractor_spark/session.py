@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep post-shuffle stages parallel on small inputs: the 1 MB
+        # default minPartitionSize lets AQE coalesce a test-scale
+        # corpus to 2-3 partitions, serializing the (CPU-bound) Arrow
+        # UDF stages behind them; at corpus scale partitions are far
+        # above either floor so this is a no-op there
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
