@@ -272,9 +272,13 @@ def ngram_jaccard_pairs(
     dropped before the self-join (they would otherwise produce df^2
     join rows for zero dedup signal — the standard hot-key cut).
     """
+    # the exploded gram table feeds three consumers (doc sizes, the
+    # document-frequency cap, and both self-join sides): persist +
+    # materialize so the interpreted n-gram expression runs once
     grams = docs.select(
         "doc_id", F.explode(_word_ngrams(F.col(text_col), ngram)).alias("g")
-    )
+    ).persist()
+    grams.count()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     df_cap = grams.groupBy("g").agg(F.count("*").alias("df")).where(
         F.col("df") <= max_df
