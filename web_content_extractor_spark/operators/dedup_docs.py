@@ -309,42 +309,57 @@ def ngram_jaccard_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: native token hashing + numpy bit aggregation.
+    """64-bit SimHash in one Arrow batch kernel.
 
-    Token hashes are computed JVM-side (xxhash64); the only Python is a
-    vectorized Pandas UDF that bit-counts int64 arrays with numpy.
-    Returns (doc_id, simhash bigint).
+    Tokenization (the same lower/\\s+/non-empty rule as the minhash
+    kernel) and 64-bit token hashing (blake2b-8, C-speed, full bit
+    dispersion) both run inside the UDF: shipping raw text beats
+    shipping a JVM-built token-hash array, and the former JVM
+    ``transform(toks, xxhash64)`` higher-order expression is
+    interpreted per element by Catalyst (no codegen) — the same
+    bottleneck profiled in the minhash path.  The bit aggregation is
+    the flatten + per-bit segment-reduce from before (a full
+    (total_tokens, 64) bit matrix thrashes memory and benched ~100x
+    slower).  Returns (doc_id, simhash bigint).
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
-    )
-    hashed = docs.select(
-        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
-    )
 
     @F.pandas_udf("bigint")
-    def _simhash(arrs: pd.Series) -> pd.Series:
+    def _simhash(texts: pd.Series) -> pd.Series:
+        from hashlib import blake2b
+
         import numpy as np
 
-        n = len(arrs)
+        n = len(texts)
         out = np.zeros(n, dtype=np.int64)
         if n == 0:
             return pd.Series(out)
-        # flatten + segment-reduce over the whole batch (same pattern
-        # as the minhash kernel), iterating the 64 bit positions so the
-        # working set stays one flat (total_tokens,) vector per pass —
-        # a full (total_tokens, 64) bit matrix thrashes memory and
-        # benched ~100x slower; this form benches ~2x faster than the
-        # per-row loop with identical outputs
-        lens = np.fromiter(
-            ((0 if a is None else len(a)) for a in arrs), np.int64, count=n
-        )
-        nz = np.nonzero(lens)[0]
-        if len(nz) == 0:
+        chunks: list = []
+        lens = np.zeros(n, dtype=np.int64)
+        for idx, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            th = np.fromiter(
+                (
+                    int.from_bytes(
+                        blake2b(
+                            tok.encode("utf-8", "surrogatepass"), digest_size=8
+                        ).digest(),
+                        "little",
+                    )
+                    for tok in toks
+                ),
+                np.uint64,
+                count=len(toks),
+            )
+            chunks.append((idx, th))
+            lens[idx] = len(th)
+        if not chunks:
             return pd.Series(out)
-        flat = np.concatenate(
-            [np.asarray(arrs[i], dtype=np.uint64) for i in nz]
-        )
+        nz = np.array([i for i, _ in chunks], dtype=np.int64)
+        flat = np.concatenate([th for _, th in chunks])
         offsets = np.zeros(len(nz), dtype=np.int64)
         np.cumsum(lens[nz][:-1], out=offsets[1:])
         sums = np.empty((len(nz), 64), dtype=np.uint64)
@@ -360,7 +375,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         out[nz] = packed.view(np.int64)
         return pd.Series(out)
 
-    return hashed.select("doc_id", _simhash("th").alias("simhash"))
+    return docs.select("doc_id", _simhash(F.col(text_col)).alias("simhash"))
 
 
 def simhash_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
