@@ -784,6 +784,17 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et
+    al.): k-gram polynomial hash, deterministic window-min selection."""
+    d = _read(spark, sf_dir, "documents")
+    return tq.winnow_fingerprints(d, k=5, window=4).select(
+        "doc_id",
+        F.col("fp_pos").cast("bigint").alias("fp_pos"),
+        F.col("fp_hash").cast("bigint").alias("fp_hash"),
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(
@@ -887,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "similarity_topk": q_similarity_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1315,6 +1327,35 @@ def oracle_sql() -> dict[str, str]:
                coalesce(top.n_bigrams, 0) AS n_bigrams,
                coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
         FROM per LEFT JOIN top USING (doc_id)
+        """,
+        "winnow_fingerprints": """
+        WITH d AS (
+          SELECT doc_id, text, len(text) - 4 AS np FROM documents
+          WHERE len(text) - 4 >= 4
+        ),
+        p AS (
+          SELECT doc_id, text, np, unnest(range(1, np + 1)) AS pos FROM d
+        ),
+        h AS (
+          SELECT doc_id, pos, np,
+                 ((ord(substr(text, CAST(pos AS INTEGER), 1)) * CAST(4362470401 AS BIGINT)
+                 + ord(substr(text, CAST(pos + 1 AS INTEGER), 1)) * 16974593
+                 + ord(substr(text, CAST(pos + 2 AS INTEGER), 1)) * 66049
+                 + ord(substr(text, CAST(pos + 3 AS INTEGER), 1)) * 257
+                 + ord(substr(text, CAST(pos + 4 AS INTEGER), 1)))
+                  % 2147483647) * 1048576 + pos AS hp
+          FROM p
+        ),
+        s AS (
+          SELECT doc_id, pos, np,
+                 min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          FROM h
+        )
+        SELECT DISTINCT doc_id,
+               CAST(sel % 1048576 AS BIGINT) AS fp_pos,
+               CAST(sel // 1048576 AS BIGINT) AS fp_hash
+        FROM s WHERE pos <= np - 3
         """,
         "similarity_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

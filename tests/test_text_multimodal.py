@@ -96,6 +96,35 @@ def test_repetition_signals(spark):
     assert grams[2].g == []
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    # winnowing guarantee (Schleimer et al.): any shared substring of
+    # length >= window + k - 1 (here 8) produces at least one shared
+    # fp_hash, robust to the substring's position in the document
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            ("d1", f"AAAA {shared} BBBB"),
+            ("d2", f"completely different prefix {shared}"),
+            ("d3", "nothing in common with the others at all zzz"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = tq.winnow_fingerprints(df, k=5, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert len(by_doc["d1"] & by_doc["d2"]) >= 1
+    # deterministic across runs
+    again = tq.winnow_fingerprints(df, k=5, window=4).collect()
+    assert {(r.doc_id, r.fp_pos, r.fp_hash) for r in again} == {
+        (r.doc_id, r.fp_pos, r.fp_hash) for r in fps
+    }
+    # overlap similarity ranks the true pair first
+    sim_12 = len(by_doc["d1"] & by_doc["d2"])
+    sim_13 = len(by_doc["d1"] & by_doc["d3"])
+    assert sim_12 > sim_13
+
+
 def test_text_functions_on_real_documents(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     res = docs.select(

@@ -134,3 +134,74 @@ def fingerprint(text: Column) -> Column:
     lowercased text (the distributed analog of content-hash dedup keys).
     """
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+# --- winnowing (rolling-hash fingerprints, Schleimer et al. 2003) --------
+
+WINNOW_B = 257  # polynomial base
+WINNOW_M = 2147483647  # 2^31 - 1
+_POS_BITS = 20  # pos packed below the hash for deterministic arg-min
+
+
+def _kgram_hash(text: Column, pos: Column, k: int) -> Column:
+    """Polynomial hash of the char k-gram at 1-based ``pos``.
+
+    Plain fixed-arity column arithmetic (codegen-friendly, no HOF) over
+    code points; every term < 2^63 so the math is exact in int64 on
+    both Spark and the DuckDB oracle (codepoint <= 0x10FFFF, B^(k-1)
+    <= 257^4, k terms).
+    """
+    h = F.lit(0).cast("bigint")
+    for j in range(k):
+        coef = WINNOW_B ** (k - 1 - j)
+        h = h + F.ascii(F.substring(text, pos + j, 1)).cast("bigint") * F.lit(coef)
+    return F.pmod(h, F.lit(WINNOW_M))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints: (doc_id, fp_pos, fp_hash), distinct.
+
+    The standard local document fingerprinting scheme: hash every char
+    k-gram with a rolling-style polynomial hash, then from every
+    ``window`` consecutive hashes select the minimal (hash, pos) pair
+    — ties broken by position via packing pos into the low bits, so
+    selection is fully deterministic and identical in the SQL oracle.
+    Guarantee: any shared substring of length >= window+k-1 yields at
+    least one shared fingerprint, which is what makes the fingerprint
+    set a plagiarism/near-dup index.
+
+    Scale shape: narrow explode of positions (no text shuffle), one
+    window per doc partition, distinct on (doc_id, packed) — a single
+    balanced shuffle keyed by doc_id.
+    """
+    from pyspark.sql import Window
+
+    n_pos = F.length(F.col(text_col)) - (k - 1)  # k-grams per doc
+    pos = docs.where(n_pos >= window).select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        n_pos.alias("_np"),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+    )
+    packed = (
+        _kgram_hash(F.col("_t"), F.col("pos"), k) * F.lit(1 << _POS_BITS)
+        + F.col("pos")
+    ).alias("hp")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    sel = pos.select(
+        "doc_id", "pos", "_np", F.min(packed).over(w).alias("sel")
+    ).where(F.col("pos") <= F.col("_np") - (window - 1))  # full windows only
+    return (
+        sel.select(
+            "doc_id",
+            F.col("sel").bitwiseAND(F.lit((1 << _POS_BITS) - 1)).alias("fp_pos"),
+            F.shiftright(F.col("sel"), _POS_BITS).alias("fp_hash"),
+        )
+        .distinct()
+    )
