@@ -784,6 +784,15 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup (batch vs corpus) — the
+    oracle-checked verification metric for the LSH near-dup path."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.exact_near_duplicates(
+        emb, emb.where("vec_id < 200"), min_cos=0.4
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing, Schleimer et
     al.): k-gram polynomial hash, deterministic window-min selection."""
@@ -899,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
         "similarity_topk": q_similarity_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1327,6 +1337,19 @@ def oracle_sql() -> dict[str, str]:
                coalesce(top.n_bigrams, 0) AS n_bigrams,
                coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
         FROM per LEFT JOIN top USING (doc_id)
+        """,
+        "embedding_neardup_exact": """
+        WITH b AS (
+          SELECT vec_id AS batch_id, embedding AS bv FROM embeddings
+          WHERE vec_id < 200
+        ),
+        scored AS (
+          SELECT b.batch_id, e.vec_id AS corpus_id,
+                 round(list_cosine_similarity(b.bv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+          FROM embeddings e CROSS JOIN b
+          WHERE e.vec_id <> b.batch_id
+        )
+        SELECT batch_id, corpus_id, cos_sim FROM scored WHERE cos_sim >= 0.4
         """,
         "winnow_fingerprints": """
         WITH d AS (

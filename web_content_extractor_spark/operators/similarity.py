@@ -81,6 +81,41 @@ def brute_force_topk(
     )
 
 
+def exact_near_duplicates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    min_cos: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dups of a (small) candidate batch vs the
+    corpus: (batch_id, corpus_id, cos_sim >= min_cos), self excluded.
+
+    The incremental-dedup shape: the new batch broadcasts, the corpus
+    streams through one scan with JVM-side dot products — no corpus
+    shuffle, cost |batch| x N.  The LSH/IVF paths are the all-pairs
+    scale path; this is the exact verification metric with a SQL
+    oracle (threshold applied to the 6-dp-rounded value on both sides
+    so float summation order can't flip the cut).
+    """
+    b = batch.select(
+        F.col(id_col).alias("batch_id"), F.col(vec_col).alias("b_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .where(F.col("batch_id") != F.col("corpus_id"))
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(cosine(F.col("b_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (public LSH construction)."""
     rng = np.random.RandomState(seed)
