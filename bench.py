@@ -58,6 +58,13 @@ HEADLINE = [
     "per_host_salted",    # salted two-phase Zipf-host rollup
     "pdf_layout",         # PDF/layout media branch
     "crawl_merge",        # iterative BFS crawl rounds
+    # round-2 additions
+    "extract_errors",     # per-doc error table (tokenize -> explode)
+    "url_batch",          # URL-list broadcast semi-join work list
+    "repetition_scores",  # Gopher-style repetition quality signals
+    "winnow_fingerprints",  # rolling-hash winnowing fingerprints
+    "ivf_topk",           # IVF ANN (kmeans index build + probes)
+    "embedding_neardup_exact",  # exact batch-vs-corpus near-dup
 ]
 
 

@@ -10,7 +10,9 @@ portable primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -143,65 +145,56 @@ WINNOW_M = 2147483647  # 2^31 - 1
 _POS_BITS = 20  # pos packed below the hash for deterministic arg-min
 
 
-def _kgram_hash(text: Column, pos: Column, k: int) -> Column:
-    """Polynomial hash of the char k-gram at 1-based ``pos``.
-
-    Plain fixed-arity column arithmetic (codegen-friendly, no HOF) over
-    code points; every term < 2^63 so the math is exact in int64 on
-    both Spark and the DuckDB oracle (codepoint <= 0x10FFFF, B^(k-1)
-    <= 257^4, k terms).
-    """
-    h = F.lit(0).cast("bigint")
-    for j in range(k):
-        coef = WINNOW_B ** (k - 1 - j)
-        h = h + F.ascii(F.substring(text, pos + j, 1)).cast("bigint") * F.lit(coef)
-    return F.pmod(h, F.lit(WINNOW_M))
-
-
 def winnow_fingerprints(
     docs: DataFrame, text_col: str = "text", k: int = 5, window: int = 4
 ) -> DataFrame:
     """Winnowing fingerprints: (doc_id, fp_pos, fp_hash), distinct.
 
     The standard local document fingerprinting scheme: hash every char
-    k-gram with a rolling-style polynomial hash, then from every
-    ``window`` consecutive hashes select the minimal (hash, pos) pair
-    — ties broken by position via packing pos into the low bits, so
-    selection is fully deterministic and identical in the SQL oracle.
-    Guarantee: any shared substring of length >= window+k-1 yields at
-    least one shared fingerprint, which is what makes the fingerprint
-    set a plagiarism/near-dup index.
+    k-gram with a polynomial hash, then from every ``window``
+    consecutive hashes select the minimal (hash, pos) pair — ties
+    broken by position via packing pos into the low bits, so selection
+    is fully deterministic and identical in the SQL oracle (the math
+    is exact int64 on both sides).  Guarantee: any shared substring of
+    length >= window+k-1 yields at least one shared fingerprint, which
+    is what makes the fingerprint set a plagiarism/near-dup index.
 
-    Scale shape: narrow explode of positions (no text shuffle), one
-    window per doc partition, distinct on (doc_id, packed) — a single
-    balanced shuffle keyed by doc_id.
+    The per-doc kernel is one vectorized Arrow UDF (codepoints via a
+    utf-32 view, shifted adds for the polynomial, sliding-window min,
+    np.unique) returning packed fingerprints; the equivalent explode +
+    5x substring/ascii + row window ran ~10x slower.  One narrow
+    explode afterwards; distinct is the only shuffle, keyed (doc_id,
+    fingerprint) — balanced at any scale.
     """
-    from pyspark.sql import Window
+    @F.pandas_udf("array<bigint>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
 
-    n_pos = F.length(F.col(text_col)) - (k - 1)  # k-grams per doc
-    pos = docs.where(n_pos >= window).select(
-        "doc_id",
-        F.col(text_col).alias("_t"),
-        n_pos.alias("_np"),
-        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
-    )
-    packed = (
-        _kgram_hash(F.col("_t"), F.col("pos"), k) * F.lit(1 << _POS_BITS)
-        + F.col("pos")
-    ).alias("hp")
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
-    )
-    sel = pos.select(
-        "doc_id", "pos", "_np", F.min(packed).over(w).alias("sel")
-    ).where(F.col("pos") <= F.col("_np") - (window - 1))  # full windows only
+        out: list = []
+        for t in texts:
+            if not t or len(t) - (k - 1) < window:
+                out.append([])
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            ).astype(np.int64)
+            n_pos = len(codes) - (k - 1)
+            h = np.zeros(n_pos, dtype=np.int64)
+            for j in range(k):
+                h += codes[j : n_pos + j] * (WINNOW_B ** (k - 1 - j))
+            h %= WINNOW_M
+            packed = h * (1 << _POS_BITS) + np.arange(1, n_pos + 1)
+            sel = sliding_window_view(packed, window).min(axis=1)
+            out.append(np.unique(sel))
+        return pd.Series(out, dtype=object)
+
     return (
-        sel.select(
+        docs.select("doc_id", F.explode(_winnow(F.col(text_col))).alias("fp"))
+        .select(
             "doc_id",
-            F.col("sel").bitwiseAND(F.lit((1 << _POS_BITS) - 1)).alias("fp_pos"),
-            F.shiftright(F.col("sel"), _POS_BITS).alias("fp_hash"),
+            F.col("fp").bitwiseAND(F.lit((1 << _POS_BITS) - 1)).alias("fp_pos"),
+            F.shiftright(F.col("fp"), _POS_BITS).alias("fp_hash"),
         )
         .distinct()
     )

@@ -4,15 +4,17 @@ Four tiers, all designed around their shuffle profile at 100 TB:
 
 - exact        — one balanced shuffle on a 256-bit content hash; no
                  skew possible (hash keys are uniform).
-- minhash_lsh  — signature + banding entirely in native Column algebra
-                 (xxhash64 + higher-order array functions: NO Python in
-                 the hot path); candidate generation is an equi-join on
-                 (band, band_hash) buckets, so cost is bounded by
-                 bucket collisions rather than n^2.
-- simhash      — native token hashing + a vectorized numpy Pandas UDF
-                 for the 64-bit sign aggregation; near-dup candidates
-                 pair up via identical simhash (Hamming-0 buckets) or
-                 rotated-band buckets.
+- minhash_lsh  — shingle/hash/permute-min in ONE vectorized Arrow
+                 kernel (interpreted JVM higher-order expressions
+                 benched ~30x slower — HOFs don't codegen); banding is
+                 native Columns; candidate generation is an id-only
+                 equi-join on (band, band_hash) buckets, so cost is
+                 bounded by bucket collisions rather than n^2, and the
+                 wide signature arrays never ride the banding shuffle.
+- simhash      — tokenize + 64-bit hash + per-bit segment-reduce in
+                 one Arrow kernel; near-dup candidates pair up via
+                 identical simhash (Hamming-0 buckets) or rotated-band
+                 buckets.
 - ngram_jaccard — exact verification metric; the self-join is gated by
                  a document-frequency cap on join keys (hot shingles
                  are dropped before the join — the classic skew guard).
