@@ -165,6 +165,11 @@ def winnow_fingerprints(
     5x substring/ascii + row window ran ~10x slower.  One narrow
     explode afterwards; distinct is the only shuffle, keyed (doc_id,
     fingerprint) — balanced at any scale.
+
+    Positions pack into the low ``_POS_BITS`` bits, so per-document
+    length is bounded at 2^20 chars; chunk longer documents upstream
+    (fingerprints are local, so chunking at >= window+k-1 overlap
+    preserves the guarantee).
     """
     @F.pandas_udf("array<bigint>")
     def _winnow(texts: pd.Series) -> pd.Series:

@@ -73,13 +73,6 @@ def _word_ngrams(text: Column, n: int) -> Column:
     )
 
 
-def _shingle_hashes(text: Column, n: int) -> Column:
-    """Distinct n-gram hashes folded into [0, 2^31-1) (native xxhash64)."""
-    return F.transform(
-        _word_ngrams(text, n), lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE))
-    )
-
-
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
     import random

@@ -104,6 +104,11 @@ def exact_near_duplicates(
     import pandas as pd
 
     brows = batch.select(id_col, vec_col).collect()
+    if not brows:
+        id_type = dict(corpus.dtypes)[id_col]
+        return corpus.sparkSession.createDataFrame(
+            [], f"batch_id {id_type}, corpus_id {id_type}, cos_sim double"
+        )
     b_ids = [r[0] for r in brows]
     B = np.stack([np.asarray(r[1], dtype=np.float64) for r in brows])
     Bn = (B / np.linalg.norm(B, axis=1, keepdims=True)).T  # (dim, m)
@@ -271,23 +276,50 @@ def ivf_build(
     sample; the per-round plan shape is unchanged.
     """
 
+    import pandas as pd
+
     def means(assigned: DataFrame, prev: list[list[float]] | None) -> list[list[float]]:
-        rows = (
-            assigned.select(
-                "cid", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        # map-side partial sums: each partition reduces its vectors to
+        # at most n_centroids (cid, count, sum-vector) rows in numpy —
+        # ONE narrow pass, no shuffle, driver combines <= k * P partials
+        # (the posexplode -> groupBy(cid, pos) alternative shuffles
+        # n x dim scalar rows per round)
+        def partials(batches):
+            acc: dict[int, list] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                cids = pdf["cid"].to_numpy()
+                for c in np.unique(cids):
+                    sel = V[cids == c]
+                    if int(c) in acc:
+                        acc[int(c)][0] += len(sel)
+                        acc[int(c)][1] += sel.sum(axis=0)
+                    else:
+                        acc[int(c)] = [len(sel), sel.sum(axis=0)]
+            yield pd.DataFrame(
+                {
+                    "cid": list(acc),
+                    "cnt": [v[0] for v in acc.values()],
+                    "vsum": [v[1] for v in acc.values()],
+                }
             )
-            .groupBy("cid", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
+
+        rows = assigned.mapInPandas(
+            partials, schema="cid int, cnt long, vsum array<double>"
+        ).collect()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
         for r in rows:
-            by_cid.setdefault(r.cid, {})[r.pos] = r.m
-        dim = 1 + max(p for d in by_cid.values() for p in d)
+            v = np.asarray(r.vsum, dtype=np.float64)
+            sums[r.cid] = sums.get(r.cid, 0) + v
+            counts[r.cid] = counts.get(r.cid, 0) + r.cnt
+        dim = len(next(iter(sums.values())))
         out = []
         for c in range(n_centroids):
-            if c in by_cid:
-                out.append([by_cid[c].get(p, 0.0) for p in range(dim)])
+            if c in sums:
+                out.append(list(sums[c] / counts[c]))
             else:  # empty cluster keeps its previous centroid
                 out.append(list(prev[c]) if prev else [0.0] * dim)
         return out
