@@ -225,6 +225,50 @@ def test_fast_scanner_differential_generated(parts):
     _assert_same(html)
 
 
+def test_fast_scanner_adversarial_alphabet():
+    # seeded random compositions of pathological HTML fragments; the
+    # engine path (fast scanner w/ stdlib fallback) must END-BEHAVE
+    # identically to HTMLParser, including its raising cases (which
+    # tokenize_doc converts to parse_error records)
+    import random
+
+    from web_content_extractor_spark.functions.tokenizer import (
+        _fast_feed,
+        _LinkTokenizer,
+    )
+
+    def run_ref(s):
+        t = _LinkTokenizer()
+        try:
+            t.feed(s)
+            t.close()
+            return ("ok", t.anchors, t.iframes, t.objects, t.embeds, t.title)
+        except Exception as e:
+            return ("exc", type(e).__name__)
+
+    def run_engine(s):
+        t = _LinkTokenizer()
+        try:
+            _fast_feed(t, s)
+            return ("ok", t.anchors, t.iframes, t.objects, t.embeds, t.title)
+        except Exception:
+            return run_ref(s)
+
+    rng = random.Random(20260817)
+    alphabet = list("<>/=\"'!?-abct &;#xX09") + [
+        "<a href=", "</a>", "<!--", "-->", "<script>", "</script>",
+        "&amp;", "&#65;", "<![", "]>", "--!>", "<?", "href", "download=",
+        "title=", "\n", "<iframe", "<object", "<embed", "<title>",
+        "</title>", "<b>", "</b>", '<p class="x">', "</p>",
+        '<h2 title="a>b">', "mailto:x", "<<", ">>",
+        '<div data-x="<a href=q>w</a>">', "<!doctype html>",
+        "<![CDATA[x]]>",
+    ]
+    for _ in range(4000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 50)))
+        assert run_ref(s) == run_engine(s), repr(s)
+
+
 def test_title_captured():
     _, title, _ = tokenize_html("<title> My Page </title>", BASE)
     assert title == "My Page"
