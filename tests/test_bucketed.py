@@ -49,6 +49,47 @@ def test_bucketed_join_is_shuffle_free(spark, bucketed_pair):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
+def test_static_partition_pruning(spark, tmp_path):
+    # hive-partitioned corpus layout (host=... dirs): a host predicate
+    # must prune at the FILE level, not post-scan
+    docs = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 8), F.lit("/d"), F.col("id"))
+        .alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 8)).alias("host"),
+        (F.col("id") * 3).alias("n_links"),
+    )
+    path = str(tmp_path / "parted")
+    docs.write.partitionBy("host").parquet(path)
+    back = spark.read.parquet(path).where(F.col("host") == "h3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "h3" in plan
+    assert back.count() == 125
+    # post-scan there is no host filter left: pruning happened at the
+    # source, so the data filter list carries no host condition
+    data_filters = plan.split("PartitionFilters")[0]
+    assert "isnotnull(host" not in data_filters
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    # the 100-TB join shape: fact partitioned by host, small filtered
+    # dim on host -> Spark injects a dynamic pruning subquery so only
+    # the dim's hosts are scanned
+    fact = spark.range(0, 4000).select(
+        (F.col("id") % 16).cast("string").alias("host"),
+        (F.col("id") * 2).alias("links"),
+    )
+    path = str(tmp_path / "fact")
+    fact.write.partitionBy("host").parquet(path)
+    dim = spark.createDataFrame(
+        [("3", "edu"), ("7", "edu")], "host string, category string"
+    )
+    f = spark.read.parquet(path)
+    j = f.join(dim.where(F.col("category") == "edu"), "host")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert j.count() == 500
+
+
 def test_bucketed_groupby_avoids_shuffle(spark, bucketed_pair):
     left, _ = bucketed_pair
     # aggregation on the bucket key also reuses the layout: no Exchange
