@@ -177,10 +177,75 @@ def test_image_features_schema_and_determinism(spark, media_df):
     assert by_id["m4"].n_bytes == 0
 
 
-def test_real_decoder_is_marked_stub(spark, media_df):
+def _tiny_png(w=4, h=3, color=(10, 200, 30), filt=0):
+    """Hand-built 8-bit RGB PNG (stdlib only) with a chosen row filter."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    row = bytes(color) * w
+    if filt == 0:
+        raw = b"".join(b"\x00" + row for _ in range(h))
+    elif filt == 2:  # Up: first row None, rest all-zero deltas
+        raw = b"\x00" + row + b"".join(
+            b"\x02" + b"\x00" * (w * 3) for _ in range(h - 1)
+        )
+    else:  # Sub: per-row, first pixel literal then zero deltas
+        raw = b"".join(
+            b"\x01" + bytes(color) + b"\x00" * ((w - 1) * 3) for _ in range(h)
+        )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2])
+def test_png_decode_kernel(filt):
+    img = multimodal._decode_png(_tiny_png(filt=filt))
+    assert img is not None and img.shape == (3, 4, 3)
+    assert (img[..., 0] == 10).all() and (img[..., 1] == 200).all()
+    assert multimodal._decode_png(b"not a png") is None
+
+
+def test_image_features_real_path(spark):
+    media = spark.createDataFrame(
+        [
+            ("m1", "d1", "image", "image/png", _tiny_png(), (4, 3, None, 0)),
+            ("m2", "d2", "image", "image/jpeg", b"\xff\xd8 not decodable",
+             (None, None, None, 0)),
+        ],
+        "media_id string, doc_id string, media_type string, mime string, "
+        "payload binary, meta struct<width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    rows = {r.media_id: r for r in multimodal.extract_image_features(
+        media, deterministic_fake=False
+    ).collect()}
+    real = rows["m1"]
+    # real decode: green-dominant means, thumb capped at actual size
+    assert abs(real.features[6] - 200 / 255) < 1e-6  # mean green
+    assert abs(real.features[5] - 10 / 255) < 1e-6   # mean red
+    assert (real.thumb_w, real.thumb_h) == (4, 3)
+    # undecodable payload falls back to the deterministic fake
+    fake = rows["m2"]
+    expected = multimodal._fake_features(b"\xff\xd8 not decodable")
+    assert all(  # features column is float32; compare at that precision
+        abs(a - b) < 1e-6 for a, b in zip(fake.features, expected)
+    )
+
+
+def test_video_decoder_is_marked_stub(spark, media_df):
     with pytest.raises(Exception) as ei:
-        multimodal.extract_image_features(
-            media_df, deterministic_fake=False
+        multimodal.sample_frames(
+            media_df.where("media_type = 'video'"), deterministic_fake=False
         ).collect()
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
 

@@ -2,13 +2,17 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched ``mapInPandas`` stages.  The decode kernels are
-STUBBED in this environment (no imaging/audio libraries in the
-container — clearly marked below); everything Spark-side is real and
-tested: schemas, batch shapes, partitioning behavior, UDF signatures.
+as Arrow-batched ``mapInPandas`` stages.  Two decode paths are REAL
+pure-Python kernels exercised by tests: PNG (``_decode_png``: IDAT
+inflate + all five scanline filters -> pixel features) and PDF layout
+(``_parse_pdf_real`` below).  Video frame decode is the one genuinely
+environment-blocked slot (needs ffmpeg) and is clearly stubbed with a
+deterministic fake.  Undecodable payloads fall back to the
+deterministic fake — drop-not-fail, mirroring the link pipeline.
 
-On a real cluster you drop in PIL/torchvision/ffmpeg inside
-``_decode_image_real`` and nothing else changes.
+On a real cluster you swap PIL/torchvision/ffmpeg into the decode
+slots and nothing else changes — schemas, batch shapes, partitioning
+and UDF signatures are identical.
 """
 
 from __future__ import annotations
@@ -55,12 +59,137 @@ IMAGE_FEATURES = T.StructType(
 )
 
 
-def _decode_image_real(payload: bytes) -> object:
-    """Real decoder slot. STUB: imaging libs absent in this container."""
+def _decode_video_real(payload: bytes) -> object:
+    """Real video-decode slot. STUB: no codec libraries (ffmpeg) in
+    this container — the one genuinely environment-blocked decode; the
+    image (PNG) and PDF branches below are real pure-Python decoders."""
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this "
-        "environment; use deterministic_fake=True for plumbing tests"
+        "video frame decode requires ffmpeg/pyav — not available in "
+        "this environment; use deterministic_fake=True for plumbing tests"
     )
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth, non-interlaced only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes):
+    """Minimal pure-Python PNG decoder (stdlib zlib only).
+
+    Real-decode slot for the image branch: parses IHDR/IDAT, inflates,
+    and un-filters scanlines (all five PNG filter types) into an
+    (h, w, channels) uint8 array.  Supports 8-bit gray / gray+alpha /
+    RGB / RGBA, non-interlaced — the overwhelmingly common shapes.
+    Returns None for anything it can't decode (caller falls back to
+    the deterministic fake — drop-not-fail).  Swap in PIL/torchvision
+    for full coverage; schema and plumbing don't change.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_MAGIC):
+        return None
+    pos, n = 8, len(payload)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    try:
+        while pos + 8 <= n:
+            (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+                pos + 4 : pos + 8
+            ]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                    return None
+                channels = _PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if not width or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) < height * (stride + 1):
+            return None
+        out = np.empty((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        bpp = channels
+        for y in range(height):
+            off = y * (stride + 1)
+            ftype = raw[off]
+            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+            if ftype == 0:  # None
+                cur = line.copy()
+            elif ftype == 2:  # Up
+                cur = line + prev
+            elif ftype in (1, 3, 4):  # Sub / Average / Paeth: scan left-to-right
+                cur = np.empty(stride, dtype=np.uint8)
+                li = line.astype(np.int32)
+                pv = prev.astype(np.int32)
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(pv[x])
+                    if ftype == 1:
+                        val = li[x] + a
+                    elif ftype == 3:
+                        val = li[x] + ((a + b) >> 1)
+                    else:
+                        c = int(pv[x - bpp]) if x >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        val = li[x] + pred
+                    cur[x] = val & 0xFF
+            else:
+                return None
+            out[y] = cur
+            prev = cur
+        return out.reshape(height, width, channels)
+    except Exception:
+        return None
+
+
+def _real_image_features(payload: bytes, n: int = 8):
+    """Decode (PNG) and extract real features; None if undecodable.
+
+    Features: [w_norm, h_norm, aspect, mean_lum, std_lum, mean_r,
+    mean_g, mean_b] — all in [0, 1]-ish ranges so downstream ANN can
+    consume them next to fake-backend rows.
+    """
+    import numpy as np
+
+    img = _decode_png(payload)
+    if img is None:
+        return None
+    h, w, c = img.shape
+    px = img.astype(np.float64)
+    if c == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif c == 2:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:
+        rgb = px[:, :, :3]
+    lum = rgb.mean(axis=2)
+    feats = [
+        min(w / 4096.0, 1.0),
+        min(h / 4096.0, 1.0),
+        min(w / max(h, 1) / 4.0, 1.0),
+        float(lum.mean() / 255.0),
+        float(lum.std() / 255.0),
+        float(rgb[:, :, 0].mean() / 255.0),
+        float(rgb[:, :, 1].mean() / 255.0),
+        float(rgb[:, :, 2].mean() / 255.0),
+    ]
+    return (w, h, feats[:n])
 
 
 def _fake_features(payload: bytes, n: int = 8) -> list[float]:
@@ -97,15 +226,22 @@ def extract_image_features(
                 pdf["media_id"], pdf["doc_id"], pdf["payload"]
             ):
                 payload = bytes(payload) if payload is not None else b""
+                tw, th = thumb
+                feats = None
                 if not deterministic_fake:
-                    _decode_image_real(payload)  # pragma: no cover
+                    decoded = _real_image_features(payload)
+                    if decoded is not None:
+                        w, h, feats = decoded
+                        tw, th = min(thumb[0], w), min(thumb[1], h)
+                if feats is None:  # fake backend or undecodable payload
+                    feats = _fake_features(payload)
                 out["media_id"].append(media_id)
                 out["doc_id"].append(doc_id)
                 out["n_bytes"].append(len(payload))
                 out["content_hash"].append(hashlib.sha256(payload).hexdigest())
-                out["thumb_w"].append(thumb[0])
-                out["thumb_h"].append(thumb[1])
-                out["features"].append(_fake_features(payload))
+                out["thumb_w"].append(tw)
+                out["thumb_h"].append(th)
+                out["features"].append(feats)
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, schema=IMAGE_FEATURES)
@@ -288,7 +424,7 @@ def sample_frames(
                 pdf["media_id"], pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
                 if not deterministic_fake:
-                    _decode_image_real(b"")  # pragma: no cover
+                    _decode_video_real(b"")  # pragma: no cover
                 duration = (meta or {}).get("duration_ms") or 0
                 payload = bytes(payload) if payload is not None else b""
                 rows += [
