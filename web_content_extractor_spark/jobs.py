@@ -88,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             args.input,
             args.output,
             metrics_path=args.metrics,
+            errors_path=args.errors,
             variant=args.variant,
             balance=args.balance,
         )

@@ -60,6 +60,7 @@ def run_resumable_extract(
     input_path: str,
     output_path: str,
     metrics_path: str | None = None,
+    errors_path: str | None = None,
     variant: str = "context",
     balance: bool = False,
 ) -> dict[str, Any]:
@@ -67,6 +68,9 @@ def run_resumable_extract(
 
     Returns {"run_id", "files_processed", "docs"}; a no-op (everything
     already processed) returns files_processed == 0 and writes nothing.
+    ``errors_path`` additionally appends the per-doc errors table for
+    the processed files (operators/errors.py) under the same run_id,
+    so a resumed run's error rows are attributable to its manifest.
     """
     run_id = uuid.uuid4().hex[:12]
     all_files = spark.read.schema(DOCS).parquet(input_path).inputFiles()
@@ -75,7 +79,13 @@ def run_resumable_extract(
         return {"run_id": run_id, "files_processed": 0, "docs": 0}
 
     docs = spark.read.schema(DOCS).parquet(*todo)
-    extracted = extract(docs, variant=variant, balance=balance, with_stats=True)
+    extracted = extract(
+        docs,
+        variant=variant,
+        balance=balance,
+        with_stats=True,
+        with_errors=bool(errors_path),
+    )
     extracted.persist()
     try:
         extracted.select("doc_id", "spans").write.mode("append").parquet(output_path)
@@ -83,6 +93,13 @@ def run_resumable_extract(
             partition_metrics(extracted, run_id=run_id).write.mode("append").parquet(
                 metrics_path
             )
+        if errors_path:
+            from web_content_extractor_spark.operators.errors import (
+                doc_errors,
+                write_errors,
+            )
+
+            write_errors(doc_errors(extracted, run_id=run_id), errors_path)
         n_docs = extracted.count()
     finally:
         extracted.unpersist()
