@@ -834,8 +834,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes (approximate by design -> rows-only; recall pinned in
     tests/test_dedup_similarity.py)."""
     emb = _read(spark, sf_dir, "embeddings")
+    # one Lloyd round here (fewer index-build jobs in the driver run);
+    # recall at the default iters=2 is pinned in tests
     return similarity.ivf_topk(
-        emb, emb.where("vec_id < 5"), k=5, n_centroids=16, nprobe=4
+        emb, emb.where("vec_id < 5"), k=5, n_centroids=16, nprobe=4, iters=1
     )
 
 
