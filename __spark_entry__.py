@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from web_content_extractor_spark.functions import text_quality as tq
 from web_content_extractor_spark.functions.classify import classify_kind
-from web_content_extractor_spark.operators import dedup_docs, similarity
+from web_content_extractor_spark.operators import (
+    decontam,
+    dedup_docs,
+    keywords,
+    similarity,
+)
 from web_content_extractor_spark.operators.assemble import explode_spans
 from web_content_extractor_spark.operators.crawl import crawl
 from web_content_extractor_spark.plans.pipeline import extract
@@ -804,6 +809,21 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents containing any
+    benchmark snippet (normalized substring).  Native broadcast
+    contains-join (the oracle path); the Aho-Corasick single-pass
+    variant is equivalence-pinned in tests/test_keywords_decontam.py."""
+    d = _read(spark, sf_dir, "documents")
+    return decontam.contaminated_pairs(d, decontam.benchmark_snippets(d))
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed tf-idf (broadcast df join,
+    no second shuffle of the tf table)."""
+    return keywords.tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(
@@ -910,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "decontam": q_decontam,
+        "tfidf_topk": q_tfidf_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "similarity_topk": q_similarity_topk,
         "minhash_pairs": q_minhash_pairs,
@@ -1339,6 +1361,48 @@ def oracle_sql() -> dict[str, str]:
                coalesce(top.n_bigrams, 0) AS n_bigrams,
                coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
         FROM per LEFT JOIN top USING (doc_id)
+        """,
+        "decontam": """
+        WITH n AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, t,
+                 list_filter(string_split(t, ' '), x -> x <> '') AS w
+          FROM n
+        ),
+        b AS (
+          SELECT doc_id AS snippet_id,
+                 array_to_string(w[5:12], ' ') AS snippet
+          FROM tok
+          WHERE doc_id % 97 = 3 AND len(w) >= 12
+        )
+        SELECT DISTINCT n.doc_id, b.snippet_id
+        FROM n JOIN b ON contains(n.t, b.snippet)
+        """,
+        "tfidf_topk": f"""
+        WITH t AS ({_TOKS_CTE}),
+        terms AS (SELECT doc_id, unnest(w) AS term FROM t),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)) + 1.0)
+                   AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT doc_id, term, tf, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, round(score, 6) AS tfidf,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
         """,
         "embedding_neardup_exact": """
         WITH b AS (

@@ -63,6 +63,8 @@ HEADLINE = [
     "url_batch",          # URL-list broadcast semi-join work list
     "repetition_scores",  # Gopher-style repetition quality signals
     "winnow_fingerprints",  # rolling-hash winnowing fingerprints
+    "decontam",  # benchmark decontamination (broadcast contains-join)
+    "tfidf_topk",  # tf-idf keywords (broadcast df join + window top-k)
     "ivf_topk",           # IVF ANN (kmeans index build + probes)
     "embedding_neardup_exact",  # exact batch-vs-corpus near-dup
 ]

@@ -179,6 +179,37 @@ def main() -> int:
         ],
     )
 
+    # 8. decontam — snippet side broadcast (BNLJ on a contains
+    # predicate), corpus scanned once; only the tiny hit set shuffles
+    dc = contract.q_decontam(spark, SF_DIR)
+    p = formatted(dc)
+    audit(
+        "decontam (broadcast contains-join)",
+        dc,
+        [
+            ("snippet side broadcast (BroadcastNestedLoopJoin)",
+             "BroadcastNestedLoopJoin" in p),
+            ("corpus side not hash-shuffled before the join "
+             "(the only hashpartitioning exchange is the post-join distinct)",
+             p.count("Exchange hashpartitioning") <= 2),  # tree + detail
+        ],
+    )
+
+    # 9. tfidf_topk — vocabulary-sized df table broadcast back onto tf
+    # (the big tf side reshuffles only for the per-doc window)
+    tk = contract.q_tfidf_topk(spark, SF_DIR)
+    p = formatted(tk)
+    audit(
+        "tfidf_topk (broadcast df join + window top-k)",
+        tk,
+        [
+            ("df and N joined via broadcast (no shuffle of tf for the join)",
+             p.count("BroadcastHashJoin") >= 2
+             and "BroadcastNestedLoopJoin" in p),
+            ("per-doc top-k via row_number window", "Window" in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "

@@ -1,0 +1,126 @@
+"""Tests for benchmark decontamination and TF-IDF keyword extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from web_content_extractor_spark.operators import decontam, keywords
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# --- Aho-Corasick kernel ---------------------------------------------------
+
+
+def test_aho_corasick_overlapping_patterns():
+    ac = decontam.AhoCorasick([(1, "he"), (2, "she"), (3, "hers"), (4, "his")])
+    assert ac.match_ids("ushers") == {1, 2, 3}
+    assert ac.match_ids("this") == {4}
+    assert ac.match_ids("xyz") == set()
+    assert ac.match_ids("") == set()
+
+
+def test_aho_corasick_matches_inside_longer_text():
+    ac = decontam.AhoCorasick([(7, "agg row scan")])
+    assert ac.match_ids("key agg row scan slow") == {7}
+    assert ac.match_ids("agg row sca") == set()
+
+
+# --- decontamination semantics --------------------------------------------
+
+
+def test_source_docs_are_always_contaminated(spark):
+    d = _docs(spark)
+    snips = decontam.benchmark_snippets(d)
+    pairs = decontam.contaminated_pairs(d, snips)
+    # every snippet was lifted from its source doc, so (snippet_id,
+    # snippet_id) must be present for each emitted snippet
+    snip_ids = {r.snippet_id for r in snips.collect()}
+    self_hits = {
+        r.doc_id
+        for r in pairs.where(F.col("doc_id") == F.col("snippet_id")).collect()
+    }
+    assert snip_ids and self_hits == snip_ids
+
+
+def test_aho_corasick_path_matches_native_path(spark):
+    d = _docs(spark)
+    snips = decontam.benchmark_snippets(d)
+    native = {(r.doc_id, r.snippet_id)
+              for r in decontam.contaminated_pairs(d, snips).collect()}
+    multi = {(r.doc_id, r.snippet_id)
+             for r in decontam.contaminated_pairs_multi(d, snips).collect()}
+    assert native == multi
+
+
+def test_contamination_report_rollup(spark):
+    d = _docs(spark)
+    snips = decontam.benchmark_snippets(d)
+    rep = decontam.contamination_report(d, snips)
+    rows = {r.doc_id: r for r in rep.collect()}
+    pairs = decontam.contaminated_pairs(d, snips).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in pairs:
+        by_doc.setdefault(r.doc_id, []).append(r.snippet_id)
+    assert set(rows) == set(by_doc)
+    for did, sids in by_doc.items():
+        assert rows[did].n_hits == len(sids)
+        assert rows[did].first_snippet_id == min(sids)
+
+
+def test_normalization_case_and_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(1, "The  Quick\tBrown fox"), (2, "nothing here"), (3, None)],
+        "doc_id: bigint, text: string",
+    )
+    snips = spark.createDataFrame(
+        [(100, "quick brown")], "snippet_id: bigint, snippet: string"
+    )
+    for fn in (decontam.contaminated_pairs, decontam.contaminated_pairs_multi):
+        got = {(r.doc_id, r.snippet_id) for r in fn(docs, snips).collect()}
+        assert got == {(1, 100)}, fn.__name__
+
+
+# --- tf-idf ----------------------------------------------------------------
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id: bigint, text: string",
+    )
+    out = keywords.tfidf_topk(docs, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # df: a->2, b->1, c->2; N=3; idf(x) = ln(4/(df+1)) + 1
+    idf_a = math.log(4 / 3) + 1
+    idf_b = math.log(4 / 2) + 1
+    idf_c = math.log(4 / 3) + 1
+    # doc 1: a tf=2 -> 2*idf_a ~ 2.575; b tf=1 -> idf_b ~ 1.693
+    assert rows[(1, 1)].term == "a"
+    assert abs(rows[(1, 1)].tfidf - round(2 * idf_a, 6)) < 1e-9
+    assert rows[(1, 2)].term == "b"
+    assert abs(rows[(1, 2)].tfidf - round(idf_b, 6)) < 1e-9
+    # doc 2: tie on score (tf=1, same idf) -> term asc tie-break
+    assert rows[(2, 1)].term == "a" and rows[(2, 2)].term == "c"
+    # doc 3: only one distinct term
+    assert rows[(3, 1)].term == "c" and rows[(3, 1)].tf == 3
+    assert abs(rows[(3, 1)].tfidf - round(3 * idf_c, 6)) < 1e-9
+    assert (3, 2) not in rows
+
+
+def test_tfidf_ranks_dense_and_bounded(spark):
+    out = keywords.tfidf_topk(_docs(spark), k=3)
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        assert r.ranks == list(range(1, len(r.ranks) + 1))
+        assert len(r.ranks) <= 3
