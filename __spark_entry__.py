@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from web_content_extractor_spark.functions import text_quality as tq
 from web_content_extractor_spark.functions.classify import classify_kind
 from web_content_extractor_spark.operators import (
+    asof,
     decontam,
     dedup_docs,
     keywords,
@@ -824,6 +825,51 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keywords.tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent prior
+    view (union + single-shuffle window; DuckDB native ASOF JOIN is
+    the oracle)."""
+    ev = _read(spark, sf_dir, "events")
+    out = asof.asof_join(
+        ev.where("event_type = 'click'").select(
+            "event_id", "ts", "user_id", "value"
+        ),
+        ev.where("event_type = 'view'"),
+    )
+    return out.select(
+        "event_id", "user_id", "matched_event_id",
+        "matched_value", "lag_us",
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the exact n-gram-Jaccard pair
+    graph (min-label propagation; recursive-CTE closure is the oracle)."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup_docs.duplicate_clusters(d, min_jaccard=0.8)
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: doc counts + char volume by (source, lang) with
+    subtotal and grand-total grouping sets."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            # label rolled-up levels explicitly: null-free output sorts
+            # deterministically in any row comparator
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(
@@ -932,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
+        "asof_join": q_asof_join,
+        "dedup_clusters": q_dedup_clusters,
+        "rollup_counts": q_rollup_counts,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "similarity_topk": q_similarity_topk,
         "minhash_pairs": q_minhash_pairs,
@@ -1403,6 +1452,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, term, tf, round(score, 6) AS tfidf,
                CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
+        """,
+        "asof_join": """
+        WITH l AS (
+          SELECT event_id, ts, user_id, value FROM events
+          WHERE event_type = 'click'
+        ),
+        r AS (
+          SELECT user_id, ts,
+                 arg_min(event_id, event_id) AS r_eid,
+                 arg_min(value, event_id) AS r_val
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        )
+        SELECT l.event_id, l.user_id,
+               r.r_eid AS matched_event_id,
+               r.r_val AS matched_value,
+               epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "dedup_clusters": f"""
+        WITH RECURSIVE t AS ({_TOKS_CTE}),
+        g AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+          FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+          WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        p AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        ),
+        e AS (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p
+        ),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        )
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        "rollup_counts": """
+        SELECT coalesce(source, '(all)') AS source,
+               coalesce(lang, '(all)') AS lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY ROLLUP (source, lang)
         """,
         "embedding_neardup_exact": """
         WITH b AS (

@@ -65,6 +65,7 @@ HEADLINE = [
     "winnow_fingerprints",  # rolling-hash winnowing fingerprints
     "decontam",  # benchmark decontamination (broadcast contains-join)
     "tfidf_topk",  # tf-idf keywords (broadcast df join + window top-k)
+    "asof_join",  # as-of event correlation (union + single-shuffle window)
     "ivf_topk",           # IVF ANN (kmeans index build + probes)
     "embedding_neardup_exact",  # exact batch-vs-corpus near-dup
 ]

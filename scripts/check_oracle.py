@@ -42,7 +42,10 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
             df[c] = col.round(6).map(lambda v: f"{v:.6f}" if pd.notna(v) else None)
         else:
             df[c] = col.map(lambda v: str(v) if pd.notna(v) else None)
-    rows = sorted(map(tuple, df.itertuples(index=False, name=None)))
+    rows = sorted(
+        map(tuple, df.itertuples(index=False, name=None)),
+        key=lambda r: tuple((v is None, v) for v in r),  # null-safe sort
+    )
     h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
     return len(rows), cols, h
 

@@ -210,6 +210,22 @@ def main() -> int:
         ],
     )
 
+    # 10. asof_join — union + window formulation: no join explosion,
+    # one hash shuffle on the key for the window (plus the right-side
+    # tie-dedup agg), zero join operators in the plan
+    aj = contract.q_asof_join(spark, SF_DIR)
+    p = formatted(aj)
+    audit(
+        "asof_join (union + single-shuffle window)",
+        aj,
+        [
+            ("no join operator at all (union + window carries the match)",
+             "Join" not in p),
+            ("match carried by a window over the key-shuffled union",
+             "Window" in p and "hashpartitioning(user_id" in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "

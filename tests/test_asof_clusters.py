@@ -1,0 +1,89 @@
+"""Tests for the as-of join and duplicate-cluster operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from web_content_extractor_spark.operators import dedup_docs
+from web_content_extractor_spark.operators.asof import asof_join
+
+_T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: float) -> dt.datetime:
+    return _T0 + dt.timedelta(seconds=s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id: bigint, ts: timestamp, user_id: bigint, value: double"
+    )
+
+
+def test_asof_matches_most_recent_prior(spark):
+    left = _events(spark, [(1, _ts(10), 7, 0.0), (2, _ts(30), 7, 0.0)])
+    right = _events(
+        spark, [(100, _ts(5), 7, 1.5), (101, _ts(20), 7, 2.5), (102, _ts(40), 7, 3.5)]
+    )
+    out = {r.event_id: r for r in asof_join(left, right).collect()}
+    assert out[1].matched_event_id == 100 and out[1].lag_us == 5_000_000
+    assert out[2].matched_event_id == 101 and out[2].lag_us == 10_000_000
+
+
+def test_asof_equal_timestamp_is_inclusive(spark):
+    left = _events(spark, [(1, _ts(10), 7, 0.0)])
+    right = _events(spark, [(100, _ts(10), 7, 9.0)])
+    row = asof_join(left, right).collect()[0]
+    assert row.matched_event_id == 100 and row.lag_us == 0
+
+
+def test_asof_no_prior_right_row_yields_nulls(spark):
+    left = _events(spark, [(1, _ts(1), 7, 0.0)])
+    right = _events(spark, [(100, _ts(5), 7, 1.0)])
+    row = asof_join(left, right).collect()[0]
+    assert row.matched_event_id is None and row.lag_us is None
+
+
+def test_asof_keys_do_not_leak(spark):
+    left = _events(spark, [(1, _ts(10), 7, 0.0)])
+    right = _events(spark, [(100, _ts(5), 8, 1.0)])  # other user
+    row = asof_join(left, right).collect()[0]
+    assert row.matched_event_id is None
+
+
+def test_asof_equal_ts_right_rows_deterministic(spark):
+    left = _events(spark, [(1, _ts(10), 7, 0.0)])
+    right = _events(
+        spark, [(101, _ts(5), 7, 1.0), (100, _ts(5), 7, 2.0)]  # tie at ts=5
+    )
+    row = asof_join(left, right).collect()[0]
+    # min event_id wins the (key, ts) tie
+    assert row.matched_event_id == 100 and row.matched_value == 2.0
+
+
+def test_clusters_transitive_chain(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id: bigint, text: string"
+    )
+    # chain 0-1-2-3 (diameter 3 forces multiple propagation rounds) + 4-5
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "doc_a: bigint, doc_b: bigint"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_docs.duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+
+def test_clusters_singletons_self_labeled(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup_docs.duplicate_clusters(docs, min_jaccard=0.8)
+    assert out.count() == docs.count()
+    # cluster id is always <= doc id (min-label) and a real doc id
+    assert out.where(F.col("cluster_id") > F.col("doc_id")).count() == 0
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert all(r.cluster_id in ids for r in out.collect())

@@ -1,0 +1,108 @@
+"""As-of (most-recent-prior) join — the event-correlation operator.
+
+Spark has no ASOF JOIN primitive; the naive range-join
+(``l.ts >= r.ts`` + greatest-per-group) explodes row counts, so the
+engine uses the canonical union + window formulation instead:
+
+1. tag right rows 1 / left rows 0 and ``unionByName`` them;
+2. ONE shuffle on the join key, then sort within each key by
+   (ts, tag desc) — a right row at the same timestamp sorts before
+   the left row, giving the standard ``l.ts >= r.ts`` inclusive
+   semantics;
+3. ``last(right_payload, ignorenulls=True)`` over
+   rows-unbounded-preceding carries the most recent right row forward
+   onto every left row;
+4. keep left rows.
+
+Cost at 100 TB: one hash shuffle on the key + a sort — no row
+explosion, no Python.  Hot keys (one user with millions of events)
+sort within a single partition; AQE skew-split cannot break a window
+partition, so for pathological keys pre-bucket by time range and
+carry the last right row per bucket boundary forward (the same trick
+``operators/skew.py`` uses for salted aggregation).
+
+Right rows are first reduced to one per (key, ts) — min event wins —
+so the match is deterministic even when a key has equal-timestamp
+right rows; DuckDB's native ASOF JOIN replays it as the oracle.
+
+Engine-added (the reference is a single-page extractor; correlating
+extraction events against checkpoint/lineage streams is the engine's
+own ops surface, in the spirit of its processing_time metadata,
+src/core/models.py:120-130).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = ("event_id", "value"),
+) -> DataFrame:
+    """For each left row, the most recent right row with
+    ``right.ts <= left.ts`` on the same key (left join: unmatched
+    rows keep NULL match columns).
+
+    Returns the left columns plus ``matched_<col>`` for each of
+    ``right_cols``, ``matched_ts``, and ``lag_us`` (microseconds since
+    the matched right row; exact integer arithmetic — no float drift
+    between engines).
+    """
+    # deterministic tie handling: one right row per (key, ts)
+    r = (
+        right.groupBy(on, ts)
+        .agg(*[F.min_by(c, "event_id").alias(c) for c in right_cols])
+        .select(
+            F.col(on),
+            F.col(ts).alias("_r_ts"),
+            F.struct(
+                F.col(ts).alias("matched_ts"),
+                *[F.col(c).alias(f"matched_{c}") for c in right_cols],
+            ).alias("_r"),
+            F.lit(1).alias("_tag"),
+        )
+    )
+    l_cols = left.columns
+    lhs = left.select(
+        *l_cols,
+        F.col(ts).alias("_r_ts"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        F.lit(0).alias("_tag"),
+    )
+    rhs = r.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c != on
+            else F.col(on)
+            for c in l_cols
+        ],
+        "_r_ts",
+        "_r",
+        "_tag",
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_r_ts").asc(), F.col("_tag").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lhs.unionByName(rhs)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_tag") == 0)
+    )
+    return matched.select(
+        *l_cols,
+        F.col("_m.matched_ts").alias("matched_ts"),
+        *[F.col(f"_m.matched_{c}").alias(f"matched_{c}") for c in right_cols],
+        (
+            # cast handles TIMESTAMP_NTZ inputs; the session timezone is
+            # pinned to UTC (session.py), so the NTZ->LTZ reading is stable
+            F.unix_micros(F.col(ts).cast("timestamp"))
+            - F.unix_micros(F.col("_m.matched_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )

@@ -382,3 +382,59 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "canonical_id",
         (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    min_jaccard: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitively-closed duplicate clusters: (doc_id, cluster_id).
+
+    The missing last step of every dedup pipeline — pair lists are not
+    actionable until connected components turn them into clusters with
+    one canonical (min-id) document each.  Iterative min-label
+    propagation: each round, every node takes the minimum label among
+    itself and its neighbors; converges in <= graph-diameter rounds.
+    Near-dup clusters are dense (near-cliques), so 2-3 rounds in
+    practice; for adversarial chain graphs the alternating
+    large-star/small-star variant (Kiveris et al. 2014) halves path
+    lengths per round — the hook is the same edges/labels loop.
+
+    Scale shape per round: one equi-join of edges against labels keyed
+    on node id + one min-agg — both balanced shuffles on node id; the
+    driver sees only the converged/changed COUNT, never the labels.
+    ``localCheckpoint`` truncates the per-round lineage (the crawl
+    loop's trick, operators/crawl.py).
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, min_jaccard=min_jaccard)
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("doc_id", "b"), "b"
+        ).select(F.col("a").alias("doc_id"), "cluster_id")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
