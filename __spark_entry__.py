@@ -760,6 +760,22 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tq.quality_score(F.col("text")).alias("q"))
 
 
+def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style filter battery: per-doc signals + keep/drop
+    verdict (pure Column algebra, no UDF)."""
+    d = _read(spark, sf_dir, "documents")
+    s = tq.quality_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["n_words"].cast("int").alias("n_words"),
+        F.round(s["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(s["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        s["has_lorem"].alias("has_lorem"),
+        s["has_brace"].alias("has_brace"),
+        tq.quality_filter(F.col("text")).alias("keep"),
+    )
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-word fraction (per-row
     Column algebra) + top-bigram occupancy (explode -> two-level agg
@@ -974,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_detect": q_lang_detect,
         "quality_scores": q_quality_scores,
+        "quality_filters": q_quality_filters,
         "repetition_scores": q_repetition_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -1386,6 +1403,39 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": f"""
         WITH t AS ({_TOKS_CTE})
         SELECT doc_id, {quality_expr} AS q FROM t
+        """,
+        "quality_filters": """
+        WITH s AS (
+          SELECT doc_id,
+                 coalesce(text, '') AS t,
+                 len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                 x -> x <> '')) AS n_words,
+                 length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))
+                   AS nonws,
+                 length(coalesce(text, '')) -
+                 length(regexp_replace(coalesce(text, ''),
+                                       '[#{}\\[\\]<>\\\\]', '', 'g')) AS n_sym
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, n_words,
+                 CASE WHEN n_words > 0 THEN nonws::DOUBLE / n_words
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_words > 0 THEN n_sym::DOUBLE / n_words
+                      ELSE 0.0 END AS symbol_word_ratio,
+                 contains(lower(t), 'lorem ipsum') AS has_lorem,
+                 contains(t, '{') AS has_brace
+          FROM s
+        )
+        SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(symbol_word_ratio, 6) AS symbol_word_ratio,
+               has_lorem, has_brace,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_word_ratio <= 0.1
+                AND NOT has_lorem AND NOT has_brace) AS keep
+        FROM m
         """,
         "repetition_scores": f"""
         WITH t AS ({_TOKS_CTE}),

@@ -61,6 +61,7 @@ HEADLINE = [
     # round-2 additions
     "extract_errors",     # per-doc error table (tokenize -> explode)
     "url_batch",          # URL-list broadcast semi-join work list
+    "quality_filters",    # C4/Gopher filter battery (keep/drop verdict)
     "repetition_scores",  # Gopher-style repetition quality signals
     "winnow_fingerprints",  # rolling-hash winnowing fingerprints
     "decontam",  # benchmark decontamination (broadcast contains-join)

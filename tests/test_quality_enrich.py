@@ -1,0 +1,82 @@
+"""Tests for the C4/Gopher quality filter battery and stream-static
+enrichment join."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.functions import text_quality as tq
+from web_content_extractor_spark.streaming.incremental import enrich_stream
+
+
+def _signals(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: bigint, text: string"
+    )
+    s = tq.quality_signals(F.col("text"))
+    rows = docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in s.items()],
+        tq.quality_filter(F.col("text")).alias("keep"),
+    ).collect()
+    return {r.doc_id: r for r in rows}
+
+
+def test_quality_filter_battery_hand_cases(spark):
+    good = " ".join(["word"] * 60)
+    out = _signals(
+        spark,
+        [
+            good,                                   # 0: kept
+            "too short",                            # 1: word-count floor
+            good + " lorem ipsum",                  # 2: boilerplate marker
+            good + " {",                            # 3: brace marker
+            " ".join(["a"] * 60),                   # 4: mean word len < 3
+            good + " " + "#" * 60,                  # 5: symbol ratio
+            None,                                   # 6: null text
+        ],
+    )
+    assert out[0].keep and out[0].n_words == 60
+    assert abs(out[0].mean_word_len - 4.0) < 1e-12
+    assert not out[1].keep
+    assert not out[2].keep and out[2].has_lorem
+    assert not out[3].keep and out[3].has_brace
+    assert not out[4].keep and out[4].mean_word_len < 3
+    assert not out[5].keep and out[5].symbol_word_ratio > 0.1
+    assert not out[6].keep and out[6].n_words == 0
+
+
+def test_enrich_stream_static_broadcast_join(spark, tmp_path):
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    spark.createDataFrame(
+        [(1, "hostA", "x"), (2, "hostB", "y"), (3, "hostC", "z")],
+        "doc_id: bigint, host: string, payload: string",
+    ).write.parquet(inp)
+    dim = spark.createDataFrame(
+        [("hostA", 1, "edu"), ("hostB", 2, "news")],
+        "host: string, priority: int, category: string",
+    )
+    stream = spark.readStream.schema(
+        "doc_id bigint, host string, payload string"
+    ).parquet(inp)
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(50):
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    got = {r.doc_id: r for r in spark.read.parquet(outp).collect()}
+    assert got[1].priority == 1 and got[1].category == "edu"
+    assert got[2].priority == 2 and got[2].category == "news"
+    assert got[3].priority is None  # left join keeps unmatched stream rows

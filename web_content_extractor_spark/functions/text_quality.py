@@ -203,3 +203,55 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+# --- C4/Gopher-style quality filter battery ------------------------------
+
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    """The standard corpus-filter signals (C4, Raffel et al. 2020;
+    Gopher, Rae et al. 2021) as pure Column algebra: word count, mean
+    word length, symbol-to-word ratio, boilerplate markers.  NULL text
+    behaves as empty (signals 0 / markers false)."""
+    safe = F.coalesce(text, F.lit(""))
+    toks = tokens(safe)
+    n_words = F.size(toks)
+    # sum of token lengths == non-whitespace char count (native, no
+    # interpreted higher-order aggregate in the hot path)
+    total_len = F.length(F.regexp_replace(safe, r"\s+", ""))
+    n_symbols = F.length(safe) - F.length(
+        F.regexp_replace(safe, r"[#\{\}\[\]<>\\]", "")
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.when(
+            n_words > 0, total_len.cast("double") / n_words
+        ).otherwise(0.0),
+        "symbol_word_ratio": F.when(
+            n_words > 0, n_symbols.cast("double") / n_words
+        ).otherwise(0.0),
+        "has_lorem": F.lower(safe).contains("lorem ipsum"),
+        "has_brace": safe.contains("{"),
+    }
+
+
+def quality_filter(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+) -> Column:
+    """Gopher-rule keep/drop verdict: word-count band, mean-word-length
+    band (3-10 chars), symbol-ratio cap, no boilerplate markers."""
+    s = quality_signals(text)
+    return (
+        (s["n_words"] >= min_words)
+        & (s["n_words"] <= max_words)
+        & (s["mean_word_len"] >= min_mean_word_len)
+        & (s["mean_word_len"] <= max_mean_word_len)
+        & (s["symbol_word_ratio"] <= max_symbol_ratio)
+        & ~s["has_lorem"]
+        & ~s["has_brace"]
+    )

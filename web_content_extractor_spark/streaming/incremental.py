@@ -147,3 +147,21 @@ def windowed_span_counts(
             "n_spans",
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: str = "host", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream is
+    joined against a static dimension table (host priority/category,
+    allow/deny lists, quality tiers).
+
+    The static side is broadcast — in Structured Streaming a
+    stream-static equi-join re-evaluates the static plan per
+    micro-batch, and broadcasting keeps the stream side from ever
+    shuffling, so the streaming stage stays as parallel as the source.
+    Dims that are too big to broadcast should be pre-bucketed on the
+    key instead (sources/bucketed.py) — same no-stream-shuffle
+    property via storage layout.
+    """
+    return stream.join(F.broadcast(dim), on, how)
