@@ -776,6 +776,42 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality filter AND not-exact-duplicate
+    AND not-benchmark-contaminated -> per-doc selection manifest.  The
+    composition every training-data pipeline ships; each leg is the
+    already-oracled operator, composed as plain DataFrame joins (the
+    contaminated set is a broadcast-sized left join)."""
+    d = _read(spark, sf_dir, "documents")
+    quality = d.select(
+        "doc_id", tq.quality_filter(F.col("text")).alias("keep_quality")
+    )
+    dup = dedup_docs.exact_duplicates(d).select("doc_id", "is_duplicate")
+    cont = (
+        decontam.contaminated_pairs(d, decontam.benchmark_snippets(d))
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return (
+        quality.join(dup, "doc_id")
+        .join(F.broadcast(cont), "doc_id", "left")
+        .select(
+            "doc_id",
+            "keep_quality",
+            "is_duplicate",
+            F.coalesce("is_contaminated", F.lit(False)).alias(
+                "is_contaminated"
+            ),
+            (
+                F.col("keep_quality")
+                & ~F.col("is_duplicate")
+                & ~F.coalesce("is_contaminated", F.lit(False))
+            ).alias("selected"),
+        )
+    )
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-word fraction (per-row
     Column algebra) + top-bigram occupancy (explode -> two-level agg
@@ -991,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "quality_scores": q_quality_scores,
         "quality_filters": q_quality_filters,
+        "curation_manifest": q_curation_manifest,
         "repetition_scores": q_repetition_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -1023,6 +1060,40 @@ _TOKS_CTE = (
     "SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), "
     "x -> x <> '') AS w, text FROM documents"
 )
+
+# C4/Gopher quality-signal CTE fragment (embedded in WITH clauses);
+# mirrors functions/text_quality.py::quality_signals/quality_filter
+_QUALITY_CTE = """
+        qs AS (
+          SELECT doc_id,
+                 coalesce(text, '') AS t,
+                 len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                 x -> x <> '')) AS n_words,
+                 length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))
+                   AS nonws,
+                 length(coalesce(text, '')) -
+                 length(regexp_replace(coalesce(text, ''),
+                                       '[#{}\\[\\]<>\\\\]', '', 'g')) AS n_sym
+          FROM documents
+        ),
+        quality AS (
+          SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                 has_lorem, has_brace,
+                 (n_words >= 50 AND n_words <= 100000
+                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                  AND symbol_word_ratio <= 0.1
+                  AND NOT has_lorem AND NOT has_brace) AS keep
+          FROM (
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0 THEN nonws::DOUBLE / n_words
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN n_words > 0 THEN n_sym::DOUBLE / n_words
+                        ELSE 0.0 END AS symbol_word_ratio,
+                   contains(lower(t), 'lorem ipsum') AS has_lorem,
+                   contains(t, '{') AS has_brace
+            FROM qs
+          )
+        )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1404,38 +1475,53 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS ({_TOKS_CTE})
         SELECT doc_id, {quality_expr} AS q FROM t
         """,
-        "quality_filters": """
-        WITH s AS (
-          SELECT doc_id,
-                 coalesce(text, '') AS t,
-                 len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
-                                 x -> x <> '')) AS n_words,
-                 length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))
-                   AS nonws,
-                 length(coalesce(text, '')) -
-                 length(regexp_replace(coalesce(text, ''),
-                                       '[#{}\\[\\]<>\\\\]', '', 'g')) AS n_sym
-          FROM documents
-        ),
-        m AS (
-          SELECT doc_id, n_words,
-                 CASE WHEN n_words > 0 THEN nonws::DOUBLE / n_words
-                      ELSE 0.0 END AS mean_word_len,
-                 CASE WHEN n_words > 0 THEN n_sym::DOUBLE / n_words
-                      ELSE 0.0 END AS symbol_word_ratio,
-                 contains(lower(t), 'lorem ipsum') AS has_lorem,
-                 contains(t, '{') AS has_brace
-          FROM s
-        )
+        "quality_filters": f"""
+        WITH {_QUALITY_CTE}
         SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
                round(mean_word_len, 6) AS mean_word_len,
                round(symbol_word_ratio, 6) AS symbol_word_ratio,
-               has_lorem, has_brace,
-               (n_words >= 50 AND n_words <= 100000
-                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                AND symbol_word_ratio <= 0.1
-                AND NOT has_lorem AND NOT has_brace) AS keep
-        FROM m
+               has_lorem, has_brace, keep
+        FROM quality
+        """,
+        "curation_manifest": f"""
+        WITH {_QUALITY_CTE},
+        fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ),
+        canon AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY fp),
+        dup AS (
+          SELECT f.doc_id, f.doc_id <> c.canonical_id AS is_duplicate
+          FROM fp f JOIN canon c USING (fp)
+        ),
+        nrm AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, t,
+                 list_filter(string_split(t, ' '), x -> x <> '') AS w
+          FROM nrm
+        ),
+        b AS (
+          SELECT doc_id AS snippet_id,
+                 array_to_string(w[5:12], ' ') AS snippet
+          FROM tok
+          WHERE doc_id % 97 = 3 AND len(w) >= 12
+        ),
+        cont AS (
+          SELECT DISTINCT nrm.doc_id
+          FROM nrm JOIN b ON contains(nrm.t, b.snippet)
+        )
+        SELECT q.doc_id, q.keep AS keep_quality, d.is_duplicate,
+               (cont.doc_id IS NOT NULL) AS is_contaminated,
+               (q.keep AND NOT d.is_duplicate AND cont.doc_id IS NULL)
+                 AS selected
+        FROM quality q
+        JOIN dup d USING (doc_id)
+        LEFT JOIN cont USING (doc_id)
         """,
         "repetition_scores": f"""
         WITH t AS ({_TOKS_CTE}),

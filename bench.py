@@ -62,6 +62,7 @@ HEADLINE = [
     "extract_errors",     # per-doc error table (tokenize -> explode)
     "url_batch",          # URL-list broadcast semi-join work list
     "quality_filters",    # C4/Gopher filter battery (keep/drop verdict)
+    "curation_manifest",  # composed curation: quality + dedup + decontam
     "repetition_scores",  # Gopher-style repetition quality signals
     "winnow_fingerprints",  # rolling-hash winnowing fingerprints
     "decontam",  # benchmark decontamination (broadcast contains-join)

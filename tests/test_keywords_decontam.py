@@ -124,3 +124,24 @@ def test_tfidf_ranks_dense_and_bounded(spark):
     for r in per_doc:
         assert r.ranks == list(range(1, len(r.ranks) + 1))
         assert len(r.ranks) <= 3
+
+
+# --- curation composition --------------------------------------------------
+
+
+def test_curation_manifest_composition(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    out = {r.doc_id: r for r in entry.q_curation_manifest(spark, SF_DIR).collect()}
+    d = _docs(spark)
+    assert len(out) == d.count()
+    for r in out.values():
+        assert r.selected == (
+            r.keep_quality and not r.is_duplicate and not r.is_contaminated
+        )
+    # snippet-source docs are contaminated by construction
+    snips = decontam.benchmark_snippets(d)
+    for sid in (x.snippet_id for x in snips.collect()):
+        assert out[sid].is_contaminated and not out[sid].selected
