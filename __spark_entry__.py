@@ -776,6 +776,24 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation) — the
+    verification metric for the approx_percentile sketch path
+    (tests/test_quality_enrich.py pins the sketch within rel. error).
+    Exact percentile buffers each group's values; at corpus scale the
+    sketch (t-digest style, mergeable partial aggs) is the plan."""
+    ev = _read(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit([0.25, 0.5, 0.75])).alias("p")
+    )
+    return p.select(
+        "event_type",
+        F.round(F.col("p")[0], 6).alias("p25"),
+        F.round(F.col("p")[1], 6).alias("p50"),
+        F.round(F.col("p")[2], 6).alias("p75"),
+    )
+
+
 def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: quality filter AND not-exact-duplicate
     AND not-benchmark-contaminated -> per-doc selection manifest.  The
@@ -1028,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "quality_filters": q_quality_filters,
         "curation_manifest": q_curation_manifest,
+        "value_percentiles": q_value_percentiles,
         "repetition_scores": q_repetition_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -1482,6 +1501,13 @@ def oracle_sql() -> dict[str, str]:
                round(symbol_word_ratio, 6) AS symbol_word_ratio,
                has_lorem, has_brace, keep
         FROM quality
+        """,
+        "value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.75), 6) AS p75
+        FROM events GROUP BY event_type
         """,
         "curation_manifest": f"""
         WITH {_QUALITY_CTE},

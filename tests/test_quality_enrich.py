@@ -80,3 +80,38 @@ def test_enrich_stream_static_broadcast_join(spark, tmp_path):
     assert got[1].priority == 1 and got[1].category == "edu"
     assert got[2].priority == 2 and got[2].category == "news"
     assert got[3].priority is None  # left join keeps unmatched stream rows
+
+
+def test_approx_percentile_sketch_close_to_exact(spark):
+    """The scale path (mergeable approx_percentile sketch) must stay
+    within its accuracy contract of the exact grouped percentile."""
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r.event_type: (r.p25, r.p50, r.p75)
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile("value", F.lit([0.25, 0.5, 0.75])).alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"),
+        )
+        .collect()
+    }
+    approx = {
+        r.event_type: r.p
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile(
+                "value", F.lit([0.25, 0.5, 0.75]), F.lit(1000)
+            ).alias("p")
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for et, (e25, e50, e75) in exact.items():
+        spread = max(1.0, e75 - e25)
+        for e, a in zip((e25, e50, e75), approx[et]):
+            assert abs(e - a) <= 0.05 * spread + 0.5, (et, e, a)
