@@ -776,6 +776,40 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column
+    (from_json with an explicit schema — Catalyst prunes the parse to
+    the referenced field) and aggregate the extracted property."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP pivot: documents per (source, lang) with langs as columns
+    (explicit value list keeps the output schema deterministic)."""
+    d = _read(spark, sf_dir, "documents")
+    langs = ["en", "es", "de", "fr"]
+    return (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .count()
+        .select(
+            "source",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in langs],
+        )
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (linear interpolation) — the
     verification metric for the approx_percentile sketch path
@@ -1047,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filters": q_quality_filters,
         "curation_manifest": q_curation_manifest,
         "value_percentiles": q_value_percentiles,
+        "json_props": q_json_props,
+        "pivot_counts": q_pivot_counts,
         "repetition_scores": q_repetition_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -1501,6 +1537,26 @@ def oracle_sql() -> dict[str, str]:
                round(symbol_word_ratio, 6) AS symbol_word_ratio,
                has_lorem, has_brace, keep
         FROM quality
+        """,
+        "json_props": """
+        SELECT event_type,
+               count(k) AS n,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               round(avg(k), 6) AS avg_k
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS INTEGER) AS k
+          FROM events
+        ) GROUP BY event_type
+        """,
+        "pivot_counts": """
+        SELECT source,
+               count(*) FILTER (lang = 'en') AS n_en,
+               count(*) FILTER (lang = 'es') AS n_es,
+               count(*) FILTER (lang = 'de') AS n_de,
+               count(*) FILTER (lang = 'fr') AS n_fr
+        FROM documents GROUP BY source
         """,
         "value_percentiles": """
         SELECT event_type,
