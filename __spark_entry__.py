@@ -776,6 +776,16 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-type hourly event counts on a dense
+    zero-filled grid (analytic spine, one shuffle on (key, bin))."""
+    from web_content_extractor_spark.operators.timeseries import (
+        resample_counts,
+    )
+
+    return resample_counts(_read(spark, sf_dir, "events"), unit="hour")
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the events.props JSON column
     (from_json with an explicit schema — Catalyst prunes the parse to
@@ -1083,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "json_props": q_json_props,
         "pivot_counts": q_pivot_counts,
+        "resample_counts": q_resample_counts,
         "repetition_scores": q_repetition_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -1537,6 +1548,25 @@ def oracle_sql() -> dict[str, str]:
                round(symbol_word_ratio, 6) AS symbol_word_ratio,
                has_lorem, has_brace, keep
         FROM quality
+        """,
+        "resample_counts": """
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', ts) AS bin_ts FROM events
+        ),
+        c AS (
+          SELECT event_type, bin_ts, count(*) AS n FROM b GROUP BY 1, 2
+        ),
+        r AS (SELECT min(bin_ts) AS lo, max(bin_ts) AS hi FROM b),
+        grid AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin_ts
+          FROM r
+        ),
+        spine AS (
+          SELECT k.event_type, g.bin_ts
+          FROM (SELECT DISTINCT event_type FROM events) k CROSS JOIN grid g
+        )
+        SELECT s.event_type, s.bin_ts, coalesce(c.n, 0) AS n
+        FROM spine s LEFT JOIN c USING (event_type, bin_ts)
         """,
         "json_props": """
         SELECT event_type,

@@ -87,3 +87,28 @@ def test_clusters_singletons_self_labeled(spark):
     assert out.where(F.col("cluster_id") > F.col("doc_id")).count() == 0
     ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert all(r.cluster_id in ids for r in out.collect())
+
+
+def test_resample_gap_fill(spark):
+    from web_content_extractor_spark.operators.timeseries import resample_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 7, "a", 0.0),       # hour 0
+            (2, _ts(60), 7, "a", 0.0),      # hour 0
+            (3, _ts(3 * 3600), 7, "a", 0.0),  # hour 3 (hours 1-2 empty)
+            (4, _ts(3600), 7, "b", 0.0),    # hour 1
+        ],
+        "event_id: bigint, ts: timestamp, user_id: bigint, "
+        "event_type: string, value: double",
+    )
+    out = {
+        (r.event_type, r.bin_ts.hour): r.n
+        for r in resample_counts(ev, unit="hour").collect()
+    }
+    # dense grid: 2 keys x 4 hours = 8 rows, gaps zero-filled
+    assert len(out) == 8
+    assert out[("a", 0)] == 2 and out[("a", 1)] == 0
+    assert out[("a", 2)] == 0 and out[("a", 3)] == 1
+    assert out[("b", 1)] == 1 and out[("b", 0)] == 0
+    assert out[("b", 2)] == 0 and out[("b", 3)] == 0

@@ -145,3 +145,22 @@ def test_curation_manifest_composition(spark):
     snips = decontam.benchmark_snippets(d)
     for sid in (x.snippet_id for x in snips.collect()):
         assert out[sid].is_contaminated and not out[sid].selected
+
+
+def test_aho_corasick_differential_fuzz():
+    """AC match set must equal naive substring search on random
+    pattern/text pairs over a small alphabet (forces overlaps,
+    shared prefixes, and patterns-within-patterns)."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abc"
+    for trial in range(300):
+        pats = [
+            (i, "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6))))
+            for i in range(rng.randint(1, 8))
+        ]
+        text = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        ac = decontam.AhoCorasick(pats)
+        expected = {i for i, p in pats if p in text}
+        assert ac.match_ids(text) == expected, (trial, pats, text)
