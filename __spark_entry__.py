@@ -786,6 +786,30 @@ def q_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_counts(_read(spark, sf_dir, "events"), unit="hour")
 
 
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing moving average over the gap-filled hourly series (4-bin
+    ROWS frame per key) — the rate/trend layer on top of resample;
+    zero-filled gaps make the frame arithmetic well-defined."""
+    from web_content_extractor_spark.operators.timeseries import (
+        resample_counts,
+    )
+
+    from pyspark.sql import Window
+
+    series = resample_counts(_read(spark, sf_dir, "events"), unit="hour")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin_ts")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return series.select(
+        "event_type",
+        "bin_ts",
+        "n",
+        F.round(F.avg("n").over(w), 6).alias("ma4"),
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the events.props JSON column
     (from_json with an explicit schema — Catalyst prunes the parse to
@@ -1094,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "pivot_counts": q_pivot_counts,
         "resample_counts": q_resample_counts,
+        "moving_average": q_moving_average,
         "repetition_scores": q_repetition_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -1548,6 +1573,32 @@ def oracle_sql() -> dict[str, str]:
                round(symbol_word_ratio, 6) AS symbol_word_ratio,
                has_lorem, has_brace, keep
         FROM quality
+        """,
+        "moving_average": """
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', ts) AS bin_ts FROM events
+        ),
+        c AS (
+          SELECT event_type, bin_ts, count(*) AS n FROM b GROUP BY 1, 2
+        ),
+        r AS (SELECT min(bin_ts) AS lo, max(bin_ts) AS hi FROM b),
+        grid AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin_ts
+          FROM r
+        ),
+        spine AS (
+          SELECT k.event_type, g.bin_ts
+          FROM (SELECT DISTINCT event_type FROM events) k CROSS JOIN grid g
+        ),
+        s AS (
+          SELECT s.event_type, s.bin_ts, coalesce(c.n, 0) AS n
+          FROM spine s LEFT JOIN c USING (event_type, bin_ts)
+        )
+        SELECT event_type, bin_ts, n,
+               round(avg(n) OVER (PARTITION BY event_type ORDER BY bin_ts
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                     6) AS ma4
+        FROM s
         """,
         "resample_counts": """
         WITH b AS (

@@ -112,3 +112,18 @@ def test_resample_gap_fill(spark):
     assert out[("a", 2)] == 0 and out[("a", 3)] == 1
     assert out[("b", 1)] == 1 and out[("b", 0)] == 0
     assert out[("b", 2)] == 0 and out[("b", 3)] == 0
+
+
+def test_resample_and_asof_empty_inputs(spark):
+    from web_content_extractor_spark.operators.timeseries import resample_counts
+
+    empty = spark.createDataFrame(
+        [],
+        "event_id: bigint, ts: timestamp, user_id: bigint, "
+        "event_type: string, value: double",
+    )
+    assert resample_counts(empty, unit="hour").count() == 0
+    # asof with an empty right side: all left rows kept, null matches
+    left = _events(spark, [(1, _ts(10), 7, 0.0)])
+    rows = asof_join(left, empty.select("event_id", "ts", "user_id", "value")).collect()
+    assert len(rows) == 1 and rows[0].matched_event_id is None
