@@ -68,6 +68,12 @@ HEADLINE = [
     "decontam",  # benchmark decontamination (broadcast contains-join)
     "tfidf_topk",  # tf-idf keywords (broadcast df join + window top-k)
     "asof_join",  # as-of event correlation (union + single-shuffle window)
+    "rollup_counts",      # grouping-set subtotals
+    "value_percentiles",  # exact grouped quartiles
+    "json_props",         # semi-structured JSON property extraction
+    "pivot_counts",       # OLAP pivot (explicit value list)
+    "resample_counts",    # time-series gap-fill onto a dense grid
+    "moving_average",     # trailing ROWS-frame average per key
     "ivf_topk",           # IVF ANN (kmeans index build + probes)
     "embedding_neardup_exact",  # exact batch-vs-corpus near-dup
 ]

@@ -226,6 +226,36 @@ def main() -> int:
         ],
     )
 
+    # 11. resample_counts — dense spine joined without reshuffling the
+    # raw events: counts agg is the only event-sized shuffle
+    rs = contract.q_resample_counts(spark, SF_DIR)
+    p = formatted(rs)
+    audit(
+        "resample_counts (gap-fill spine join)",
+        rs,
+        [
+            ("analytic spine (sequence/explode Generate node present)",
+             "Generate" in p),
+            ("gap-fill via broadcast join (no sort-merge of the spine)",
+             "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ],
+    )
+
+    # 12. curation_manifest — contaminated set broadcast onto the
+    # quality/dup legs; no BNLJ anywhere but the snippet contains-join
+    cm = contract.q_curation_manifest(spark, SF_DIR)
+    p = formatted(cm)
+    audit(
+        "curation_manifest (composed curation legs)",
+        cm,
+        [
+            ("contaminated set joined via broadcast",
+             "BroadcastHashJoin" in p),
+            ("exactly one BNLJ (the snippet contains-join)",
+             p.count("BroadcastNestedLoopJoin Inner") <= 2),  # tree+detail
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "
