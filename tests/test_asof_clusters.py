@@ -127,3 +127,25 @@ def test_resample_and_asof_empty_inputs(spark):
     left = _events(spark, [(1, _ts(10), 7, 0.0)])
     rows = asof_join(left, empty.select("event_id", "ts", "user_id", "value")).collect()
     assert len(rows) == 1 and rows[0].matched_event_id is None
+
+
+def test_clusters_shortcut_logarithmic_on_chain(spark):
+    """Path-halving must converge in O(log n) rounds on a chain where
+    plain propagation needs O(n); both reach the same fixpoint."""
+    n = 64
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n)], "doc_id: bigint, text: string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a: bigint, doc_b: bigint"
+    )
+    fast, fast_rounds = dedup_docs.duplicate_clusters(
+        docs, pairs=chain, max_iter=100, shortcut=True, with_rounds=True
+    )
+    slow, slow_rounds = dedup_docs.duplicate_clusters(
+        docs, pairs=chain, max_iter=100, shortcut=False, with_rounds=True
+    )
+    got_fast = {r.doc_id: r.cluster_id for r in fast.collect()}
+    got_slow = {r.doc_id: r.cluster_id for r in slow.collect()}
+    assert got_fast == got_slow == {i: 0 for i in range(n)}
+    assert fast_rounds <= 12 < slow_rounds  # log2(64)+slack vs ~n rounds

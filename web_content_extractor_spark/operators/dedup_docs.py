@@ -389,22 +389,26 @@ def duplicate_clusters(
     pairs: DataFrame | None = None,
     min_jaccard: float = 0.8,
     max_iter: int = 25,
-) -> DataFrame:
+    shortcut: bool = True,
+    with_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Transitively-closed duplicate clusters: (doc_id, cluster_id).
 
     The missing last step of every dedup pipeline — pair lists are not
     actionable until connected components turn them into clusters with
     one canonical (min-id) document each.  Iterative min-label
-    propagation: each round, every node takes the minimum label among
-    itself and its neighbors; converges in <= graph-diameter rounds.
+    propagation with **path-halving shortcutting** (pointer jumping):
+    each round every node takes the min of its own label, its
+    neighbors' labels, AND its label's label (the grandparent hop).
+    The shortcut makes label trees collapse geometrically, so rounds
+    are O(log diameter) instead of O(diameter) — on a 10^12-doc graph
+    with chain-shaped components that is ~40 rounds vs millions.
     Near-dup clusters are dense (near-cliques), so 2-3 rounds in
-    practice; for adversarial chain graphs the alternating
-    large-star/small-star variant (Kiveris et al. 2014) halves path
-    lengths per round — the hook is the same edges/labels loop.
+    practice either way.
 
-    Scale shape per round: one equi-join of edges against labels keyed
-    on node id + one min-agg — both balanced shuffles on node id; the
-    driver sees only the converged/changed COUNT, never the labels.
+    Scale shape per round: equi-joins of edges and labels keyed on
+    node id + one min-agg — balanced shuffles on node id; the driver
+    sees only the converged/changed COUNT, never the labels.
     ``localCheckpoint`` truncates the per-round lineage (the crawl
     loop's trick, operators/crawl.py).
     """
@@ -417,13 +421,30 @@ def duplicate_clusters(
     labels = docs.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = edges.join(
             labels.withColumnRenamed("doc_id", "b"), "b"
         ).select(F.col("a").alias("doc_id"), "cluster_id")
+        cand = labels.unionByName(nbr)
+        if shortcut:
+            # grandparent hop: L(L(u)) — join labels to itself on the
+            # label column (path halving, Shiloach-Vishkin style)
+            gp = (
+                labels.alias("l")
+                .join(
+                    labels.select(
+                        F.col("doc_id").alias("cluster_id"),
+                        F.col("cluster_id").alias("gp"),
+                    ),
+                    "cluster_id",
+                )
+                .select("doc_id", F.col("gp").alias("cluster_id"))
+            )
+            cand = cand.unionByName(gp)
         new = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
+            cand.groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
@@ -437,4 +458,4 @@ def duplicate_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    return (labels, rounds) if with_rounds else labels
