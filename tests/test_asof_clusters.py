@@ -149,3 +149,33 @@ def test_clusters_shortcut_logarithmic_on_chain(spark):
     got_slow = {r.doc_id: r.cluster_id for r in slow.collect()}
     assert got_fast == got_slow == {i: 0 for i in range(n)}
     assert fast_rounds <= 12 < slow_rounds  # log2(64)+slack vs ~n rounds
+
+
+def test_asof_bucketed_equivalent_to_plain(spark):
+    """Bucketed (hot-key) as-of join must produce exactly the plain
+    result on a corpus whose matches cross empty and occupied buckets."""
+    import random
+
+    from web_content_extractor_spark.operators.asof import asof_join_bucketed
+
+    rng = random.Random(7)
+    # sparse right side forces carries across many empty minute-buckets
+    left = _events(
+        spark,
+        [(i, _ts(rng.uniform(0, 4 * 3600)), rng.randint(0, 3), 0.0)
+         for i in range(200)],
+    )
+    right = _events(
+        spark,
+        [(1000 + i, _ts(rng.uniform(0, 4 * 3600)), rng.randint(0, 4), float(i))
+         for i in range(60)],
+    )
+    plain = {
+        r.event_id: (r.matched_event_id, r.matched_value, r.lag_us)
+        for r in asof_join(left, right).collect()
+    }
+    bucketed = {
+        r.event_id: (r.matched_event_id, r.matched_value, r.lag_us)
+        for r in asof_join_bucketed(left, right, bucket="minute").collect()
+    }
+    assert plain == bucketed and len(plain) == 200
