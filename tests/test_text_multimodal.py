@@ -361,3 +361,43 @@ def test_pdf_layout_real_path_end_to_end(spark):
         "heading",
         "paragraph",
     ]
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Real downsample: a 4x2 image with distinct pixel columns resized
+    to 2x1 must pick the nearest-neighbor pixels at column centers."""
+    from web_content_extractor_spark.operators.multimodal import resize_images
+
+    # 4x2 PNG where each column x has color (x*60, 0, 0)
+    import struct, zlib
+
+    w, h = 4, 2
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    raw = b""
+    for _y in range(h):
+        raw += b"\x00" + b"".join(
+            bytes((x * 60, 0, 0)) for x in range(w)
+        )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [("m1", "d1", bytearray(png)), ("m2", "d2", bytearray(b"junk"))],
+        "media_id: string, doc_id: string, payload: binary",
+    )
+    rows = {r.media_id: r for r in resize_images(media, size=(2, 1)).collect()}
+    r1 = rows["m1"]
+    assert (r1.src_w, r1.src_h, r1.thumb_w, r1.thumb_h) == (4, 2, 2, 1)
+    assert r1.decoded
+    # centers at x=1 and x=3 -> colors 60 and 180; row center y=1
+    assert bytes(r1.thumb) == bytes((60, 0, 0, 180, 0, 0))
+    r2 = rows["m2"]
+    assert not r2.decoded and (r2.thumb_w, r2.thumb_h) == (1, 1)
+    assert len(bytes(r2.thumb)) == 3

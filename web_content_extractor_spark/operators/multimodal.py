@@ -442,3 +442,76 @@ def sample_frames(
         run,
         schema="media_id string, doc_id string, frame_ts_ms int, frame_hash string",
     )
+
+
+THUMBNAILS = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), nullable=False),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("thumb", T.BinaryType()),  # raw RGB rows, 3B/px
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, size: tuple[int, int] = (32, 32)
+) -> DataFrame:
+    """Real pixel resample stage: decode (PNG), nearest-neighbor
+    downsample to at most ``size``, emit the thumbnail as raw RGB
+    bytes.  Aspect ratio preserved; images already smaller pass
+    through at native size.  Undecodable payloads produce a
+    deterministic 1x1 hash-colored pixel with ``decoded=false`` (the
+    drop-not-fail contract of the tokenizer, applied to media).
+
+    Same scale shape as every media stage: one Arrow pass, no shuffle;
+    thumbnail bytes are bounded (3 * size^2) regardless of source
+    image size, so the output table is safely shuffle-able downstream.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in THUMBNAILS.fields]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for media_id, doc_id, payload in zip(
+                pdf["media_id"], pdf["doc_id"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                img = _decode_png(payload)
+                if img is None:
+                    digest = hashlib.sha256(payload).digest()
+                    sw = sh = tw = th = 1
+                    thumb = bytes(digest[:3])
+                    decoded = False
+                else:
+                    sh, sw, c = img.shape
+                    if c == 1:
+                        rgb = np.repeat(img, 3, axis=2)
+                    elif c == 2:
+                        rgb = np.repeat(img[:, :, :1], 3, axis=2)
+                    else:
+                        rgb = img[:, :, :3]
+                    scale = min(size[0] / sw, size[1] / sh, 1.0)
+                    tw = max(1, int(sw * scale))
+                    th = max(1, int(sh * scale))
+                    # nearest-neighbor: index grid at pixel centers
+                    xs = ((np.arange(tw) + 0.5) * sw / tw).astype(int)
+                    ys = ((np.arange(th) + 0.5) * sh / th).astype(int)
+                    thumb = rgb[ys][:, xs].astype(np.uint8).tobytes()
+                    decoded = True
+                out["media_id"].append(media_id)
+                out["doc_id"].append(doc_id)
+                out["src_w"].append(sw)
+                out["src_h"].append(sh)
+                out["thumb_w"].append(tw)
+                out["thumb_h"].append(th)
+                out["decoded"].append(decoded)
+                out["thumb"].append(thumb)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(run, schema=THUMBNAILS)
