@@ -115,3 +115,33 @@ def test_approx_percentile_sketch_close_to_exact(spark):
         spread = max(1.0, e75 - e25)
         for e, a in zip((e25, e50, e75), approx[et]):
             assert abs(e - a) <= 0.05 * spread + 0.5, (et, e, a)
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL sketch (mergeable, the 100 TB cardinality plan) within its
+    relative-standard-deviation contract of the exact count."""
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = d.select(F.countDistinct("text").alias("n")).collect()[0].n
+    approx = d.select(
+        F.approx_count_distinct("text", rsd=0.02).alias("n")
+    ).collect()[0].n
+    assert abs(approx - exact) <= max(3, 0.1 * exact), (exact, approx)
+
+
+def test_stratified_sample_fractions(spark):
+    """sampleBy (per-stratum Bernoulli) honors fractions and never
+    leaks strata that were assigned zero probability."""
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    keep = {lang: (0.5 if lang == "en" else 0.0) for lang in langs}
+    s = d.sampleBy("lang", keep, seed=13)
+    counts = {r.lang: r.n for r in
+              s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"en"}
+    n_en = d.where("lang = 'en'").count()
+    got = counts.get("en", 0)
+    assert 0.2 * n_en <= got <= 0.8 * n_en, (n_en, got)
