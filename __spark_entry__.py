@@ -868,34 +868,9 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition every training-data pipeline ships; each leg is the
     already-oracled operator, composed as plain DataFrame joins (the
     contaminated set is a broadcast-sized left join)."""
-    d = _read(spark, sf_dir, "documents")
-    quality = d.select(
-        "doc_id", tq.quality_filter(F.col("text")).alias("keep_quality")
-    )
-    dup = dedup_docs.exact_duplicates(d).select("doc_id", "is_duplicate")
-    cont = (
-        decontam.contaminated_pairs(d, decontam.benchmark_snippets(d))
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_contaminated", F.lit(True))
-    )
-    return (
-        quality.join(dup, "doc_id")
-        .join(F.broadcast(cont), "doc_id", "left")
-        .select(
-            "doc_id",
-            "keep_quality",
-            "is_duplicate",
-            F.coalesce("is_contaminated", F.lit(False)).alias(
-                "is_contaminated"
-            ),
-            (
-                F.col("keep_quality")
-                & ~F.col("is_duplicate")
-                & ~F.coalesce("is_contaminated", F.lit(False))
-            ).alias("selected"),
-        )
-    )
+    from web_content_extractor_spark.plans.curation import curation_manifest
+
+    return curation_manifest(_read(spark, sf_dir, "documents"))
 
 
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -179,3 +179,43 @@ def test_jobs_cli_urls_end_to_end(spark, tmp_path):
     rc = main(["--input", inp, "--output", str(tmp_path / "out3"),
                "--urls", str(urls), "--resume"])
     assert rc == 2
+
+
+def test_jobs_cli_curate_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from web_content_extractor_spark.jobs import main
+
+    # mean word length must sit inside the Gopher 3-10 band
+    good = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, good),                 # kept
+            (1, good),                 # exact dup of 0 -> dropped
+            (2, "too short"),          # quality-dropped
+            (3, good + " lorem ipsum"),  # marker-dropped
+        ],
+        "doc_id: bigint, text: string",
+    )
+    inp = str(tmp_path / "textdocs")
+    outp = str(tmp_path / "manifest")
+    snp = str(tmp_path / "snippets")
+    docs.write.parquet(inp)
+    spark.createDataFrame(
+        [(99, "lorem ipsum")], "snippet_id: bigint, snippet: string"
+    ).write.parquet(snp)
+
+    rc = main(["--curate-input", inp, "--curate-output", outp,
+               "--benchmark-snippets", snp])
+    assert rc == 0
+    got = {r.doc_id: r for r in spark.read.parquet(outp).collect()}
+    assert len(got) == 4
+    assert got[0].selected and not got[0].is_duplicate
+    assert got[1].is_duplicate and not got[1].selected
+    assert not got[2].keep_quality and not got[2].selected
+    assert got[3].is_contaminated and not got[3].selected
+
+    # arg validation: half a pair and empty invocation both refuse
+    assert main(["--curate-input", inp]) == 2
+    assert main([]) == 2
+    assert main(["--input", inp]) == 2

@@ -43,9 +43,9 @@ from web_content_extractor_spark.sources.docs import read_docs
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="web_content_extractor_spark.jobs")
-    p.add_argument("--input", required=True,
+    p.add_argument("--input", default=None,
                    help="docs path (parquet dir) or Iceberg table id")
-    p.add_argument("--output", required=True, help="spans output path")
+    p.add_argument("--output", default=None, help="spans output path")
     p.add_argument("--metrics", default=None, help="metrics table path")
     p.add_argument("--errors", default=None,
                    help="per-doc errors table path (stage/reason per "
@@ -64,11 +64,37 @@ def build_parser() -> argparse.ArgumentParser:
                         "(skewed input layouts)")
     p.add_argument("--master", default=None,
                    help="override spark master (default: env/local)")
+    p.add_argument("--curate-input", default=None,
+                   help="text documents table (doc_id, text) to run the "
+                        "curation plan over (quality + dedup + decontam)")
+    p.add_argument("--curate-output", default=None,
+                   help="write the curation manifest here (requires "
+                        "--curate-input)")
+    p.add_argument("--benchmark-snippets", default=None,
+                   help="optional snippet parquet (snippet_id, snippet) "
+                        "for decontamination; default: deterministic "
+                        "synthetic set")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    extracting = bool(args.input or args.output)
+    curating = bool(args.curate_input or args.curate_output)
+    if extracting and not (args.input and args.output):
+        print(json.dumps({"error": "--input and --output go together"}))
+        return 2
+    if curating and not (args.curate_input and args.curate_output):
+        print(json.dumps(
+            {"error": "--curate-input and --curate-output go together"}
+        ))
+        return 2
+    if not extracting and not curating:
+        print(json.dumps(
+            {"error": "nothing to do: pass --input/--output and/or "
+                      "--curate-input/--curate-output"}
+        ))
+        return 2
     if args.urls and args.resume:
         print(json.dumps({
             "error": "--urls is a one-shot work list; combine it with "
@@ -82,7 +108,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("wce-extract-job", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.resume:
+    result: dict = {}
+    if not extracting:
+        pass
+    elif args.resume:
         result = run_resumable_extract(
             spark,
             args.input,
@@ -128,10 +157,38 @@ def main(argv: list[str] | None = None) -> int:
             extracted.unpersist()
         result = {"run_id": run_id, "docs": n_docs}
 
-    if args.content_output:
+    if args.content_output and extracting:
         docs = read_docs(spark, args.input)
         extract_content(docs).write.mode("append").parquet(args.content_output)
         result["content_output"] = args.content_output
+
+    if curating:
+        from pyspark.sql import functions as F
+
+        from web_content_extractor_spark.plans.curation import (
+            curation_manifest,
+        )
+
+        text_docs = spark.read.parquet(args.curate_input)
+        snippets = (
+            spark.read.parquet(args.benchmark_snippets)
+            if args.benchmark_snippets
+            else None
+        )
+        manifest = curation_manifest(text_docs, snippets=snippets).persist()
+        try:
+            manifest.write.mode("append").parquet(args.curate_output)
+            stats = manifest.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.col("selected").cast("int")).alias("selected"),
+            ).collect()[0]
+            result["curation"] = {
+                "docs": stats.docs,
+                "selected": stats.selected,
+                "output": args.curate_output,
+            }
+        finally:
+            manifest.unpersist()
 
     print(json.dumps(result))
     if not preexisting:  # don't tear down a caller-owned session
