@@ -145,3 +145,51 @@ def test_stratified_sample_fractions(spark):
     n_en = d.where("lang = 'en'").count()
     got = counts.get("en", 0)
     assert 0.2 * n_en <= got <= 0.8 * n_en, (n_en, got)
+
+
+def test_curate_stream_incremental_dedup_across_batches(spark, tmp_path):
+    """Streaming curation: quality + decontam drop rows inline; the
+    fingerprint state survives to reject duplicates arriving in LATER
+    micro-batch runs (restart-resumed checkpoint)."""
+    from web_content_extractor_spark.streaming.incremental import curate_stream
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+    good = " ".join(f"word{i}" for i in range(60))
+    other = " ".join(f"token{i}" for i in range(70))
+    snippets = spark.createDataFrame(
+        [(1, "zebra quagga okapi")], "snippet_id: bigint, snippet: string"
+    )
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            curate_stream(stream, snippets=snippets)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.2)
+
+    # batch 1: doc 10 good, doc 11 exact dup (within batch), doc 12
+    # contaminated by the snippet
+    drain([(11, good), (10, good), (12, good + " zebra quagga okapi ok")])
+    got1 = {r.doc_id: r for r in spark.read.parquet(outp).collect()}
+    assert set(got1) == {10}  # min doc id of the dup pair, once
+    assert got1[10].n_first_batch == 2
+
+    # batch 2: doc 20 repeats batch-1 text (state must reject), doc 21 new
+    drain([(20, good), (21, other)])
+    got2 = {r.doc_id: r for r in spark.read.parquet(outp).collect()}
+    assert set(got2) == {10, 21}

@@ -165,3 +165,78 @@ def enrich_stream(
     property via storage layout.
     """
     return stream.join(F.broadcast(dim), on, how)
+
+
+CURATED_OUTPUT = "fp string, doc_id bigint, n_first_batch long"
+CURATED_STATE = "n long"
+
+
+def curate_stream(
+    docs_stream: DataFrame,
+    snippets: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental corpus curation: the batch curation plan
+    (plans/curation.py) as a continuously-running stream.
+
+    - quality filter — stateless Column algebra, applied per micro-batch;
+    - decontamination — stream-static LEFT ANTI join against the
+      broadcast benchmark-snippet table (a contaminated doc never
+      reaches the state store);
+    - exact dedup — keyed state on the content fingerprint via
+      ``applyInPandasWithState``: the first document with a given
+      fingerprint is emitted exactly once (min doc_id on within-batch
+      ties), every later arrival — in any later micro-batch, across
+      restarts — only bumps the state counter.  The visited set lives
+      in the streaming checkpoint, so a re-submitted job continues
+      curating against everything it has ever accepted.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from web_content_extractor_spark.functions import text_quality as tq
+
+    passed = docs_stream.where(tq.quality_filter(F.col("text")))
+    if snippets is not None:
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        passed = passed.withColumn("_t", norm).join(
+            F.broadcast(snippets),
+            F.col("_t").contains(F.col("snippet")),
+            "left_anti",
+        )
+    keyed = passed.select(
+        tq.fingerprint(F.col("text")).alias("fp"), "doc_id"
+    )
+
+    import pandas as pd
+
+    def fn(key_tuple, pdfs, state):
+        total = 0
+        first: int | None = None
+        for pdf in pdfs:
+            if len(pdf):
+                total += len(pdf)
+                lo = int(pdf["doc_id"].min())
+                first = lo if first is None else min(first, lo)
+        if state.exists:
+            (n_seen,) = state.get
+            state.update((n_seen + total,))
+            return iter(())
+        state.update((total,))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "fp": [key_tuple[0]],
+                        "doc_id": [first],
+                        "n_first_batch": [total],
+                    }
+                )
+            ]
+        )
+
+    return keyed.groupBy("fp").applyInPandasWithState(
+        fn,
+        CURATED_OUTPUT,
+        CURATED_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
