@@ -844,6 +844,22 @@ def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-lang pivot back to long form —
+    the standard wide->long reshape for downstream modeling."""
+    wide = q_pivot_counts(spark, sf_dir)
+    return wide.unpivot(
+        "source",
+        ["n_en", "n_es", "n_de", "n_fr"],
+        "lang_col",
+        "n_docs",
+    ).select(
+        "source",
+        F.regexp_replace("lang_col", "^n_", "").alias("lang"),
+        "n_docs",
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (linear interpolation) — the
     verification metric for the approx_percentile sketch path
@@ -1092,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "json_props": q_json_props,
         "pivot_counts": q_pivot_counts,
+        "unpivot_counts": q_unpivot_counts,
         "resample_counts": q_resample_counts,
         "moving_average": q_moving_average,
         "repetition_scores": q_repetition_scores,
@@ -1574,6 +1591,22 @@ def oracle_sql() -> dict[str, str]:
                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
                      6) AS ma4
         FROM s
+        """,
+        "unpivot_counts": """
+        WITH w AS (
+          SELECT source,
+                 count(*) FILTER (lang = 'en') AS n_en,
+                 count(*) FILTER (lang = 'es') AS n_es,
+                 count(*) FILTER (lang = 'de') AS n_de,
+                 count(*) FILTER (lang = 'fr') AS n_fr
+          FROM documents GROUP BY source
+        )
+        SELECT source, lang, n_docs FROM (
+          SELECT source, 'en' AS lang, n_en AS n_docs FROM w
+          UNION ALL SELECT source, 'es', n_es FROM w
+          UNION ALL SELECT source, 'de', n_de FROM w
+          UNION ALL SELECT source, 'fr', n_fr FROM w
+        )
         """,
         "resample_counts": """
         WITH b AS (
