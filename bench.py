@@ -257,6 +257,12 @@ def main() -> None:
 
     queries = contract.queries()
     timings: dict[str, float] = {}
+
+    # flagship first: measured on a fresh JVM (heap/GC state after 39
+    # headline queries depressed it ~30% when it ran last; standalone
+    # is the representative number and matches the scaling protocol)
+    n_docs, fl_sec, _steal = flagship(spark, sf_dir, replication, passes=2)
+
     for name in HEADLINE:
         # best-of-2 FULL passes: each pass rebuilds the DataFrame (so
         # Catalyst planning is included, same basis as the round-1
@@ -272,7 +278,6 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    n_docs, fl_sec, _steal = flagship(spark, sf_dir, replication, passes=2)
     timings["flagship_extract"] = round(fl_sec, 3)
 
     total = round(sum(timings.values()), 3)
