@@ -232,14 +232,22 @@ def _write_md(ex_lo: dict, ex_hi: dict, threads: list[dict], rep: int) -> None:
         f"{round(r['docs_per_sec'] / r['cores'], 1)} |"
         for r in threads
     )
-    # preserve sections other tools appended (e.g. bench_skew.py's
-    # "## Skewed-layout rebalance"): keep everything from the first
-    # non-template "## Skewed" heading onward
+    # preserve sections other tools appended (headline protocol, skew
+    # benches, as-of bench, ...): keep everything from the FIRST
+    # non-template "## " heading onward
     path = os.path.join(REPO, "BENCH.md")
     extra = ""
     if os.path.exists(path):
         old = open(path).read()
-        idx = old.find("\n## Skewed")
+        idx = min(
+            (i for i in (
+                old.find("\n## Headline"),
+                old.find("\n## Skewed"),
+                old.find("\n## Hot-key"),
+                old.find("\n## Shuffle-bearing"),
+            ) if i != -1),
+            default=-1,
+        )
         if idx != -1:
             extra = old[idx:]
     with open(path, "w") as f:
