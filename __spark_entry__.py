@@ -1569,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_average": """
         WITH b AS (
           SELECT event_type, date_trunc('hour', ts) AS bin_ts FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
         ),
         c AS (
           SELECT event_type, bin_ts, count(*) AS n FROM b GROUP BY 1, 2
@@ -1611,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_counts": """
         WITH b AS (
           SELECT event_type, date_trunc('hour', ts) AS bin_ts FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
         ),
         c AS (
           SELECT event_type, bin_ts, count(*) AS n FROM b GROUP BY 1, 2
@@ -1686,12 +1688,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT nrm.doc_id
           FROM nrm JOIN b ON contains(nrm.t, b.snippet)
         )
-        SELECT q.doc_id, q.keep AS keep_quality, d.is_duplicate,
+        SELECT q.doc_id, q.keep AS keep_quality,
+               coalesce(d.is_duplicate, false) AS is_duplicate,
                (cont.doc_id IS NOT NULL) AS is_contaminated,
-               (q.keep AND NOT d.is_duplicate AND cont.doc_id IS NULL)
-                 AS selected
+               (q.keep AND NOT coalesce(d.is_duplicate, false)
+                AND cont.doc_id IS NULL) AS selected
         FROM quality q
-        JOIN dup d USING (doc_id)
+        LEFT JOIN dup d USING (doc_id)
         LEFT JOIN cont USING (doc_id)
         """,
         "repetition_scores": f"""

@@ -265,8 +265,10 @@ def main() -> None:
 
     for name in HEADLINE:
         # best-of-2 FULL passes: each pass rebuilds the DataFrame (so
-        # Catalyst planning is included, same basis as the round-1
-        # single-pass numbers) and starts from a cleared cache (so
+        # Catalyst planning is included; note the JVM has run the two
+        # flagship passes first, so headline numbers are NOT directly
+        # comparable to round-1's flagship-free-JVM basis) and starts
+        # from a cleared cache (so
         # intra-query persists don't carry over).  The min filters the
         # sandbox host's hypervisor-steal spikes — the same
         # stabilization the flagship has used since round 1.

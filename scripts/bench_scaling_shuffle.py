@@ -124,8 +124,13 @@ uniform, so exchange volume per executor stays constant as executors
 scale; this is the property that keeps the shuffle path inside the
 north rule's >= 0.8 band alongside the shuffle-free flagship.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
-        f.write(section)
+    path = os.path.join(REPO, "BENCH.md")
+    old = open(path).read() if os.path.exists(path) else ""
+    idx = old.find("\n## Shuffle-bearing")
+    if idx != -1:  # replace the stale section instead of accumulating
+        old = old[:idx] + "\n"
+    with open(path, "w") as f:
+        f.write(old + section.lstrip("\n"))
 
 
 if __name__ == "__main__":

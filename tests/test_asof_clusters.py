@@ -179,3 +179,31 @@ def test_asof_bucketed_equivalent_to_plain(spark):
         for r in asof_join_bucketed(left, right, bucket="minute").collect()
     }
     assert plain == bucketed and len(plain) == 200
+
+
+def test_resample_excludes_null_keys_and_ts(spark):
+    from web_content_extractor_spark.operators.timeseries import resample_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 7, "a", 0.0),
+            (2, _ts(0), 7, None, 0.0),   # null key: excluded, not zeroed
+            (3, None, 7, "a", 0.0),      # null ts: excluded
+        ],
+        "event_id: bigint, ts: timestamp, user_id: bigint, "
+        "event_type: string, value: double",
+    )
+    rows = resample_counts(ev, unit="hour").collect()
+    assert [(r.event_type, r.n) for r in rows] == [("a", 1)]
+
+
+def test_asof_custom_right_cols_without_event_id(spark):
+    quotes = spark.createDataFrame(
+        [(7, _ts(5), 1.5, 1.6)],
+        "user_id: bigint, ts: timestamp, bid: double, ask: double",
+    )
+    trades = _events(spark, [(1, _ts(10), 7, 0.0)])
+    row = asof_join(
+        trades, quotes, on="user_id", ts="ts", right_cols=("bid", "ask")
+    ).collect()[0]
+    assert row.matched_bid == 1.5 and row.matched_ask == 1.6

@@ -219,3 +219,20 @@ def test_jobs_cli_curate_end_to_end(spark, tmp_path):
     assert main(["--curate-input", inp]) == 2
     assert main([]) == 2
     assert main(["--input", inp]) == 2
+
+
+def test_jobs_cli_rejects_cross_mode_orphan_flags(spark, tmp_path):
+    from web_content_extractor_spark.jobs import main
+
+    good = " ".join(f"word{i}" for i in range(60))
+    inp = str(tmp_path / "td")
+    spark.createDataFrame(
+        [(0, good)], "doc_id: bigint, text: string"
+    ).write.parquet(inp)
+    # extraction-only flags without extraction mode
+    assert main(["--curate-input", inp, "--curate-output",
+                 str(tmp_path / "m"), "--content-output",
+                 str(tmp_path / "c")]) == 2
+    # snippets without curation mode
+    assert main(["--input", inp, "--output", str(tmp_path / "o"),
+                 "--benchmark-snippets", inp]) == 2

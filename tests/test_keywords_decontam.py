@@ -164,3 +164,53 @@ def test_aho_corasick_differential_fuzz():
         ac = decontam.AhoCorasick(pats)
         expected = {i for i, p in pats if p in text}
         assert ac.match_ids(text) == expected, (trial, pats, text)
+
+
+# --- review-fix pins -------------------------------------------------------
+
+
+def test_curation_manifest_null_text_doc_keeps_row(spark):
+    from web_content_extractor_spark.plans.curation import curation_manifest
+
+    good = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, good), (2, None)], "doc_id: bigint, text: string"
+    )
+    snips = spark.createDataFrame(
+        [(9, "zebra quagga")], "snippet_id: bigint, snippet: string"
+    )
+    got = {r.doc_id: r for r in curation_manifest(docs, snippets=snips).collect()}
+    # the NULL-text doc must still get a verdict row: not a duplicate,
+    # not contaminated, quality-dropped
+    assert set(got) == {1, 2}
+    r = got[2]
+    assert (r.keep_quality, r.is_duplicate, r.is_contaminated, r.selected) == (
+        False, False, False, False,
+    )
+
+
+def test_decontam_paths_agree_on_unicode_whitespace(spark):
+    #   is NOT collapsed by the JVM's ASCII \s; the Python kernel
+    # must leave it intact too (both paths -> no match)
+    docs = spark.createDataFrame(
+        [(1, "foo bar baz")], "doc_id: bigint, text: string"
+    )
+    snips = spark.createDataFrame(
+        [(7, "foo bar")], "snippet_id: bigint, snippet: string"
+    )
+    native = {(r.doc_id, r.snippet_id)
+              for r in decontam.contaminated_pairs(docs, snips).collect()}
+    multi = {(r.doc_id, r.snippet_id)
+             for r in decontam.contaminated_pairs_multi(docs, snips).collect()}
+    assert native == multi == set()
+
+
+def test_decontam_empty_snippet_matches_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "anything at all")], "doc_id: bigint, text: string"
+    )
+    snips = spark.createDataFrame(
+        [(7, "")], "snippet_id: bigint, snippet: string"
+    )
+    assert decontam.contaminated_pairs(docs, snips).count() == 0
+    assert decontam.contaminated_pairs_multi(docs, snips).count() == 0

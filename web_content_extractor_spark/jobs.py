@@ -95,6 +95,30 @@ def main(argv: list[str] | None = None) -> int:
                       "--curate-input/--curate-output"}
         ))
         return 2
+    if not extracting:
+        orphans = [
+            flag
+            for flag, val in (
+                ("--metrics", args.metrics),
+                ("--errors", args.errors),
+                ("--urls", args.urls),
+                ("--content-output", args.content_output),
+                ("--resume", args.resume),
+            )
+            if val
+        ]
+        if orphans:
+            print(json.dumps({
+                "error": f"{', '.join(orphans)} require(s) "
+                         "--input/--output (extraction mode)"
+            }))
+            return 2
+    if args.benchmark_snippets and not curating:
+        print(json.dumps({
+            "error": "--benchmark-snippets requires --curate-input/"
+                     "--curate-output"
+        }))
+        return 2
     if args.urls and args.resume:
         print(json.dumps({
             "error": "--urls is a one-shot work list; combine it with "

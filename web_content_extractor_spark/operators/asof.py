@@ -21,7 +21,8 @@ partition, so for pathological keys pre-bucket by time range and
 carry the last right row per bucket boundary forward (the same trick
 ``operators/skew.py`` uses for salted aggregation).
 
-Right rows are first reduced to one per (key, ts) — min event wins —
+Right rows are first reduced to one per (key, ts) — arg-min by
+``tie_col`` (default: the first of ``right_cols``) wins —
 so the match is deterministic even when a key has equal-timestamp
 right rows; DuckDB's native ASOF JOIN replays it as the oracle.
 
@@ -43,6 +44,7 @@ def asof_join(
     on: str = "user_id",
     ts: str = "ts",
     right_cols: tuple[str, ...] = ("event_id", "value"),
+    tie_col: str | None = None,
 ) -> DataFrame:
     """For each left row, the most recent right row with
     ``right.ts <= left.ts`` on the same key (left join: unmatched
@@ -54,9 +56,10 @@ def asof_join(
     between engines).
     """
     # deterministic tie handling: one right row per (key, ts)
+    tie = tie_col or right_cols[0]
     r = (
         right.groupBy(on, ts)
-        .agg(*[F.min_by(c, "event_id").alias(c) for c in right_cols])
+        .agg(*[F.min_by(c, tie).alias(c) for c in right_cols])
         .select(
             F.col(on),
             F.col(ts).alias("_r_ts"),
@@ -115,6 +118,7 @@ def asof_join_bucketed(
     ts: str = "ts",
     right_cols: tuple[str, ...] = ("event_id", "value"),
     bucket: str = "hour",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """As-of join for HOT keys: identical semantics to ``asof_join``,
     but the per-key sort is split across time buckets so one key with
@@ -133,9 +137,10 @@ def asof_join_bucketed(
     Equivalence with ``asof_join`` is pinned in tests on corpora whose
     matches cross empty and occupied buckets.
     """
+    tie = tie_col or right_cols[0]
     r = (
         right.groupBy(on, ts)
-        .agg(*[F.min_by(c, "event_id").alias(c) for c in right_cols])
+        .agg(*[F.min_by(c, tie).alias(c) for c in right_cols])
         .select(
             F.col(on),
             F.col(ts).alias("_r_ts"),

@@ -81,9 +81,12 @@ def contaminated_pairs(docs: DataFrame, snippets: DataFrame) -> DataFrame:
     one corpus scan, zero shuffles (the final distinct is keyed on the
     already-tiny hit set).
     """
+    # empty snippets match nothing (contains('') would flag EVERY doc;
+    # the Aho-Corasick path drops them too, so both paths agree)
+    snips = snippets.where(F.length("snippet") > 0)
     return (
         docs.select("doc_id", _norm(F.col("text")).alias("t"))
-        .join(F.broadcast(snippets), F.col("t").contains(F.col("snippet")))
+        .join(F.broadcast(snips), F.col("t").contains(F.col("snippet")))
         .select("doc_id", "snippet_id")
         .distinct()
     )
@@ -151,6 +154,12 @@ def contaminated_pairs_multi(docs: DataFrame, snippets: DataFrame) -> DataFrame:
 
     import re as _re
 
+    # ASCII-only \s and space-only strip: the JVM path's regexp_replace
+    # uses Java's ASCII \s and trim() strips spaces, so the Python
+    # kernel must NOT collapse Unicode whitespace (  etc.) that
+    # the native path leaves intact
+    _ws = _re.compile(r"\s+", _re.ASCII)
+
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             doc_ids: list[int] = []
@@ -158,7 +167,7 @@ def contaminated_pairs_multi(docs: DataFrame, snippets: DataFrame) -> DataFrame:
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 if not txt:
                     continue
-                norm = _re.sub(r"\s+", " ", txt.strip()).lower()
+                norm = _ws.sub(" ", txt.strip(" ")).lower()
                 for pid in ac.match_ids(norm):
                     doc_ids.append(did)
                     snip_ids.append(pid)

@@ -33,8 +33,15 @@ def resample_counts(
     — empty bins zero-filled.
 
     ``unit`` is a date_trunc unit ('minute' | 'hour' | 'day').
+
+    NULL keys are excluded up front: the gap-fill equi-join is
+    null-unsafe, so a NULL-key series would silently report 0 for
+    bins that actually contain events — exclusion is the only honest
+    semantics (filter/fix NULL keys upstream if they matter).
     """
-    binned = events.select(
+    binned = events.where(
+        F.col(key).isNotNull() & F.col(ts).isNotNull()
+    ).select(
         F.col(key),
         F.date_trunc(unit, F.col(ts).cast("timestamp")).alias("bin_ts"),
     )
@@ -47,7 +54,7 @@ def resample_counts(
             F.sequence("lo", "hi", F.expr(f"interval 1 {unit}"))
         ).alias("bin_ts")
     )
-    spine = events.select(key).distinct().crossJoin(grid)
+    spine = binned.select(key).distinct().crossJoin(grid)
     return spine.join(counts, [key, "bin_ts"], "left").select(
         key, "bin_ts", F.coalesce("n", F.lit(0)).alias("n")
     )

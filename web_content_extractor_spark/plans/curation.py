@@ -35,6 +35,10 @@ def curation_manifest(
     quality = docs.select(
         "doc_id", tq.quality_filter(F.col("text")).alias("keep_quality")
     )
+    # LEFT join + coalesce: exact_duplicates drops NULL-text docs (their
+    # fingerprint is NULL, and the fp equi-join is null-unsafe), but the
+    # manifest must carry a verdict row for EVERY input doc — NULL text
+    # is simply not a duplicate (it is quality-dropped anyway)
     dup = dedup_docs.exact_duplicates(docs).select("doc_id", "is_duplicate")
     cont = (
         decontam.contaminated_pairs(docs, snippets)
@@ -43,18 +47,18 @@ def curation_manifest(
         .withColumn("is_contaminated", F.lit(True))
     )
     return (
-        quality.join(dup, "doc_id")
+        quality.join(dup, "doc_id", "left")
         .join(F.broadcast(cont), "doc_id", "left")
         .select(
             "doc_id",
             "keep_quality",
-            "is_duplicate",
+            F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
             F.coalesce("is_contaminated", F.lit(False)).alias(
                 "is_contaminated"
             ),
             (
                 F.col("keep_quality")
-                & ~F.col("is_duplicate")
+                & ~F.coalesce("is_duplicate", F.lit(False))
                 & ~F.coalesce("is_contaminated", F.lit(False))
             ).alias("selected"),
         )

@@ -194,10 +194,11 @@ def curate_stream(
 
     from web_content_extractor_spark.functions import text_quality as tq
 
+    from web_content_extractor_spark.operators.decontam import _norm
+
     passed = docs_stream.where(tq.quality_filter(F.col("text")))
     if snippets is not None:
-        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-        passed = passed.withColumn("_t", norm).join(
+        passed = passed.withColumn("_t", _norm(F.col("text"))).join(
             F.broadcast(snippets),
             F.col("_t").contains(F.col("snippet")),
             "left_anti",
