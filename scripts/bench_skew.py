@@ -42,7 +42,11 @@ from web_content_extractor_spark.session import get_spark  # noqa: E402
 
 def materialize_skewed(spark, sf_dir: str, replication: int) -> str:
     path = os.path.join(REPO, ".bench", f"skewed_{replication}_v1")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # own completeness marker: Spark's _SUCCESS already exists after the
+    # FIRST (hot) write, so a crash before the cold append would leave a
+    # dataset later runs silently treat as complete
+    marker = os.path.join(path, "_SKEW_COMPLETE")
+    if not os.path.exists(marker):
         docs = bench.replicated_docs(spark, sf_dir, replication)
         hot = docs.where(F.crc32(F.col("doc_id")) % 100 < 85)
         cold = docs.where(F.crc32(F.col("doc_id")) % 100 >= 85)
@@ -55,6 +59,7 @@ def materialize_skewed(spark, sf_dir: str, replication: int) -> str:
             .parquet(path)
         )
         cold.repartition(64).write.mode("append").parquet(path)
+        open(marker, "w").close()
     return path
 
 

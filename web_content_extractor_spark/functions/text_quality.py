@@ -185,6 +185,12 @@ def winnow_fingerprints(
                 t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
             ).astype(np.int64)
             n_pos = len(codes) - (k - 1)
+            # positions pack into _POS_BITS low bits: beyond that the
+            # pos would bleed into the hash bits and silently corrupt
+            # fingerprints, so fingerprint only the first 2^20-1
+            # positions (chunk longer docs upstream for full coverage)
+            n_pos = min(n_pos, (1 << _POS_BITS) - 1)
+            codes = codes[: n_pos + (k - 1)]
             h = np.zeros(n_pos, dtype=np.int64)
             for j in range(k):
                 h += codes[j : n_pos + j] * (WINNOW_B ** (k - 1 - j))

@@ -34,6 +34,20 @@ from pyspark.sql import functions as F
 
 from web_content_extractor_spark.functions.text_quality import fingerprint
 
+import re as _re
+
+# ASCII-only whitespace split: Java's \s (used by the JVM-side
+# _word_ngrams tokenization that the exact-jaccard verifier runs on)
+# does NOT match Unicode whitespace, so the Python kernels must not
+# either — else LSH candidates and exact verification would score
+# different shingle universes for NBSP-bearing docs.
+_WS_ASCII = _re.compile(r"\s+", _re.ASCII)
+
+
+def _ascii_tokens(t: str) -> list[str]:
+    return [w for w in _WS_ASCII.split(t.lower()) if w]
+
+
 # 2^31 - 1 (Mersenne prime): keeps a*h+b inside signed-64 range
 _MERSENNE = 2147483647
 
@@ -127,7 +141,7 @@ def minhash_signatures(
         for idx, t in enumerate(texts):
             if not t:
                 continue
-            toks = t.lower().split()
+            toks = _ascii_tokens(t)
             if len(toks) < ngram:
                 continue
             th = np.fromiter(
@@ -178,6 +192,11 @@ def minhash_lsh_pairs(
     signature -> `bands` band-hashes -> explode -> equi-self-join on
     (band, band_hash) -> estimated jaccard = matching minhash fraction,
     filtered at ``min_jaccard``.  Returns (doc_a, doc_b, est_jaccard).
+
+    Cache lifecycle: the signature table is persist()ed for the two
+    join sides and stays cached until session cache eviction — in a
+    long-lived app processing many corpora, clearCache() between
+    corpora (bench.py does this between passes).
 
     Shuffle profile: the band self-join and the pair dedup carry ONLY
     (doc_id, band, band_hash) — the 64-element signatures are
@@ -266,6 +285,10 @@ def ngram_jaccard_pairs(
     Skew guard: shingles appearing in more than ``max_df`` documents are
     dropped before the self-join (they would otherwise produce df^2
     join rows for zero dedup signal — the standard hot-key cut).
+
+    Cache lifecycle: the exploded gram table is persist()ed (it feeds
+    three consumers) and stays cached until session cache eviction —
+    long-lived apps should clearCache() between corpora (bench.py does).
     """
     # the exploded gram table feeds three consumers (doc sizes, the
     # document-frequency cap, and both self-join sides): persist +
@@ -333,7 +356,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for idx, t in enumerate(texts):
             if not t:
                 continue
-            toks = t.lower().split()
+            toks = _ascii_tokens(t)
             if not toks:
                 continue
             th = np.fromiter(

@@ -114,7 +114,7 @@ def _decode_png(payload: bytes):
                 idat += data
             elif ctype == b"IEND":
                 break
-        if not width or not idat:
+        if not width or not height or not idat:
             return None
         raw = zlib.decompress(bytes(idat))
         stride = width * channels
@@ -168,7 +168,7 @@ def _real_image_features(payload: bytes, n: int = 8):
     import numpy as np
 
     img = _decode_png(payload)
-    if img is None:
+    if img is None or img.size == 0:
         return None
     h, w, c = img.shape
     px = img.astype(np.float64)
@@ -229,7 +229,10 @@ def extract_image_features(
                 tw, th = thumb
                 feats = None
                 if not deterministic_fake:
-                    decoded = _real_image_features(payload)
+                    try:
+                        decoded = _real_image_features(payload)
+                    except Exception:
+                        decoded = None  # drop-not-fail: fake fallback
                     if decoded is not None:
                         w, h, feats = decoded
                         tw, th = min(thumb[0], w), min(thumb[1], h)
@@ -283,9 +286,9 @@ def _pdf_unescape(raw: bytes) -> str:
         c = raw[i : i + 1]
         if c == b"\\" and i + 1 < n:
             nxt = raw[i + 1 : i + 2]
-            if nxt.isdigit():
+            if nxt in b"01234567" and nxt:  # \8/\9 are NOT octal: fall through
                 j = i + 1
-                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                while j < min(i + 4, n) and raw[j : j + 1] in b"01234567":
                     j += 1
                 out += bytes([int(raw[i + 1 : j], 8) & 0xFF])
                 i = j
@@ -393,7 +396,10 @@ def parse_pdf_layout(
                 payload = bytes(payload) if payload is not None else b""
                 blocks = None
                 if not deterministic_fake:
-                    blocks = _parse_pdf_real(payload)
+                    try:
+                        blocks = _parse_pdf_real(payload)
+                    except Exception:
+                        blocks = None  # drop-not-fail: fake fallback
                 if blocks is None:
                     digest = hashlib.sha256(payload).hexdigest()
                     p_digest = hashlib.sha256(payload + b"p").hexdigest()
@@ -482,8 +488,11 @@ def resize_images(
                 pdf["media_id"], pdf["doc_id"], pdf["payload"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                img = _decode_png(payload)
-                if img is None:
+                try:
+                    img = _decode_png(payload)
+                except Exception:
+                    img = None  # drop-not-fail
+                if img is None or img.size == 0:
                     digest = hashlib.sha256(payload).digest()
                     sw = sh = tw = th = 1
                     thumb = bytes(digest[:3])

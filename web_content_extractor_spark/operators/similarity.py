@@ -111,7 +111,7 @@ def exact_near_duplicates(
         )
     b_ids = [r[0] for r in brows]
     B = np.stack([np.asarray(r[1], dtype=np.float64) for r in brows])
-    Bn = (B / np.linalg.norm(B, axis=1, keepdims=True)).T  # (dim, m)
+    Bn = _norm_rows(B).T  # (dim, m); zero-norm guard shared w/ IVF path
 
     def score(batches):
         for pdf in batches:
@@ -119,7 +119,7 @@ def exact_near_duplicates(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             ) if len(pdf) else np.zeros((0, Bn.shape[0]))
             if len(pdf):
-                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                V = _norm_rows(V)
             cos = np.round(V @ Bn, 6)  # (n, m)
             ids = pdf[id_col].to_numpy()
             rows_i, cols_j = np.nonzero(cos >= min_cos)
@@ -315,6 +315,10 @@ def ivf_build(
             v = np.asarray(r.vsum, dtype=np.float64)
             sums[r.cid] = sums.get(r.cid, 0) + v
             counts[r.cid] = counts.get(r.cid, 0) + r.cnt
+        if not sums:
+            raise ValueError(
+                "ivf_build: empty embeddings input (nothing to index)"
+            )
         dim = len(next(iter(sums.values())))
         out = []
         for c in range(n_centroids):
