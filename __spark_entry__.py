@@ -919,6 +919,68 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate-line removal: lines whose normalized
+    form appears in >= 5 distinct docs (shared headers/footers) are
+    stripped corpus-wide, per-doc line order preserved.  Multi-line text
+    is synthesized from the documents table (same construction in the
+    oracle): a per-source cookie banner, two content lines, a per-lang
+    copyright footer."""
+    from web_content_extractor_spark.operators.lines import dedup_lines
+
+    d = _read(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("COOKIE NOTICE "), F.col("source")),
+            F.substring("text", 1, 60),
+            F.substring("text", 61, 60),
+            F.concat(F.lit("copyright "), F.col("lang")),
+        ).alias("text"),
+    )
+    return dedup_lines(multi, min_df=5)
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget chunking with overlap (chunk 32, overlap 8):
+    the standard pretraining-corpus windowing step.  Pure Column
+    algebra — sequence/explode/slice, narrow plan, no shuffle."""
+    from web_content_extractor_spark.operators.lines import chunk_documents
+
+    d = _read(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=32, overlap=8)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: mask emails/phones/IPv4s with <KIND> tokens and count
+    matches per kind (chained native regexp_replace — codegen, no
+    Python).  PII is synthesized deterministically from doc_id (same
+    construction in the oracle)."""
+    d = _read(spark, sf_dir, "documents")
+    wired = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1415555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    counts = tq.pii_counts(F.col("text"))
+    return wired.select(
+        "doc_id",
+        tq.redact_pii(F.col("text")).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+    )
+
+
 def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup (batch vs corpus) — the
     oracle-checked verification metric for the LSH near-dup path."""
@@ -1112,6 +1174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_counts": q_resample_counts,
         "moving_average": q_moving_average,
         "repetition_scores": q_repetition_scores,
+        "line_dedup": q_line_dedup,
+        "chunk_docs": q_chunk_docs,
+        "pii_redact": q_pii_redact,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
@@ -1720,6 +1785,76 @@ def oracle_sql() -> dict[str, str]:
                coalesce(top.n_bigrams, 0) AS n_bigrams,
                coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
         FROM per LEFT JOIN top USING (doc_id)
+        """,
+        "line_dedup": """
+        WITH m AS (
+          SELECT doc_id,
+                 'COOKIE NOTICE ' || source || chr(10) ||
+                 substr(text, 1, 60) || chr(10) ||
+                 substr(text, 61, 60) || chr(10) ||
+                 'copyright ' || lang AS text
+          FROM documents
+        ),
+        s AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM m),
+        l AS (
+          SELECT doc_id, i - 1 AS pos, ln[i] AS line,
+                 lower(trim(ln[i])) AS key
+          FROM s, UNNEST(range(1, len(ln) + 1)) AS u(i)
+        ),
+        b AS (
+          SELECT key FROM l WHERE key <> ''
+          GROUP BY key HAVING count(DISTINCT doc_id) >= 5
+        )
+        SELECT l.doc_id,
+               coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                        FILTER (WHERE b.key IS NULL), '') AS text,
+               count(*) FILTER (WHERE b.key IS NULL) AS n_lines_kept,
+               count(*) FILTER (WHERE b.key IS NOT NULL) AS n_lines_dropped
+        FROM l LEFT JOIN b ON l.key = b.key
+        GROUP BY l.doc_id
+        """,
+        "chunk_docs": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '') AS w
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, w,
+                 1 + greatest(0, (len(w) - 32 + 23) // 24) AS n_chunks
+          FROM t
+        )
+        SELECT doc_id, i AS chunk_id,
+               len(w[i*24 + 1 : i*24 + 32]) AS n_tokens,
+               array_to_string(w[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+        FROM p, UNNEST(range(0, n_chunks)) AS u(i)
+        """,
+        "pii_redact": """
+        WITH wired AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id ||
+                 '@example.com or +1415555' ||
+                 lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+                 ' from 10.0.' || (doc_id % 256) || '.7' AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\\+[0-9]{7,15}', '<PHONE>', 'g'),
+                 '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                 '<IPV4>', 'g') AS redacted,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS n_phone,
+               len(regexp_extract_all(text,
+                 '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4
+        FROM wired
         """,
         "decontam": """
         WITH n AS (

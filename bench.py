@@ -76,6 +76,9 @@ HEADLINE = [
     "moving_average",     # trailing ROWS-frame average per key
     "ivf_topk",           # IVF ANN (kmeans index build + probes)
     "embedding_neardup_exact",  # exact batch-vs-corpus near-dup
+    "line_dedup",         # boilerplate-line removal (df agg + anti set)
+    "chunk_docs",         # token-budget chunking (sequence/explode/slice)
+    "pii_redact",         # chained-regexp PII scrub + per-kind counts
 ]
 
 

@@ -256,6 +256,48 @@ def main() -> int:
         ],
     )
 
+    # chunking — pure Column algebra on a direct scan must stay narrow
+    from web_content_extractor_spark.operators.lines import chunk_documents
+
+    ch = chunk_documents(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        chunk_size=32,
+        overlap=8,
+    )
+    p = formatted(ch)
+    audit(
+        "chunk_docs (token-budget windowing, direct scan)",
+        ch,
+        [
+            ("shuffle-free (no Exchange in plan)", "Exchange" not in p),
+            ("no Python stage (native sequence/explode/slice)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p),
+            ("column-pruned scan (text+doc_id only)",
+             "lang" not in p.split("ReadSchema")[-1]),
+        ],
+    )
+
+    # line dedup — one df shuffle + reassembly agg; no cartesian blowup.
+    # Audit the driver query (multi-line synthesis with real shared
+    # banner/footer lines): raw sf docs are single-line unique texts, so
+    # the boilerplate set is empty and AQE's empty-relation propagation
+    # elides the join — correct, but not the path worth asserting.
+    ld = contract.q_line_dedup(spark, SF_DIR)
+    ld.collect()  # AQE finalizes: boilerplate join side resolves small
+    p = formatted(ld)
+    audit(
+        "line_dedup (boilerplate-line removal)",
+        ld,
+        [
+            ("no cartesian/BNL join", "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+            ("partial aggregation on the line-key df agg",
+             _final_tree(p).count("HashAggregate") >= 2),
+            ("boilerplate set broadcast at runtime (AQE BHJ)",
+             "BroadcastHashJoin" in _final_tree(p)),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "

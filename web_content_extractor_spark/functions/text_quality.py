@@ -261,3 +261,44 @@ def quality_filter(
         & ~s["has_lorem"]
         & ~s["has_brace"]
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark, executes JVM-side in codegen) and RE2 (the DuckDB oracle):
+# character classes, bounded repeats, alternation — no lookaround, no
+# backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{7,15}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+# replacement order matters: emails contain dots that the ipv4 pattern
+# could otherwise chew on, and '+digits' inside an email local part
+# would be masked as a phone — scrub emails first.
+_PII_ORDER = ["email", "phone", "ipv4"]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (native regexp_extract_all, JVM-side)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask each PII kind with ``<KIND>`` tokens, email -> phone -> ipv4.
+
+    Pure chained regexp_replace — stays inside whole-stage codegen; the
+    scan cost is one pass per pattern over the text, no Python.
+    """
+    out = text
+    for kind in _PII_ORDER:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return out
