@@ -981,6 +981,67 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard shuffle: uniform shard assignment +
+    reproducible within-shard order from a portable two-round int64
+    hash (exact same math in the SQL oracle)."""
+    from web_content_extractor_spark.operators.corpus import shard_corpus
+
+    d = _read(spark, sf_dir, "documents")
+    return shard_corpus(d, n_shards=8, seed=42)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli mixture re-weighting: per-source keep
+    rates (src{i} -> ((i % 4) + 1) / 4) broadcast onto the corpus; the
+    keep decision is a pure function of (doc_id, seed)."""
+    from web_content_extractor_spark.operators.corpus import mixture_sample
+
+    d = _read(spark, sf_dir, "documents")
+    rates = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "rate",
+            (
+                (
+                    F.regexp_extract("source", r"(\d+)$", 1).cast("bigint")
+                    % 4
+                )
+                + 1
+            )
+            / F.lit(4.0),
+        )
+    )
+    return mixture_sample(d, rates, seed=1).select("doc_id", "source")
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream packing of overlapping chunks into 64-token training
+    packs, per shard in shard order — the chunk -> shard -> pack
+    composition of the corpus-assembly tail."""
+    from web_content_extractor_spark.operators.corpus import (
+        pack_token_stream,
+        shard_corpus,
+    )
+    from web_content_extractor_spark.operators.lines import chunk_documents
+
+    d = _read(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_size=32, overlap=8).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    shards = shard_corpus(d, n_shards=8, seed=7)
+    packed = pack_token_stream(
+        chunks.join(shards, "doc_id"),
+        budget=64,
+        group_col="shard",
+        order_cols=("shard_pos", "chunk_id"),
+    )
+    return packed.select(
+        "doc_id", "chunk_id", "shard", "pack_id", "pack_offset"
+    )
+
+
 def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup (batch vs corpus) — the
     oracle-checked verification metric for the LSH near-dup path."""
@@ -1177,6 +1238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
+        "shard_corpus": q_shard_corpus,
+        "mixture_sample": q_mixture_sample,
+        "pack_chunks": q_pack_chunks,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
@@ -1855,6 +1919,75 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text,
                  '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4
         FROM wired
+        """,
+        # portable two-round hash shared with operators/corpus.py:
+        # h = (((doc_id + seed) * 2654435761) % 2147483647 * 48271)
+        #     % 2147483647  — exact int64 on both engines.
+        "shard_corpus": """
+        WITH h AS (
+          SELECT doc_id,
+                 (((doc_id + 42) * 2654435761) % 2147483647 * 48271)
+                   % 2147483647 AS h
+          FROM documents
+        )
+        SELECT doc_id, h % 8 AS shard,
+               row_number() OVER (PARTITION BY h % 8
+                                  ORDER BY h, doc_id) - 1 AS shard_pos
+        FROM h
+        """,
+        "mixture_sample": """
+        WITH rates AS (
+          SELECT source,
+                 ((regexp_extract(source, '(\\d+)$', 1)::BIGINT % 4) + 1)
+                   / 4.0 AS rate
+          FROM (SELECT DISTINCT source FROM documents)
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE (((d.doc_id + 1) * 2654435761) % 2147483647 * 48271)
+                % 2147483647 % 1000000
+              < (r.rate * 1000000)::BIGINT
+        """,
+        "pack_chunks": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '') AS w
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, w,
+                 1 + greatest(0, (len(w) - 32 + 23) // 24) AS n_chunks
+          FROM t
+        ),
+        c AS (
+          SELECT doc_id, i AS chunk_id,
+                 len(w[i*24 + 1 : i*24 + 32]) AS n_tokens
+          FROM p, UNNEST(range(0, n_chunks)) AS u(i)
+        ),
+        sh AS (
+          SELECT doc_id, h % 8 AS shard,
+                 row_number() OVER (PARTITION BY h % 8
+                                    ORDER BY h, doc_id) - 1 AS shard_pos
+          FROM (SELECT doc_id,
+                       (((doc_id + 7) * 2654435761) % 2147483647 * 48271)
+                         % 2147483647 AS h
+                FROM documents)
+        ),
+        j AS (
+          SELECT c.doc_id, c.chunk_id, c.n_tokens, sh.shard, sh.shard_pos,
+                 (sum(c.n_tokens) OVER (
+                   PARTITION BY sh.shard
+                   ORDER BY sh.shard_pos, c.chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ))::BIGINT - c.n_tokens AS before
+          FROM c JOIN sh ON c.doc_id = sh.doc_id
+        )
+        SELECT doc_id, chunk_id, shard,
+               before // 64 AS pack_id,
+               before % 64 AS pack_offset
+        FROM j
         """,
         "decontam": """
         WITH n AS (

@@ -79,6 +79,9 @@ HEADLINE = [
     "line_dedup",         # boilerplate-line removal (df agg + anti set)
     "chunk_docs",         # token-budget chunking (sequence/explode/slice)
     "pii_redact",         # chained-regexp PII scrub + per-kind counts
+    "shard_corpus",       # deterministic shard shuffle (portable hash)
+    "mixture_sample",     # broadcast-rates Bernoulli mixture filter
+    "pack_chunks",        # token-stream packing (per-shard cumsum)
 ]
 
 

@@ -298,6 +298,44 @@ def main() -> int:
         ],
     )
 
+    # mixture sampling — broadcast rates, zero corpus shuffle
+    ms = contract.q_mixture_sample(spark, SF_DIR)
+    p = formatted(ms)
+    audit(
+        "mixture_sample (broadcast-rates Bernoulli filter)",
+        ms,
+        [
+            ("rates joined via broadcast (BroadcastHashJoin)",
+             "BroadcastHashJoin" in p),
+            # the only key shuffle is the tiny rates-side distinct;
+            # the corpus side reaches the join with no hash Exchange
+            ("no corpus-side key shuffle (only the rates distinct)",
+             p.count("hashpartitioning(") == 1
+             and "hashpartitioning(source" in p),
+            ("no Python stage (portable hash is Column algebra)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p),
+        ],
+    )
+
+    # shard shuffle — exactly the one shard-key Exchange, nothing else
+    sc_ = contract.q_shard_corpus(spark, SF_DIR)
+    p = formatted(sc_)
+    audit(
+        "shard_corpus (deterministic training shuffle)",
+        sc_,
+        [
+            # the read helper's round-robin rebalance aside, the only
+            # key shuffle is the shard-keyed window sort
+            ("exactly one key shuffle (hashpartitioning on shard)",
+             p.count("hashpartitioning(") == 1
+             and "hashpartitioning(shard" in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "BatchEvalPython" not in p),
+            ("column-pruned scan (doc_id only)",
+             "text" not in p.split("ReadSchema")[-1]),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "

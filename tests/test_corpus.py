@@ -1,0 +1,161 @@
+"""Corpus-assembly semantics: shard shuffle, mixture sampling, packing."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.operators.corpus import (
+    mixture_sample,
+    pack_token_stream,
+    portable_hash,
+    shard_corpus,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias(
+            "source"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_corpus
+# ---------------------------------------------------------------------------
+
+
+def test_shards_balanced_and_positions_dense(spark):
+    out = shard_corpus(_docs(spark), n_shards=8, seed=3).collect()
+    assert len(out) == 400
+    by_shard = Counter(r.shard for r in out)
+    assert set(by_shard) <= set(range(8))
+    # uniform hash: no shard much over/under the 50-doc mean
+    assert max(by_shard.values()) < 100 and min(by_shard.values()) > 20
+    for s, n in by_shard.items():
+        poss = sorted(r.shard_pos for r in out if r.shard == s)
+        assert poss == list(range(n))  # dense 0..n-1 training order
+
+
+def test_shard_determinism_and_seed_sensitivity(spark):
+    d = _docs(spark)
+    a = sorted((r.doc_id, r.shard, r.shard_pos)
+               for r in shard_corpus(d, 8, seed=3).collect())
+    b = sorted((r.doc_id, r.shard, r.shard_pos)
+               for r in shard_corpus(d, 8, seed=3).collect())
+    assert a == b  # rerun-identical
+    c = dict(
+        (r.doc_id, r.shard) for r in shard_corpus(d, 8, seed=4).collect()
+    )
+    moved = sum(1 for doc_id, shard, _ in a if c[doc_id] != shard)
+    assert moved > 200  # a new seed is a real reshuffle (~7/8 move)
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def _rates(spark, pairs):
+    return spark.createDataFrame(pairs, "source string, rate double")
+
+
+def test_mixture_rates_respected(spark):
+    d = _docs(spark, n=2000)
+    rates = _rates(
+        spark,
+        [("src0", 0.0), ("src1", 0.25), ("src2", 1.0)],  # src3 missing
+    )
+    kept = Counter(
+        r.source for r in mixture_sample(d, rates, seed=9).collect()
+    )
+    assert kept["src0"] == 0 and "src3" not in kept  # rate 0 == missing
+    assert kept["src2"] == 500  # rate 1 keeps everything
+    assert 75 <= kept["src1"] <= 175  # ~125 expected at rate 0.25
+
+
+def test_mixture_monotone_in_rate(spark):
+    # keep iff u < rate: raising a rate only ever adds docs
+    d = _docs(spark, n=1000)
+    low = {
+        r.doc_id
+        for r in mixture_sample(
+            d, _rates(spark, [("src0", 0.3)]), seed=5
+        ).collect()
+    }
+    high = {
+        r.doc_id
+        for r in mixture_sample(
+            d, _rates(spark, [("src0", 0.7)]), seed=5
+        ).collect()
+    }
+    assert low <= high and len(low) < len(high)
+
+
+# ---------------------------------------------------------------------------
+# pack_token_stream
+# ---------------------------------------------------------------------------
+
+
+def test_pack_hand_case(spark):
+    chunks = spark.createDataFrame(
+        [(1, 0, 10, 0), (1, 1, 10, 0), (1, 2, 10, 0), (2, 0, 5, 1)],
+        "doc_id long, chunk_id long, n_tokens long, shard long",
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.pack_id, r.pack_offset)
+        for r in pack_token_stream(
+            chunks, budget=16, order_cols=("doc_id", "chunk_id")
+        ).collect()
+    }
+    # shard 0 stream: before = 0, 10, 20 -> packs 0@0, 0@10, 1@4
+    assert out[(1, 0)] == (0, 0)
+    assert out[(1, 1)] == (0, 10)
+    assert out[(1, 2)] == (1, 4)
+    # shard 1 starts its own stream
+    assert out[(2, 0)] == (0, 0)
+
+
+def test_pack_offsets_consistent(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, j, rng.randint(1, 40), i % 3)
+        for i in range(50)
+        for j in range(rng.randint(1, 4))
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_tokens long, shard long"
+    )
+    out = pack_token_stream(
+        chunks, budget=64, order_cols=("doc_id", "chunk_id")
+    ).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id, r.chunk_id)):
+        before = by_shard.get(r.shard, 0)
+        assert r.pack_id == before // 64
+        assert r.pack_offset == before % 64
+        by_shard[r.shard] = before + r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# portable hash
+# ---------------------------------------------------------------------------
+
+
+def test_portable_hash_matches_python(spark):
+    M31, m1, m2 = 2147483647, 2654435761, 48271
+
+    def ref(x, seed):
+        return ((x + seed) * m1) % M31 * m2 % M31
+
+    got = (
+        spark.range(100)
+        .select(portable_hash(F.col("id"), seed=13).alias("h"))
+        .collect()
+    )
+    assert [r.h for r in got] == [ref(i, 13) for i in range(100)]

@@ -1,0 +1,137 @@
+"""Training-corpus assembly: deterministic shard shuffle, mixture
+sampling, and token-stream packing.
+
+These are the last-mile operators of a pretraining-data pipeline: after
+extraction/curation the corpus must be (1) globally shuffled into a
+fixed number of shards in a *reproducible* order, (2) re-weighted to a
+target source mixture, and (3) packed into fixed token-budget training
+sequences.  All three are deterministic functions of (doc_id, seed) so
+reruns — and the SQL oracle — produce bit-identical output.
+
+Portable hash: every engine hashes differently (Spark xxhash64 vs
+DuckDB hash), so randomness is derived from an explicit two-round
+multiplicative hash mod the Mersenne prime 2^31-1.  All intermediate
+products stay well inside int64 (doc_id + seed < ~2^40 times a 32-bit
+multiplier), so Spark and the DuckDB oracle compute the exact same
+integers — the same trick the winnowing fingerprints use
+(functions/text_quality.py WINNOW_*).
+
+Scale notes (10^12 docs):
+
+- ``shard_corpus``: the hash is uniform, so shards are balanced by
+  construction; the only shuffle is the per-shard window sort.  At real
+  scale, write with ``repartition(n_shards, shard)`` +
+  ``sortWithinPartitions(h)`` and let the file order carry the training
+  order instead of materializing ``shard_pos`` (the window per shard is
+  a single sorted partition — fine up to ~10^8 rows/shard, beyond that
+  drop with_pos).
+- ``mixture_sample``: rates live in a tiny per-source table broadcast
+  onto the corpus — no corpus shuffle at all; the filter is a codegen
+  integer compare.
+- ``pack_token_stream``: cumulative sums are per shard (the unit a
+  trainer reads sequentially), so the sequential dependency never
+  crosses shard boundaries and shards pack in parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+M31 = 2147483647  # 2^31 - 1
+_MULT1 = 2654435761  # Knuth multiplicative hash
+_MULT2 = 48271  # MINSTD
+
+
+def portable_hash(col: Column, seed: int = 0) -> Column:
+    """Two-round multiplicative hash of an integer column, in [0, 2^31-1).
+
+    Exact int64 arithmetic, reproducible in any engine:
+    ``h = (((x + seed) * 2654435761) % M31 * 48271) % M31``.
+    """
+    h = ((col.cast("bigint") + F.lit(seed)) * F.lit(_MULT1)) % F.lit(M31)
+    return (h * F.lit(_MULT2)) % F.lit(M31)
+
+
+def shard_corpus(
+    docs: DataFrame,
+    n_shards: int = 16,
+    seed: int = 0,
+    with_pos: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards.
+
+    Returns (doc_id, shard, shard_pos): ``shard`` is uniform by the
+    portable hash; ``shard_pos`` is the document's 0-based position in
+    the shard's training order (hash order, doc_id tie-break — ties
+    only if two docs collide in the 31-bit hash).  Reruns with the same
+    seed reproduce the exact order; a new seed is a fresh epoch-level
+    reshuffle.
+    """
+    h = portable_hash(F.col("doc_id"), seed)
+    out = docs.select("doc_id", (h % n_shards).alias("shard"), h.alias("h"))
+    if with_pos:
+        w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        out = out.withColumn("shard_pos", F.row_number().over(w) - 1)
+        return out.select("doc_id", "shard", "shard_pos")
+    return out.select("doc_id", "shard")
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    seed: int = 1,
+    key_col: str = "source",
+) -> DataFrame:
+    """Deterministic Bernoulli down-sampling to a target source mixture.
+
+    ``rates`` is a tiny (key, rate) table — rate in [0, 1] is the keep
+    probability for that source.  A doc is kept iff
+    ``portable_hash(doc_id, seed) % 1e6 < rate * 1e6``: the decision is
+    a pure function of (doc_id, seed), so reruns keep the identical
+    subset and the expected kept fraction per source is the rate to
+    within 1e-6 granularity.
+
+    The rates table is broadcast (it is one row per source) — the plan
+    is scan -> broadcast-join -> codegen filter, no corpus shuffle.
+    Sources missing from ``rates`` are dropped (rate 0); rate >= 1
+    keeps everything.
+    """
+    u = portable_hash(F.col("doc_id"), seed) % F.lit(1_000_000)
+    return (
+        docs.join(F.broadcast(rates), key_col, "inner")
+        .where(u < (F.col("rate") * F.lit(1_000_000)).cast("bigint"))
+        .drop("rate")
+    )
+
+
+def pack_token_stream(
+    chunks: DataFrame,
+    budget: int = 1024,
+    group_col: str = "shard",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """GPT-style token-stream packing: concatenate all chunks of a
+    shard in training order and cut every ``budget`` tokens.
+
+    Each chunk is assigned the pack its *first* token lands in
+    (``pack_id = floor(tokens_before / budget)``) plus its offset
+    within that pack — chunks may straddle a cut point, exactly like
+    document-agnostic pretraining packing; the trainer resumes the
+    straddle in the next pack.  Columns out: input columns +
+    (pack_id, pack_offset).
+
+    The cumulative sum is a per-shard ROWS window: sequential within a
+    shard (the unit read sequentially at train time), embarrassingly
+    parallel across shards.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return chunks.withColumn(
+        "pack_id", F.floor(before / budget).cast("bigint")
+    ).withColumn("pack_offset", (before % budget).cast("bigint"))
