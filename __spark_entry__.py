@@ -1042,6 +1042,37 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank (5 synchronous iterations, d=0.85) over
+    a deterministic synthetic host graph derived from doc_id — the
+    iterative-fixpoint operator class.  The oracle unrolls the same
+    recurrence as five chained CTEs; ranks rounded to 6 dp (far above
+    the float-summation noise floor)."""
+    from web_content_extractor_spark.operators.graph import host_pagerank
+
+    # no _read fan-out: per-row work is one multiply, and the host
+    # keyspace (50) is tiny — wide map stages would be pure scheduling
+    # overhead across the 5 iterations' shuffles.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    src = F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+    e1 = d.select(
+        src.alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50).cast("string")
+        ).alias("dst"),
+    )
+    e2 = d.select(
+        src.alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 13 + 11) % 50).cast("string")
+        ).alias("dst"),
+    )
+    ranks = host_pagerank(
+        e1.union(e2), iters=5, damping=0.85, broadcast_ranks=True
+    )
+    return ranks.select("host", F.round("rank", 6).alias("rank"))
+
+
 def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup (batch vs corpus) — the
     oracle-checked verification metric for the LSH near-dup path."""
@@ -1241,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_corpus": q_shard_corpus,
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
+        "host_pagerank": q_host_pagerank,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
@@ -1306,6 +1338,56 @@ _QUALITY_CTE = """
             FROM qs
           )
         )"""
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unroll the PageRank recurrence as chained CTEs (DuckDB oracle).
+
+    Mirrors operators/graph.py exactly: distinct edges minus self-loops,
+    self-loop patch for dangling hosts, uniform start, then
+    r' = (1-d)/n + d * sum_in(r/out_deg) repeated ``iters`` times.
+    """
+    ctes = [
+        """e0 AS (
+          SELECT 'h' || (doc_id % 50) AS src,
+                 'h' || ((doc_id * 7 + 3) % 50) AS dst
+          FROM documents
+          UNION ALL
+          SELECT 'h' || (doc_id % 50),
+                 'h' || ((doc_id * 13 + 11) % 50)
+          FROM documents
+        )""",
+        "ed AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)",
+        "nodes AS (SELECT src AS host FROM ed UNION SELECT dst FROM ed)",
+        "dang AS (SELECT host FROM nodes "
+        "EXCEPT SELECT DISTINCT src FROM ed)",
+        "edges AS (SELECT src, dst FROM ed "
+        "UNION ALL SELECT host, host FROM dang)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "r0 AS (SELECT host, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+          SELECT nodes.host,
+                 (1 - {damping}) / nn.n
+                   + {damping} * coalesce(c.s, 0) AS rank
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS host, sum(r{i-1}.rank / deg.out_deg) AS s
+            FROM edges e
+            JOIN deg ON e.src = deg.src
+            JOIN r{i-1} ON r{i-1}.host = e.src
+            GROUP BY e.dst
+          ) c ON nodes.host = c.host
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT host, round(rank, 6) AS rank FROM r{iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1989,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
                before % 64 AS pack_offset
         FROM j
         """,
+        "host_pagerank": _pagerank_oracle(iters=5, damping=0.85),
         "decontam": """
         WITH n AS (
           SELECT doc_id,

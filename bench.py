@@ -82,6 +82,7 @@ HEADLINE = [
     "shard_corpus",       # deterministic shard shuffle (portable hash)
     "mixture_sample",     # broadcast-rates Bernoulli mixture filter
     "pack_chunks",        # token-stream packing (per-shard cumsum)
+    "host_pagerank",      # iterative fixpoint (5 rounds, per-round agg)
 ]
 
 
