@@ -1042,6 +1042,55 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# constant 44-byte RIFF/WAVE header: PCM16 mono 8 kHz, 64 data bytes
+# (32 samples) — so payloads are buildable in pure Column algebra and
+# the oracle can recompute the samples from md5 hex math.
+_WAV_HDR_HEX = (
+    "524946466400000057415645666d7420100000000100"
+    "0100401f0000803e0000020010006461746140000000"
+)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio branch with a REAL decode path oracle-checked end to end:
+    payloads are genuine PCM16 WAV files (constant header + md5-derived
+    sample bytes built natively), parsed by the chunk-walking stdlib
+    decoder in operators/multimodal.py; the oracle recomputes rms/zcr
+    from the same md5 bytes in closed form."""
+    from web_content_extractor_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.md5(F.encode("text", "UTF-8"))
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("audio").alias("media_type"),
+        F.lit("audio/wav").alias("mime"),
+        F.concat(
+            F.unhex(F.lit(_WAV_HDR_HEX)), F.unhex(F.concat(m, m, m, m))
+        ).alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(4).alias("duration_ms"),
+            F.lit(108).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    out = extract_audio_features(media)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "decoded",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        "zcr",
+    )
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-authority PageRank (5 synchronous iterations, d=0.85) over
     a deterministic synthetic host graph derived from doc_id — the
@@ -1273,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
         "host_pagerank": q_host_pagerank,
+        "audio_features": q_audio_features,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
@@ -2072,6 +2122,45 @@ def oracle_sql() -> dict[str, str]:
         FROM j
         """,
         "host_pagerank": _pagerank_oracle(iters=5, damping=0.85),
+        # payload data bytes = md5(text) digest repeated 4x; sample i
+        # is the little-endian int16 at data bytes (2i, 2i+1), i.e.
+        # digest bytes ((2i)%16, (2i+1)%16) — recomputed here from the
+        # hex string (strpos hex-digit math), no blob access needed.
+        "audio_features": """
+        WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        s AS (
+          SELECT doc_id, i,
+                 16*(strpos('0123456789abcdef',
+                            substr(hx, ((2*i)%16)*2+1, 1))-1)
+                   + (strpos('0123456789abcdef',
+                              substr(hx, ((2*i)%16)*2+2, 1))-1) AS lo,
+                 16*(strpos('0123456789abcdef',
+                            substr(hx, ((2*i+1)%16)*2+1, 1))-1)
+                   + (strpos('0123456789abcdef',
+                              substr(hx, ((2*i+1)%16)*2+2, 1))-1) AS hi
+          FROM m, UNNEST(range(0, 32)) AS u(i)
+        ),
+        v AS (
+          SELECT doc_id, i,
+                 lo + 256*hi - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END
+                   AS smp
+          FROM s
+        ),
+        w AS (
+          SELECT doc_id, smp,
+                 CASE WHEN (smp < 0) <>
+                           (lag(smp) OVER (PARTITION BY doc_id
+                                           ORDER BY i) < 0)
+                      THEN 1 ELSE 0 END AS flip
+          FROM v
+        )
+        SELECT doc_id, TRUE AS decoded, 8000 AS sample_rate,
+               1 AS n_channels, 32::BIGINT AS n_samples,
+               4.0 AS duration_ms,
+               round(sqrt(sum(smp*smp) / 32.0), 6) AS rms,
+               coalesce(sum(flip), 0)::BIGINT AS zcr
+        FROM w GROUP BY doc_id
+        """,
         "decontam": """
         WITH n AS (
           SELECT doc_id,

@@ -83,6 +83,7 @@ HEADLINE = [
     "mixture_sample",     # broadcast-rates Bernoulli mixture filter
     "pack_chunks",        # token-stream packing (per-shard cumsum)
     "host_pagerank",      # iterative fixpoint (5 rounds, per-round agg)
+    "audio_features",     # real WAV decode + signal features (Arrow UDF)
 ]
 
 

@@ -2,10 +2,12 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched ``mapInPandas`` stages.  Two decode paths are REAL
+as Arrow-batched ``mapInPandas`` stages.  Three decode paths are REAL
 pure-Python kernels exercised by tests: PNG (``_decode_png``: IDAT
-inflate + all five scanline filters -> pixel features) and PDF layout
-(``_parse_pdf_real`` below).  Video frame decode is the one genuinely
+inflate + all five scanline filters -> pixel features), PDF layout
+(``_parse_pdf_real`` below), and RIFF/WAVE PCM16 audio
+(``_decode_wav``: chunk walker + int16 signal features, oracle-checked
+end to end).  Video frame decode is the one genuinely
 environment-blocked slot (needs ffmpeg) and is clearly stubbed with a
 deterministic fake.  Undecodable payloads fall back to the
 deterministic fake — drop-not-fail, mirroring the link pipeline.
@@ -524,3 +526,112 @@ def resize_images(
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, schema=THUMBNAILS)
+
+
+# --------------------------------------------------------------------------
+# Audio branch: REAL RIFF/WAVE PCM16 decode (stdlib struct, no codecs)
+# --------------------------------------------------------------------------
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), nullable=False),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),  # frames (per channel)
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.LongType()),  # sign transitions
+    ]
+)
+
+
+def _decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE PCM16 payload; None if undecodable.
+
+    A real chunk-walking parser (stdlib ``struct``, word-aligned chunk
+    sizes, truncation-checked), not a stub: PCM (format 1), 16-bit
+    only.  Returns (sample_rate, n_channels, samples) with samples the
+    interleaved int16 stream.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_ch, rate = struct.unpack("<HHI", fmt[:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_fmt != 1 or bits != 16 or n_ch < 1 or rate < 1:
+        return None
+    usable = len(data) - len(data) % (2 * n_ch)
+    return rate, n_ch, np.frombuffer(data[:usable], dtype="<i2")
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode + signal-feature stage.
+
+    One pass, no shuffle.  ``rms`` is the root-mean-square of the
+    interleaved int16 stream (exact int64 sum of squares before the
+    single sqrt, so it is bit-reproducible across engines); ``zcr``
+    counts strict sign transitions (negative <-> non-negative) across
+    consecutive interleaved samples.  Undecodable payloads keep the
+    row with ``decoded=false`` and zeroed features — drop-not-fail,
+    queryable like the errors table.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in AUDIO_FEATURES.fields]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for media_id, doc_id, payload in zip(
+                pdf["media_id"], pdf["doc_id"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    dec = _decode_wav(payload)
+                except Exception:
+                    dec = None  # drop-not-fail
+                rate = ch = 0
+                frames = zcr = 0
+                dur = rms = 0.0
+                if dec is not None:
+                    rate, ch, s = dec
+                    frames = s.size // ch
+                    dur = frames / rate * 1000.0
+                    if s.size:
+                        sq = s.astype(np.int64)
+                        rms = float(np.sqrt(float((sq * sq).sum()) / s.size))
+                        neg = s < 0
+                        zcr = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                out["media_id"].append(media_id)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                out["decoded"].append(dec is not None)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(frames)
+                out["duration_ms"].append(dur)
+                out["rms"].append(rms)
+                out["zcr"].append(zcr)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES)
