@@ -1091,6 +1091,38 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (Lee et al. ACL 2022 style):
+    maximal per-doc token spans whose every 8-token gram occurs >= 2
+    times corpus-wide.  One uniform gram-key shuffle (window count, no
+    join-back); string keys here so DuckDB can express the same thing
+    — the hash_keys=True scale path is equivalence-pinned in tests."""
+    from web_content_extractor_spark.operators.substrings import (
+        duplicate_spans,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return duplicate_spans(d, k=8, min_count=2, hash_keys=False)
+
+
+def q_dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token coverage from the maximal spans —
+    the curation signal form (every doc reported, zero-span docs at
+    0.0).  Runs the hash-keyed scale path; the oracle recomputes from
+    exact gram strings, so the hash/string equivalence is itself
+    oracle-checked here."""
+    from web_content_extractor_spark.operators.substrings import (
+        substring_dup_stats,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    s = substring_dup_stats(d, k=8, min_count=2, hash_keys=True)
+    return s.select(
+        "doc_id", "n_tokens", "dup_tokens",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+    )
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-authority PageRank (5 synchronous iterations, d=0.85) over
     a deterministic synthetic host graph derived from doc_id — the
@@ -1323,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "host_pagerank": q_host_pagerank,
         "audio_features": q_audio_features,
+        "dup_substrings": q_dup_substrings,
+        "dup_substring_stats": q_dup_substring_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
@@ -2160,6 +2194,92 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(sum(smp*smp) / 32.0), 6) AS rms,
                coalesce(sum(flip), 0)::BIGINT AS zcr
         FROM w GROUP BY doc_id
+        """,
+        # Duplicate-substring spans: a position is duplicated when its
+        # 8-token gram occurs >= 2 times corpus-wide (within-doc repeats
+        # count); overlapping/adjacent duplicated windows merge into
+        # maximal spans (break when start > prev_start + 8 — window
+        # lengths are all k, so prev_start + k IS the running max end).
+        "dup_substrings": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, i AS start,
+                 array_to_string(w[i+1:i+8], ' ') AS gram
+          FROM t, UNNEST(range(0, greatest(len(w) - 7, 0))) AS u(i)
+        ),
+        c AS (
+          SELECT doc_id, start,
+                 count(*) OVER (PARTITION BY gram) AS cnt
+          FROM g
+        ),
+        d AS (SELECT doc_id, start FROM c WHERE cnt >= 2),
+        m AS (
+          SELECT doc_id, start,
+                 CASE WHEN lag(start) OVER win IS NULL
+                        OR start > lag(start) OVER win + 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM d WINDOW win AS (PARTITION BY doc_id ORDER BY start)
+        ),
+        i AS (
+          SELECT doc_id, start,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY start)
+                   AS island
+          FROM m
+        )
+        SELECT doc_id, min(start) AS span_start,
+               max(start) + 8 AS span_end,
+               max(start) + 8 - min(start) AS span_tokens
+        FROM i GROUP BY doc_id, island
+        """,
+        # Coverage form over the same spans; the Spark side runs the
+        # xxhash64-keyed shuffle, the oracle exact strings — so the
+        # hash/string equivalence is oracle-checked, not just pytest'd.
+        "dup_substring_stats": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, i AS start,
+                 array_to_string(w[i+1:i+8], ' ') AS gram
+          FROM t, UNNEST(range(0, greatest(len(w) - 7, 0))) AS u(i)
+        ),
+        c AS (
+          SELECT doc_id, start,
+                 count(*) OVER (PARTITION BY gram) AS cnt
+          FROM g
+        ),
+        d AS (SELECT doc_id, start FROM c WHERE cnt >= 2),
+        m AS (
+          SELECT doc_id, start,
+                 CASE WHEN lag(start) OVER win IS NULL
+                        OR start > lag(start) OVER win + 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM d WINDOW win AS (PARTITION BY doc_id ORDER BY start)
+        ),
+        i AS (
+          SELECT doc_id, start,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY start)
+                   AS island
+          FROM m
+        ),
+        sp AS (
+          SELECT doc_id, max(start) + 8 - min(start) AS span_tokens
+          FROM i GROUP BY doc_id, island
+        ),
+        per AS (
+          SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+          FROM sp GROUP BY doc_id
+        )
+        SELECT t.doc_id, len(t.w) AS n_tokens,
+               coalesce(per.dup_tokens, 0) AS dup_tokens,
+               round(CASE WHEN len(t.w) > 0
+                          THEN coalesce(per.dup_tokens, 0)::DOUBLE / len(t.w)
+                          ELSE 0.0 END, 6) AS dup_fraction
+        FROM t LEFT JOIN per USING (doc_id)
         """,
         "decontam": """
         WITH n AS (

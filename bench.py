@@ -84,6 +84,7 @@ HEADLINE = [
     "pack_chunks",        # token-stream packing (per-shard cumsum)
     "host_pagerank",      # iterative fixpoint (5 rounds, per-round agg)
     "audio_features",     # real WAV decode + signal features (Arrow UDF)
+    "dup_substring_stats",  # exact substring-dup coverage (hash-keyed)
 ]
 
 
