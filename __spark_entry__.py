@@ -1271,6 +1271,32 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): spherical-kmeans clusters, greedy
+    id-ordered within-cluster cosine pruning.  Iterative quantizer ->
+    rows-only by design; keep/drop soundness, completeness, and
+    layout-determinism are pinned in tests/test_semdedup.py.  The base
+    embeddings are near-orthogonal (max pairwise cos ~0.51), so twins
+    are planted exactly as in q_embedding_neardup: every planted twin
+    must be dropped with dup_of = its base vector."""
+    emb = _read(spark, sf_dir, "embeddings")
+    twins = emb.where("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * 1.001 + (i % 3) * F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    out = similarity.semantic_duplicates(
+        emb.select("vec_id", "embedding").unionByName(twins),
+        threshold=0.95,
+        n_centroids=16,
+        iters=1,
+    )
+    return out.select(
+        "id", "cid", "kept", "dup_of", F.round("max_kept_sim", 4).alias("max_kept_sim")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads synthesized from documents."""
     from web_content_extractor_spark.operators.multimodal import (
@@ -1369,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
     }
 

@@ -85,6 +85,7 @@ HEADLINE = [
     "host_pagerank",      # iterative fixpoint (5 rounds, per-round agg)
     "audio_features",     # real WAV decode + signal features (Arrow UDF)
     "dup_substring_stats",  # exact substring-dup coverage (hash-keyed)
+    "semantic_dedup",     # SemDeDup: kmeans + within-cluster pruning
 ]
 
 

@@ -446,3 +446,84 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_sim") >= min_cos)
     )
+
+
+def semantic_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means + within-
+    cluster cosine pruning.
+
+    The spherical-kmeans coarse quantizer (``ivf_build``, shared with
+    the IVF ANN index) assigns every vector a cluster; within each
+    cluster a greedy id-ordered sweep keeps a vector only if its cosine
+    to every already-kept vector is < ``threshold``.  Greedy-by-id is
+    deterministic and order-independent of partitioning — the same
+    keep/drop set on every run and every cluster layout.
+
+    Returns one row per vector: (id, cid, kept, dup_of, max_kept_sim)
+    where ``dup_of`` is the kept vector that shadowed a dropped one
+    (NULL for kept rows) and ``max_kept_sim`` the max cosine to any
+    kept vector seen before it (0.0 for the first of its cluster).
+
+    Scale shape: ONE shuffle, on cid — pairwise work never crosses
+    clusters, which is the entire point of SemDeDup vs all-pairs.  At
+    10^12 docs you build the quantizer from a sample and raise
+    ``n_centroids`` so clusters stay bounded; the per-cluster cost is
+    O(m^2) flops as one numpy gram matrix.  ``max_cluster_rows`` is an
+    explicit skew guard: a cluster above it raises (undersized k or a
+    degenerate embedding space) instead of silently OOM-ing an
+    executor.
+    """
+    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _assign_udf(C)(F.col(vec_col)).alias("cid"),
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > max_cluster_rows:
+            raise ValueError(
+                f"semantic_duplicates: cluster of {m} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows}; raise n_centroids"
+            )
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        V = _norm_rows(
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        )
+        kept: list[int] = []
+        keep_flags, dup_of, max_sim = [], [], []
+        for i in range(m):
+            if kept:
+                sims = V[kept] @ V[i]
+                j = int(np.argmax(sims))
+                mx = float(sims[j])
+            else:
+                mx = 0.0
+            ok = mx < threshold
+            keep_flags.append(ok)
+            dup_of.append(None if ok else int(pdf["id"].iloc[kept[j]]))
+            max_sim.append(round(mx, 6))
+            if ok:
+                kept.append(i)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cid": pdf["cid"],
+                "kept": keep_flags,
+                "dup_of": pd.array(dup_of, dtype="Int64"),
+                "max_kept_sim": max_sim,
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        prune, schema="id long, cid int, kept boolean, dup_of long, max_kept_sim double"
+    )
