@@ -336,6 +336,62 @@ def main() -> int:
         ],
     )
 
+    # duplicate-substring coverage — exactly the two designed key
+    # shuffles: gram_key (window count) and doc_id (islands + stats)
+    ds = contract.q_dup_substring_stats(spark, SF_DIR)
+    p = formatted(ds)
+    audit(
+        "dup_substring_stats (exact substring-dup coverage)",
+        ds,
+        [
+            ("key shuffles are exactly {gram_key, doc_id}",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             == {"gram_key", "doc_id"}),
+            ("no Python stage (gram algebra is native)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p
+             and "ArrowEvalPython" not in p),
+            ("column-pruned scan (doc_id + text only)",
+             "struct<doc_id:bigint,text:string>"
+             in p.split("ReadSchema")[-1]
+             or "struct<doc_id:bigint,text:string>" in p),
+            ("no cartesian/BNL join", "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+        ],
+    )
+
+    # SemDeDup — the pairwise work shuffles ONCE, on cid
+    sd = contract.q_semantic_dedup(spark, SF_DIR)
+    p = formatted(sd)
+    audit(
+        "semantic_dedup (SemDeDup cluster pruning)",
+        sd,
+        [
+            ("only key shuffle is the cid grouping",
+             set(re.findall(r"hashpartitioning\((\w+)", p)) == {"cid"}),
+            ("per-cluster prune is one grouped Arrow stage",
+             "FlatMapGroupsInPandas" in p),
+            ("no all-pairs join anywhere", "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p
+             and "SortMergeJoin" not in p),
+        ],
+    )
+
+    # audio decode — single map-only Arrow stage, no key shuffle
+    af = contract.q_audio_features(spark, SF_DIR)
+    p = formatted(af)
+    audit(
+        "audio_features (WAV decode + signal features)",
+        af,
+        [
+            ("no key shuffle (map-only decode)",
+             "hashpartitioning(" not in p),
+            ("one Arrow decode stage",
+             _final_tree(p).count("MapInPandas") >= 1),
+            ("column-pruned scan (doc_id + text only)",
+             "struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "
