@@ -1123,6 +1123,29 @@ def q_dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection feeding the salting decision: count-min-sketch
+    screen + deterministic hash-sampled candidates + exact broadcast
+    recount (operators/skew.py::heavy_hitters) — no corpus-wide per-key
+    shuffle.  Skew is synthesized deterministically (user_id < 30 folds
+    into three ~6.7% hot hosts; the rest stay cold), mirrored in the
+    oracle; output counts are exact, so the sketch path is fully
+    oracle-checked."""
+    from web_content_extractor_spark.operators.skew import heavy_hitters
+
+    e = _read(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id",
+        F.when(
+            F.col("user_id") < 30,
+            F.concat(F.lit("hot"), (F.col("user_id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold"), F.col("user_id").cast("string")))
+        .alias("host"),
+    )
+    return heavy_hitters(keyed, "host", min_frac=0.03, row_id="event_id")
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-authority PageRank (5 synchronous iterations, d=0.85) over
     a deterministic synthetic host graph derived from doc_id — the
@@ -1382,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "audio_features": q_audio_features,
         "dup_substrings": q_dup_substrings,
+        "heavy_hitters": q_heavy_hitters,
         "dup_substring_stats": q_dup_substring_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -2221,6 +2245,17 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(sum(smp*smp) / 32.0), 6) AS rms,
                coalesce(sum(flip), 0)::BIGINT AS zcr
         FROM w GROUP BY doc_id
+        """,
+        "heavy_hitters": """
+        WITH k AS (
+          SELECT CASE WHEN user_id < 30 THEN 'hot' || (user_id % 3)
+                      ELSE 'cold' || user_id END AS host
+          FROM events
+        ),
+        t AS (SELECT count(*) AS total FROM k),
+        g AS (SELECT host, count(*) AS n FROM k GROUP BY 1)
+        SELECT host, n, round(n::DOUBLE / total, 6) AS frac
+        FROM g, t WHERE n >= ceil(0.03 * total)
         """,
         # Duplicate-substring spans: a position is duplicated when its
         # 8-token gram occurs >= 2 times corpus-wide (within-doc repeats

@@ -86,6 +86,7 @@ HEADLINE = [
     "audio_features",     # real WAV decode + signal features (Arrow UDF)
     "dup_substring_stats",  # exact substring-dup coverage (hash-keyed)
     "semantic_dedup",     # SemDeDup: kmeans + within-cluster pruning
+    "heavy_hitters",      # CMS screen + exact recount hot-key finder
 ]
 
 
