@@ -1123,6 +1123,34 @@ def q_dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text index (the classic target-describing search
+    signal): per-target in-degree, referring-doc count, and top-3
+    anchor texts by (count desc, text asc).  Links are synthesized
+    deterministically: each doc points at one of 50 shared targets
+    plus one corpus-wide hot target (the skew case the top-k cap
+    guards)."""
+    from web_content_extractor_spark.operators.graph import (
+        anchor_text_index,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    shared = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://t.example.com/p"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("media_ref"),
+        F.trim(F.substring("text", 1, 12)).alias("text"),
+    )
+    hot = d.select(
+        "doc_id",
+        F.lit("https://hot.example.com/").alias("media_ref"),
+        F.trim(F.substring("text", 13, 8)).alias("text"),
+    )
+    return anchor_text_index(shared.unionByName(hot), k=3)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key detection feeding the salting decision: count-min-sketch
     screen + deterministic hash-sampled candidates + exact broadcast
@@ -1406,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "dup_substrings": q_dup_substrings,
         "heavy_hitters": q_heavy_hitters,
+        "anchor_index": q_anchor_index,
         "dup_substring_stats": q_dup_substring_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -2245,6 +2274,36 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(sum(smp*smp) / 32.0), 6) AS rms,
                coalesce(sum(flip), 0)::BIGINT AS zcr
         FROM w GROUP BY doc_id
+        """,
+        "anchor_index": """
+        WITH l AS (
+          SELECT doc_id,
+                 'https://t.example.com/p' || (doc_id % 50) AS target,
+                 trim(substr(text, 1, 12)) AS text
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'https://hot.example.com/' AS target,
+                 trim(substr(text, 13, 8)) AS text
+          FROM documents
+        ),
+        p AS (SELECT target, text, count(*) AS cnt FROM l GROUP BY 1, 2),
+        r AS (
+          SELECT target, text,
+                 row_number() OVER (PARTITION BY target
+                                    ORDER BY cnt DESC, text ASC) AS rank
+          FROM p
+        ),
+        topk AS (
+          SELECT target, list(text ORDER BY rank) AS top_texts
+          FROM r WHERE rank <= 3 GROUP BY target
+        ),
+        tot AS (
+          SELECT target, count(*) AS n_refs,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM l GROUP BY 1
+        )
+        SELECT tot.target, n_refs, n_docs, top_texts
+        FROM tot JOIN topk USING (target)
         """,
         "heavy_hitters": """
         WITH k AS (

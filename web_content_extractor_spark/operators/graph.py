@@ -32,7 +32,7 @@ comparing across engines should round (the driver query rounds to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,3 +117,63 @@ def host_pagerank(
             )
         )
     return ranks
+
+
+def anchor_text_index(
+    links: DataFrame,
+    target_col: str = "media_ref",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Inbound anchor-text index: per target URL, in-degree, referring-
+    doc count, and the top-``k`` anchor texts.
+
+    The classic web-corpus quality/relevance signal (anchor text
+    describes the *target*, not the source — the original web-search
+    ranking feature), aggregated from extracted link spans.
+
+    Returns (target, n_refs, n_docs, top_texts) with ``top_texts``
+    ordered by (count desc, text asc) and capped at ``k`` — the cap is
+    the skew guard: a hot target (a million inbound links) contributes
+    at most its distinct-text rows to the final per-target pass, and
+    the heavy first shuffle keys on (target, text), which fans a hot
+    target out across reducers instead of pinning one.
+
+    Shuffle profile: pair counts on (target, text); the distinct-doc
+    and top-k branches then both key on target, so AQE reuses one
+    target partitioning for the final join.
+    """
+    t = F.col(target_col).alias("target")
+    pairs = (
+        links.where(F.col(target_col).isNotNull())
+        .groupBy(t, F.col(text_col).alias("text"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.desc("cnt"), F.asc("text")
+    )
+    top = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .groupBy("target")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rank"), F.col("text")))
+                ),
+                lambda s: s["text"],
+            ).alias("top_texts")
+        )
+    )
+    totals = (
+        links.where(F.col(target_col).isNotNull())
+        .groupBy(t)
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.count_distinct(F.col(doc_col)).alias("n_docs"),
+        )
+    )
+    return totals.join(top, "target").select(
+        "target", "n_refs", "n_docs", "top_texts"
+    )
