@@ -87,6 +87,7 @@ HEADLINE = [
     "dup_substring_stats",  # exact substring-dup coverage (hash-keyed)
     "semantic_dedup",     # SemDeDup: kmeans + within-cluster pruning
     "heavy_hitters",      # CMS screen + exact recount hot-key finder
+    "anchor_index",       # inbound anchor-text top-k index
 ]
 
 

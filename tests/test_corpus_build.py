@@ -1,0 +1,79 @@
+"""End-to-end corpus-build job: curate -> chunk -> shard -> pack -> write."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.jobs import main
+
+
+def _write_docs(spark, path, n=40):
+    # texts long enough to pass the quality battery and span chunks;
+    # doc 0 and 1 are exact duplicates so curation drops one
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field while the morning light slowly rises "
+    ) * 4
+    rows = [(i, base if i <= 1 else base + f" unique tail {i} " + base)
+            for i in range(n)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_corpus_build_end_to_end(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus")
+    _write_docs(spark, src)
+    rc = main([
+        "--corpus-input", src,
+        "--corpus-output", out,
+        "--chunk-size", "64",
+        "--chunk-overlap", "16",
+        "--shards", "4",
+        "--pack-budget", "128",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st = summary["corpus"]
+    assert st["docs_selected"] == 39  # one exact duplicate dropped
+    assert st["chunks"] > 0 and st["packs"] > 0 and st["tokens"] > 0
+
+    df = spark.read.parquet(out)
+    assert set(df.columns) >= {
+        "doc_id", "chunk_id", "n_tokens", "shard", "shard_pos",
+        "pack_id", "pack_offset",
+    }
+    # pack invariants: offsets inside the budget, and within a shard the
+    # running token count reproduces (pack_id, pack_offset) exactly
+    assert df.where(
+        (F.col("pack_offset") < 0) | (F.col("pack_offset") >= 128)
+    ).count() == 0
+    rows = df.orderBy("shard", "shard_pos", "chunk_id").collect()
+    running: dict[int, int] = {}
+    for r in rows:
+        before = running.get(r.shard, 0)
+        assert r.pack_id == before // 128
+        assert r.pack_offset == before % 128
+        running[r.shard] = before + r.n_tokens
+    assert set(running) == set(r.shard for r in rows)
+
+    # determinism: a rerun selects and packs identically
+    out2 = str(tmp_path / "corpus2")
+    rc = main([
+        "--corpus-input", src, "--corpus-output", out2,
+        "--chunk-size", "64", "--chunk-overlap", "16",
+        "--shards", "4", "--pack-budget", "128",
+    ])
+    assert rc == 0
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
+
+
+def test_corpus_flags_must_pair(spark, capsys):
+    rc = main(["--corpus-input", "/nope"])
+    assert rc == 2
+    assert "corpus-output" in capsys.readouterr().out

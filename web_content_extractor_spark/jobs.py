@@ -74,6 +74,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optional snippet parquet (snippet_id, snippet) "
                         "for decontamination; default: deterministic "
                         "synthetic set")
+    p.add_argument("--corpus-input", default=None,
+                   help="text documents table (doc_id, text) to build a "
+                        "training corpus from: curate -> chunk -> shard "
+                        "-> pack -> clustered write")
+    p.add_argument("--corpus-output", default=None,
+                   help="packed-corpus output root (requires "
+                        "--corpus-input); written partitioned by shard, "
+                        "sorted by (pack_id, pack_offset)")
+    p.add_argument("--chunk-size", type=int, default=256,
+                   help="tokens per chunk (corpus mode)")
+    p.add_argument("--chunk-overlap", type=int, default=32,
+                   help="token overlap between chunks (corpus mode)")
+    p.add_argument("--shards", type=int, default=16,
+                   help="training shards (corpus mode)")
+    p.add_argument("--pack-budget", type=int, default=1024,
+                   help="tokens per training pack (corpus mode)")
     return p
 
 
@@ -81,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     extracting = bool(args.input or args.output)
     curating = bool(args.curate_input or args.curate_output)
+    corpus = bool(args.corpus_input or args.corpus_output)
+    if corpus and not (args.corpus_input and args.corpus_output):
+        print(json.dumps(
+            {"error": "--corpus-input and --corpus-output go together"}
+        ))
+        return 2
     if extracting and not (args.input and args.output):
         print(json.dumps({"error": "--input and --output go together"}))
         return 2
@@ -89,10 +111,11 @@ def main(argv: list[str] | None = None) -> int:
             {"error": "--curate-input and --curate-output go together"}
         ))
         return 2
-    if not extracting and not curating:
+    if not extracting and not curating and not corpus:
         print(json.dumps(
-            {"error": "nothing to do: pass --input/--output and/or "
-                      "--curate-input/--curate-output"}
+            {"error": "nothing to do: pass --input/--output, "
+                      "--curate-input/--curate-output, and/or "
+                      "--corpus-input/--corpus-output"}
         ))
         return 2
     if not extracting:
@@ -113,10 +136,10 @@ def main(argv: list[str] | None = None) -> int:
                          "--input/--output (extraction mode)"
             }))
             return 2
-    if args.benchmark_snippets and not curating:
+    if args.benchmark_snippets and not (curating or corpus):
         print(json.dumps({
             "error": "--benchmark-snippets requires --curate-input/"
-                     "--curate-output"
+                     "--curate-output or --corpus-input/--corpus-output"
         }))
         return 2
     if args.urls and args.resume:
@@ -213,6 +236,70 @@ def main(argv: list[str] | None = None) -> int:
             }
         finally:
             manifest.unpersist()
+
+    if corpus:
+        from pyspark.sql import functions as F
+
+        from web_content_extractor_spark.operators.corpus import (
+            pack_token_stream,
+            shard_corpus,
+        )
+        from web_content_extractor_spark.operators.lines import (
+            chunk_documents,
+        )
+        from web_content_extractor_spark.plans.curation import (
+            curation_manifest,
+        )
+
+        docs = spark.read.parquet(args.corpus_input)
+        # corpus mode decontaminates only against a REAL eval set: the
+        # synthetic default snippet table is lifted from the corpus
+        # itself (an oracle/demo construction that would flag every doc)
+        snippets = (
+            spark.read.parquet(args.benchmark_snippets)
+            if args.benchmark_snippets
+            else spark.createDataFrame(
+                [], "snippet_id long, snippet string"
+            )
+        )
+        selected = (
+            curation_manifest(docs, snippets=snippets)
+            .where("selected")
+            .select("doc_id")
+        )
+        kept = docs.join(selected, "doc_id", "left_semi")
+        chunks = chunk_documents(
+            kept, chunk_size=args.chunk_size, overlap=args.chunk_overlap
+        )
+        shards = shard_corpus(kept.select("doc_id"), n_shards=args.shards)
+        packed = pack_token_stream(
+            chunks.join(shards, "doc_id"),
+            budget=args.pack_budget,
+            group_col="shard",
+            order_cols=("shard_pos", "chunk_id"),
+        )
+        # trainable layout: one range-partitioned, in-order file family
+        # per shard (the small-file compaction's clustered shape)
+        (
+            packed.repartitionByRange(args.shards, "shard", "pack_id")
+            .sortWithinPartitions("shard", "pack_id", "pack_offset")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(args.corpus_output)
+        )
+        out = spark.read.parquet(args.corpus_output)
+        stats = out.agg(
+            F.count("*").alias("chunks"),
+            F.sum("n_tokens").alias("tokens"),
+            F.count_distinct("shard", "pack_id").alias("packs"),
+        ).collect()[0]
+        result["corpus"] = {
+            "docs_selected": kept.count(),
+            "chunks": stats.chunks,
+            "tokens": int(stats.tokens or 0),
+            "packs": stats.packs,
+            "output": args.corpus_output,
+        }
 
     print(json.dumps(result))
     if not preexisting:  # don't tear down a caller-owned session
