@@ -1123,6 +1123,49 @@ def q_dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization: Unicode NFC (vectorized pandas
+    Series.str.normalize — no JVM builtin), control-char strip,
+    whitespace collapse.  Dirt is planted deterministically (combining
+    accents, a BEL byte, tabs, double spaces); the DuckDB oracle runs
+    nfc_normalize + the identical regex chain."""
+    from web_content_extractor_spark.functions.text_quality import (
+        clean_text,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("  Café\t "),
+        F.col("text"),
+        F.lit("  åb"),
+        F.lit("\x07"),
+        F.lit("c  "),
+    )
+    return d.select("doc_id", clean_text(dirty).alias("cleaned"))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-granular snapshot diff (incremental-reprocessing primitive):
+    old = documents; new deterministically removes doc_id%10==0, edits
+    doc_id%7==0, and adds shifted copies of doc_id%13==0.  Only
+    (id, md5) fingerprints cross the full-outer-join shuffle."""
+    from web_content_extractor_spark.operators.diff import snapshot_diff
+
+    old = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = old.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return snapshot_diff(old, base.unionByName(added))
+
+
 def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inbound anchor-text index (the classic target-describing search
     signal): per-target in-degree, referring-doc count, and top-3
@@ -1435,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_substrings": q_dup_substrings,
         "heavy_hitters": q_heavy_hitters,
         "anchor_index": q_anchor_index,
+        "clean_text": q_clean_text,
+        "snapshot_diff": q_snapshot_diff,
         "dup_substring_stats": q_dup_substring_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -2274,6 +2319,43 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(sum(smp*smp) / 32.0), 6) AS rms,
                coalesce(sum(flip), 0)::BIGINT AS zcr
         FROM w GROUP BY doc_id
+        """,
+        "clean_text": """
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(
+                   nfc_normalize('  Cafe' || chr(769) || chr(9) || ' '
+                                 || text || '  a' || chr(778) || 'b'
+                                 || chr(7) || 'c  '),
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                 '\\s+', ' ', 'g')) AS cleaned
+        FROM documents
+        """,
+        "snapshot_diff": """
+        WITH old AS (SELECT doc_id, text FROM documents),
+        new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 10 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+          WHERE doc_id % 13 = 0
+        ),
+        j AS (
+          SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                 old.doc_id IS NOT NULL AS has_old,
+                 new.doc_id IS NOT NULL AS has_new,
+                 old.text AS t_old, new.text AS t_new
+          FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN NOT has_old THEN 'added'
+                    WHEN NOT has_new THEN 'removed'
+                    WHEN coalesce(t_old, '') <> coalesce(t_new, '')
+                      THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM j
         """,
         "anchor_index": """
         WITH l AS (

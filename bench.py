@@ -88,6 +88,8 @@ HEADLINE = [
     "semantic_dedup",     # SemDeDup: kmeans + within-cluster pruning
     "heavy_hitters",      # CMS screen + exact recount hot-key finder
     "anchor_index",       # inbound anchor-text top-k index
+    "clean_text",         # NFC + control strip + whitespace collapse
+    "snapshot_diff",      # fingerprint-only corpus version diff
 ]
 
 

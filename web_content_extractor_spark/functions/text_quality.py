@@ -302,3 +302,29 @@ def redact_pii(text: Column) -> Column:
             out, PII_PATTERNS[kind], f"<{kind.upper()}>"
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Text normalization (corpus cleaning)
+# --------------------------------------------------------------------------
+
+
+def clean_text(text: Column) -> Column:
+    """Corpus-normalized text: Unicode NFC, control characters
+    stripped, whitespace collapsed to single spaces, trimmed.
+
+    NFC runs as a vectorized pandas UDF (``Series.str.normalize`` —
+    there is no JVM builtin); the regex stages are native codegen.
+    Pattern portability note: ``\\s`` differs between Java and RE2
+    only at ``\\x0B``, which the control-strip removes first on both
+    engines, so the DuckDB oracle (`nfc_normalize` + the same two
+    regex replaces) is exactly equivalent.
+    """
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    no_ctl = F.regexp_replace(
+        _nfc(text), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+    )
+    return F.trim(F.regexp_replace(no_ctl, r"\s+", " "))
