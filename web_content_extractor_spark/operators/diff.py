@@ -33,6 +33,12 @@ def snapshot_diff(
     Column expression (e.g. over several columns) to widen the change
     detection.  NULL text fingerprints as the empty string so a
     NULL -> 'x' edit counts as changed, not added.
+
+    PRECONDITION: ``id_col`` is a key on both sides (the docs-table
+    contract).  Duplicate ids would cross-pair in the join and report
+    spurious 'changed' rows — if your snapshot can hold duplicates,
+    reduce each side to one fingerprint per id first (e.g. md5 of the
+    sorted per-id fingerprint list; costs one groupBy per side).
     """
 
     def side(df: DataFrame, tag: str) -> DataFrame:
@@ -58,12 +64,13 @@ def snapshot_diff(
 def changed_docs(
     old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint: Column | None = None,
 ) -> DataFrame:
     """The rows of ``new`` that need (re)processing: added + changed.
 
     Semi-join against the diff, so the output carries the full new-side
     columns while the diff itself only ever shuffled fingerprints.
     """
-    d = snapshot_diff(old, new, id_col, text_col)
+    d = snapshot_diff(old, new, id_col, text_col, fingerprint)
     todo = d.where(F.col("status").isin("added", "changed")).select(id_col)
     return new.join(todo, id_col, "left_semi")
