@@ -392,6 +392,58 @@ def main() -> int:
         ],
     )
 
+    # anchor-text index — pair shuffle fans hot targets, final join BHJ
+    ai = contract.q_anchor_index(spark, SF_DIR)
+    p = formatted(ai)
+    audit(
+        "anchor_index (inbound anchor-text top-k)",
+        ai,
+        [
+            ("hot targets fan out: pair shuffle keys include text "
+             "(hashpartitioning on the pair, not target alone)",
+             re.search(
+                 r"hashpartitioning\((?:media_ref|target)#\d+, text#", p
+             ) is not None),
+            ("final per-target join is broadcast (post-agg sides are "
+             "small)", "BroadcastHashJoin" in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # snapshot diff — fingerprints only through the one id shuffle
+    sdf = contract.q_snapshot_diff(spark, SF_DIR)
+    p = formatted(sdf)
+    audit(
+        "snapshot_diff (corpus version diff)",
+        sdf,
+        [
+            ("single join key shuffle (id)",
+             set(re.findall(r"hashpartitioning\((\w+)", p)) == {"id"}),
+            ("full-outer is a sort-merge join (not broadcastable by "
+             "semantics)", "SortMergeJoin FullOuter" in p
+             or "SortMergeJoin" in p),
+            ("shuffle carries fingerprints, not bodies: no text column "
+             "above the scan projections",
+             "fp_old" in p and "fp_new" in p),
+        ],
+    )
+
+    # clean_text — map-only: one Arrow NFC stage, regex in codegen
+    ct = contract.q_clean_text(spark, SF_DIR)
+    p = formatted(ct)
+    audit(
+        "clean_text (NFC normalization)",
+        ct,
+        [
+            ("no key shuffle", "hashpartitioning(" not in p),
+            ("exactly one Arrow stage (the NFC kernel)",
+             len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1),
+            ("regex stages stay in codegen (present as native "
+             "regexp_replace, not Python)", "regexp_replace" in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "

@@ -298,13 +298,16 @@ def ivf_build(
                         acc[int(c)][1] += sel.sum(axis=0)
                     else:
                         acc[int(c)] = [len(sel), sel.sum(axis=0)]
-            yield pd.DataFrame(
-                {
-                    "cid": list(acc),
-                    "cnt": [v[0] for v in acc.values()],
-                    "vsum": [v[1] for v in acc.values()],
-                }
-            )
+            if acc:  # an all-empty partition must yield NOTHING: an
+                # empty frame defaults to float64 columns, which Arrow
+                # cannot convert to the declared list<double> vsum type
+                yield pd.DataFrame(
+                    {
+                        "cid": list(acc),
+                        "cnt": [v[0] for v in acc.values()],
+                        "vsum": [v[1] for v in acc.values()],
+                    }
+                )
 
         rows = assigned.mapInPandas(
             partials, schema="cid int, cnt long, vsum array<double>"
