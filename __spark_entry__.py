@@ -1123,6 +1123,33 @@ def q_dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling (quota form of the mixture:
+    "X tokens of source A") in reproducible portable-hash order —
+    boundary doc included, so budgets overshoot by at most one doc.
+    Budgets synthesized per source from its trailing digits."""
+    from web_content_extractor_spark.operators.corpus import (
+        token_budget_sample,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", tq.token_count(F.col("text")).alias("n_tokens")
+    )
+    budgets = d.select("source").distinct().select(
+        "source",
+        (
+            (
+                (F.regexp_extract("source", r"(\d+)$", 1).cast("bigint") % 3)
+                + 1
+            )
+            * 200
+        ).alias("token_budget"),
+    )
+    return token_budget_sample(d, budgets).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text normalization: Unicode NFC (vectorized pandas
     Series.str.normalize — no JVM builtin), control-char strip,
@@ -1479,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "anchor_index": q_anchor_index,
         "clean_text": q_clean_text,
+        "token_budget": q_token_budget,
         "snapshot_diff": q_snapshot_diff,
         "dup_substring_stats": q_dup_substring_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2319,6 +2347,35 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(sum(smp*smp) / 32.0), 6) AS rms,
                coalesce(sum(flip), 0)::BIGINT AS zcr
         FROM w GROUP BY doc_id
+        """,
+        "token_budget": """
+        WITH d AS (
+          SELECT doc_id, source,
+                 len(list_filter(string_split(trim(text), ' '),
+                                 x -> x <> '')) AS n_tokens
+          FROM documents
+        ),
+        b AS (
+          SELECT source,
+                 ((regexp_extract(source, '(\\d+)$', 1)::BIGINT % 3) + 1)
+                   * 200 AS token_budget
+          FROM (SELECT DISTINCT source FROM documents)
+        ),
+        h AS (
+          SELECT d.*, b.token_budget,
+                 (((doc_id + 2) * 2654435761) % 2147483647 * 48271)
+                   % 2147483647 AS hh
+          FROM d JOIN b USING (source)
+        ),
+        c AS (
+          SELECT *, coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS before
+          FROM h
+        )
+        SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens
+        FROM c WHERE before < token_budget
         """,
         "clean_text": """
         SELECT doc_id,

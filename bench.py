@@ -90,6 +90,7 @@ HEADLINE = [
     "anchor_index",       # inbound anchor-text top-k index
     "clean_text",         # NFC + control strip + whitespace collapse
     "snapshot_diff",      # fingerprint-only corpus version diff
+    "token_budget",       # per-source token quotas (hash-order prefix)
 ]
 
 

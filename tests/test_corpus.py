@@ -159,3 +159,69 @@ def test_portable_hash_matches_python(spark):
         .collect()
     )
     assert [r.h for r in got] == [ref(i, 13) for i in range(100)]
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_keeps_hash_prefix_and_boundary_doc(spark):
+    from web_content_extractor_spark.operators.corpus import (
+        portable_hash,
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "web", 60) for i in range(10)]
+        + [(100 + i, "code", 1000) for i in range(3)],
+        "doc_id long, source string, n_tokens long",
+    )
+    budgets = spark.createDataFrame(
+        [("web", 200), ("code", 1)], "source string, token_budget long"
+    )
+    kept = token_budget_sample(docs, budgets, seed=2).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # web: 60-token docs against budget 200 -> before < 200 admits the
+    # first FOUR docs in hash order (0,60,120,180 all < 200; doc 4
+    # starts at 240)
+    assert len(by_src["web"]) == 4
+    # the kept set is exactly the 4 lowest hash values
+    hs = {
+        r.doc_id: r.h
+        for r in docs.where("source = 'web'")
+        .select("doc_id", portable_hash(F.col("doc_id"), 2).alias("h"))
+        .collect()
+    }
+    expect = sorted(hs, key=lambda d: (hs[d], d))[:4]
+    assert sorted(by_src["web"]) == sorted(expect)
+    # code: budget 1 still admits the boundary (first) doc
+    assert len(by_src["code"]) == 1
+
+
+def test_token_budget_layout_independent_and_source_filtered(spark):
+    from web_content_extractor_spark.operators.corpus import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", 10 + i % 5) for i in range(200)],
+        "doc_id long, source string, n_tokens long",
+    )
+    budgets = spark.createDataFrame(
+        [("s0", 150), ("s1", 10_000)], "source string, token_budget long"
+    )
+    a = sorted(r.doc_id for r in token_budget_sample(docs, budgets).collect())
+    b = sorted(
+        r.doc_id
+        for r in token_budget_sample(docs.repartition(17), budgets).collect()
+    )
+    assert a == b
+    srcs = {r.source for r in token_budget_sample(docs, budgets).collect()}
+    assert srcs == {"s0", "s1"}  # s2 has no budget -> dropped entirely
+    # s1's budget exceeds its corpus -> everything from s1 kept
+    n_s1 = sum(1 for r in token_budget_sample(docs, budgets).collect()
+               if r.source == "s1")
+    assert n_s1 == docs.where("source = 's1'").count()

@@ -135,3 +135,49 @@ def pack_token_stream(
     return chunks.withColumn(
         "pack_id", F.floor(before / budget).cast("bigint")
     ).withColumn("pack_offset", (before % budget).cast("bigint"))
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: DataFrame,
+    seed: int = 2,
+    key_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-source token-budget sampling: keep documents, in
+    reproducible hash order, until each source's token budget is hit.
+
+    The quota-based complement to ``mixture_sample``'s rate-based
+    Bernoulli: LLM data recipes are usually stated as "X billion
+    tokens of web, Y of code" — absolute token budgets per source, not
+    keep-probabilities.  ``budgets`` is a tiny (key, token_budget)
+    table.
+
+    A doc is kept iff the running token total of the docs *before* it
+    (in portable-hash order, doc_id tie-break) is under the budget —
+    so the boundary doc is included and a budget is overshot by at
+    most one document, never undershot while docs remain.  The hash
+    order makes the selection a pure function of (doc_id, seed):
+    rerun-stable, layout-independent, and a new seed is a fresh epoch
+    resample.
+
+    Shuffle profile: ONE shuffle keyed by source for the per-source
+    running sum.  Source cardinality is tiny but per-source volume is
+    huge — the window is a single ordered pass per source, so a hot
+    source costs a sort, not a collect; if one source dominates the
+    corpus, pre-bucket it into sub-sources and split its budget.
+    Budgets join broadcast (one row per source).
+    """
+    h = portable_hash(F.col("doc_id"), seed)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.join(F.broadcast(budgets), key_col, "inner")
+        .withColumn("__h", h)
+        .withColumn("__before", F.coalesce(F.sum(tokens_col).over(w), F.lit(0)))
+        .where(F.col("__before") < F.col("token_budget"))
+        .drop("__h", "__before", "token_budget")
+    )
