@@ -1123,6 +1123,28 @@ def q_dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 with cumulative token coverage (the
+    tokenizer-prep curve); global TakeOrdered cut, grand-total window
+    instead of a second scan."""
+    from web_content_extractor_spark.operators.keywords import vocab_topk
+
+    d = _read(spark, sf_dir, "documents")
+    return vocab_topk(d, v=100)
+
+
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality proxy: per-doc mean negative
+    log-prob under the corpus' own unigram distribution (low = fluent-
+    common tokens, high = rare-token soup)."""
+    from web_content_extractor_spark.operators.keywords import (
+        unigram_logprob_scores,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return unigram_logprob_scores(d)
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget sampling (quota form of the mixture:
     "X tokens of source A") in reproducible portable-hash order —
@@ -1507,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_index": q_anchor_index,
         "clean_text": q_clean_text,
         "token_budget": q_token_budget,
+        "vocab_topk": q_vocab_topk,
+        "unigram_nll": q_unigram_nll,
         "snapshot_diff": q_snapshot_diff,
         "dup_substring_stats": q_dup_substring_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2347,6 +2371,44 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(sum(smp*smp) / 32.0), 6) AS rms,
                coalesce(sum(flip), 0)::BIGINT AS zcr
         FROM w GROUP BY doc_id
+        """,
+        "vocab_topk": """
+        WITH t AS (
+          SELECT unnest(list_filter(string_split(trim(text), ' '),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ),
+        c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS total FROM c),
+        r AS (
+          SELECT tok, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+                 sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+          FROM c
+        )
+        SELECT CAST(rank AS INTEGER) AS rank, tok, cnt,
+               round(cum::DOUBLE / total, 6) AS coverage
+        FROM r, tot WHERE rank <= 100
+        """,
+        "unigram_nll": """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(trim(text), ' '),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ),
+        c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS total FROM c),
+        s AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 round(ln((SELECT total FROM tot)) - avg(ln(cnt)), 6)
+                   AS nll
+          FROM t JOIN c USING (tok) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.nll
+        FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "token_budget": """
         WITH d AS (

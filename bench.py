@@ -91,6 +91,8 @@ HEADLINE = [
     "clean_text",         # NFC + control strip + whitespace collapse
     "snapshot_diff",      # fingerprint-only corpus version diff
     "token_budget",       # per-source token quotas (hash-order prefix)
+    "vocab_topk",         # top-V vocabulary + coverage curve
+    "unigram_nll",        # CCNet-style unigram LM quality proxy
 ]
 
 

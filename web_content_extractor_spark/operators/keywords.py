@@ -70,3 +70,74 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def vocab_topk(docs: DataFrame, v: int = 1000, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the top-``v`` tokens by frequency, with rank
+    and cumulative coverage of the token stream.
+
+    The tokenizer-prep / stopword-discovery op: ``coverage`` at rank r
+    is the fraction of all corpus tokens the top-r vocab explains (the
+    curve you read V off of).  One (token) shuffle with map-side
+    partials; the top-v cut is a global TakeOrdered (driver holds v
+    rows, never the vocabulary); total-token count rides the same agg
+    via a grand-total window, not a second scan.
+
+    Rank ties break by token text — deterministic across engines.
+    """
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    ranked = (
+        counts.withColumn("total", total)
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(v)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ranked.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+        .alias("rank"),
+        "tok",
+        "cnt",
+        F.round(F.sum("cnt").over(w) / F.col("total"), 6).alias("coverage"),
+    )
+
+
+def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    negative log-probability under the corpus' own unigram model.
+
+    score(d) = -(1/|d|) * sum ln(c_tok / N) = ln N - mean(ln c_tok) —
+    low scores mean common, fluent-ish token choices; high scores mean
+    rare-token soup (the CCNet head/middle/tail split uses exactly
+    this ordering, with a real LM where we use the self-unigram).
+    Every scored token was observed, so MLE probabilities never hit
+    zero and no smoothing constant has to be agreed with the oracle.
+
+    Shuffle profile: token counts shuffle once on the token; the
+    count-attach join keys on the same token partitioning (AQE reuses
+    it); the per-doc mean then shuffles (doc_id, one double).  At
+    corpus scale the min-count-pruned vocabulary fits a broadcast —
+    swap the join side, everything else unchanged.  Empty docs score
+    NULL (nothing to average), kept for drop-not-fail visibility.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    n_total = F.sum("cnt").over(Window.partitionBy())
+    counts = counts.withColumn("n_total", n_total)
+    scored = toks.join(counts, "tok").groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.log(F.first("n_total")) - F.avg(F.log("cnt")), 6
+        ).alias("nll"),
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "nll",
+    )
