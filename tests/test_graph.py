@@ -91,3 +91,22 @@ def test_broadcast_mode_identical(spark):
     assert plain.keys() == bcast.keys()
     for h in plain:
         assert abs(plain[h] - bcast[h]) < 1e-12
+
+
+def test_checkpointed_pagerank_same_values_bounded_plan(spark):
+    from web_content_extractor_spark.operators.graph import host_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    plain = host_pagerank(edges, iters=12)
+    ckpt = host_pagerank(edges, iters=12, checkpoint_every=4)
+    a = {r.host: round(r.rank, 10) for r in plain.collect()}
+    b = {r.host: round(r.rank, 10) for r in ckpt.collect()}
+    assert a == b
+    # lineage truncation: the checkpointed plan is far shallower than
+    # the 12-iteration unrolled one
+    p_plain = plain._jdf.queryExecution().optimizedPlan().toString()
+    p_ckpt = ckpt._jdf.queryExecution().optimizedPlan().toString()
+    assert len(p_ckpt) < len(p_plain) / 3

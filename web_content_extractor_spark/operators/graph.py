@@ -70,6 +70,7 @@ def host_pagerank(
     iters: int = 5,
     damping: float = 0.85,
     broadcast_ranks: bool = False,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """PageRank over a (src, dst) host edge table.
 
@@ -86,6 +87,13 @@ def host_pagerank(
     Beyond that, leave it False: ranks shuffle-join against the
     src-partitioned edges, which AQE keeps exchange-aligned across
     iterations.
+
+    ``checkpoint_every=k`` truncates the rank lineage with an eager
+    ``localCheckpoint`` every k iterations: the unrolled plan otherwise
+    grows linearly with ``iters`` and long runs (30+ rounds at corpus
+    scale) pay quadratic planning time and risk stack-depth limits.
+    Same fixpoint, same values — only the lineage is cut.  Off by
+    default so short oracle-matched runs keep a pure plan.
     """
     e = normalize_edges(edges)
     nodes = (
@@ -100,7 +108,7 @@ def host_pagerank(
 
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(hint(ranks), e.src == ranks.host)
             .groupBy("dst")
@@ -116,6 +124,8 @@ def host_pagerank(
                 ).alias("rank"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
