@@ -1123,6 +1123,25 @@ def q_dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native dynamic-gap sessionization (F.session_window, the
+    streaming-capable operator) checked against the first-principles
+    lag/cumsum islands construction in the oracle — complements
+    q_sessionize, which builds the same sessions by hand."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 with cumulative token coverage (the
     tokenizer-prep curve); global TakeOrdered cut, grand-total window
@@ -1530,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "token_budget": q_token_budget,
         "vocab_topk": q_vocab_topk,
+        "session_windows": q_session_windows,
         "unigram_nll": q_unigram_nll,
         "snapshot_diff": q_snapshot_diff,
         "dup_substring_stats": q_dup_substring_stats,
@@ -2371,6 +2391,25 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(sum(smp*smp) / 32.0), 6) AS rms,
                coalesce(sum(flip), 0)::BIGINT AS zcr
         FROM w GROUP BY doc_id
+        """,
+        "session_windows": """
+        WITH e AS (SELECT user_id, ts FROM events),
+        m AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        i AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM m
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM i GROUP BY user_id, sid
         """,
         "vocab_topk": """
         WITH t AS (

@@ -93,6 +93,7 @@ HEADLINE = [
     "token_budget",       # per-source token quotas (hash-order prefix)
     "vocab_topk",         # top-V vocabulary + coverage curve
     "unigram_nll",        # CCNet-style unigram LM quality proxy
+    "session_windows",    # native session_window sessionization
 ]
 
 
