@@ -109,3 +109,50 @@ def test_stats_cover_every_doc_and_union_length(spark):
     assert stats[2].dup_tokens == 10 and abs(stats[2].dup_fraction - 1.0) < 1e-9
     assert stats[3].dup_tokens == 0 and stats[3].dup_fraction == 0.0
     assert stats[4].n_tokens <= 1 and stats[4].dup_tokens == 0
+
+
+def test_differential_vs_python_reference(spark):
+    """Randomized corpora: spans must exactly match a direct Python
+    implementation of the definition (dup k-gram positions, merged)."""
+    import random
+
+    def ref_spans(texts, k, min_count):
+        from collections import Counter
+
+        toks = {i: t.split() for i, t in texts.items()}
+        grams = Counter()
+        for ws in toks.values():
+            for s in range(len(ws) - k + 1):
+                grams[tuple(ws[s : s + k])] += 1
+        out = set()
+        for i, ws in toks.items():
+            starts = [
+                s
+                for s in range(len(ws) - k + 1)
+                if grams[tuple(ws[s : s + k])] >= min_count
+            ]
+            run = None
+            for s in starts:
+                if run and s <= run[1]:  # overlap/adjacent: s <= prev_end
+                    run = (run[0], max(run[1], s + k))
+                else:
+                    if run:
+                        out.add((i, run[0], run[1], run[1] - run[0]))
+                    run = (s, s + k)
+            if run:
+                out.add((i, run[0], run[1], run[1] - run[0]))
+        return out
+
+    rng = random.Random(99)
+    vocab = [f"v{i}" for i in range(6)]
+    for trial in range(3):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for i in range(60)
+        ]
+        texts = dict(rows)
+        k = rng.choice([2, 3, 4])
+        got = _spans(
+            duplicate_spans(_docs(spark, rows), k=k, min_count=2)
+        )
+        assert got == ref_spans(texts, k, 2), (trial, k)
