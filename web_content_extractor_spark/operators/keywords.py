@@ -80,16 +80,19 @@ def vocab_topk(docs: DataFrame, v: int = 1000, text_col: str = "text") -> DataFr
     is the fraction of all corpus tokens the top-r vocab explains (the
     curve you read V off of).  One (token) shuffle with map-side
     partials; the top-v cut is a global TakeOrdered (driver holds v
-    rows, never the vocabulary); total-token count rides the same agg
-    via a grand-total window, not a second scan.
+    rows, never the vocabulary); the total-token scalar is a tiny agg
+    of the SAME counts subtree cross-joined broadcast — Catalyst turns
+    the repeat into a ReusedExchange, so neither the corpus nor the
+    count shuffle runs twice, and no grand-total window ever squeezes
+    the whole vocabulary into one partition.
 
     Rank ties break by token text — deterministic across engines.
     """
     toks = docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = F.sum("cnt").over(Window.partitionBy())
+    tot = counts.agg(F.sum("cnt").alias("total"))
     ranked = (
-        counts.withColumn("total", total)
+        counts.crossJoin(F.broadcast(tot))
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(v)
     )
@@ -119,7 +122,10 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
 
     Shuffle profile: token counts shuffle once on the token; the
     count-attach join keys on the same token partitioning (AQE reuses
-    it); the per-doc mean then shuffles (doc_id, one double).  At
+    it); the per-doc mean then shuffles (doc_id, one double).  The
+    corpus-total scalar is a tiny agg of the same counts subtree,
+    cross-joined broadcast (ReusedExchange — no grand-total window
+    single-partitioning the vocabulary, no second corpus scan).  At
     corpus scale the min-count-pruned vocabulary fits a broadcast —
     swap the join side, everything else unchanged.  Empty docs score
     NULL (nothing to average), kept for drop-not-fail visibility.
@@ -128,8 +134,8 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    n_total = F.sum("cnt").over(Window.partitionBy())
-    counts = counts.withColumn("n_total", n_total)
+    tot = counts.agg(F.sum("cnt").alias("n_total"))
+    counts = counts.crossJoin(F.broadcast(tot))
     scored = toks.join(counts, "tok").groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(
