@@ -77,3 +77,25 @@ def test_corpus_flags_must_pair(spark, capsys):
     rc = main(["--corpus-input", "/nope"])
     assert rc == 2
     assert "corpus-output" in capsys.readouterr().out
+
+
+def test_compact_cli_mode(spark, tmp_path, capsys):
+    src = str(tmp_path / "frag")
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+    ).repartition(32).write.mode("overwrite").parquet(src)
+    dst = str(tmp_path / "compacted")
+    rc = main(["--compact", src, "--compact-output", dst,
+               "--compact-target-mb", "1024"])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = st["compaction"]
+    assert c["files_before"] == 32 and c["files_after"] == 1
+    assert spark.read.parquet(dst).count() == 2000
+
+
+def test_compact_flags_must_pair(spark, capsys):
+    rc = main(["--compact", "/nope"])
+    assert rc == 2
+    assert "compact-output" in capsys.readouterr().out

@@ -90,6 +90,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="training shards (corpus mode)")
     p.add_argument("--pack-budget", type=int, default=1024,
                    help="tokens per training pack (corpus mode)")
+    p.add_argument("--compact", default=None,
+                   help="parquet root to compact (small-file maintenance)")
+    p.add_argument("--compact-output", default=None,
+                   help="write the compacted table here (requires "
+                        "--compact; never compacts in place)")
+    p.add_argument("--compact-target-mb", type=int, default=128,
+                   help="target output file size in MB (compact mode)")
+    p.add_argument("--compact-cluster-by", default=None,
+                   help="optional cluster column: range-clustered "
+                        "rewrite instead of the shuffle-free merge")
     return p
 
 
@@ -103,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
             {"error": "--corpus-input and --corpus-output go together"}
         ))
         return 2
+    compacting = bool(args.compact or args.compact_output)
+    if compacting and not (args.compact and args.compact_output):
+        print(json.dumps(
+            {"error": "--compact and --compact-output go together"}
+        ))
+        return 2
     if extracting and not (args.input and args.output):
         print(json.dumps({"error": "--input and --output go together"}))
         return 2
@@ -111,11 +127,12 @@ def main(argv: list[str] | None = None) -> int:
             {"error": "--curate-input and --curate-output go together"}
         ))
         return 2
-    if not extracting and not curating and not corpus:
+    if not extracting and not curating and not corpus and not compacting:
         print(json.dumps(
             {"error": "nothing to do: pass --input/--output, "
-                      "--curate-input/--curate-output, and/or "
-                      "--corpus-input/--corpus-output"}
+                      "--curate-input/--curate-output, "
+                      "--corpus-input/--corpus-output, and/or "
+                      "--compact/--compact-output"}
         ))
         return 2
     if not extracting:
@@ -299,6 +316,24 @@ def main(argv: list[str] | None = None) -> int:
             "tokens": int(stats.tokens or 0),
             "packs": stats.packs,
             "output": args.corpus_output,
+        }
+
+    if compacting:
+        from web_content_extractor_spark.sinks.compact import compact_table
+
+        stats = compact_table(
+            spark,
+            args.compact,
+            args.compact_output,
+            target_file_bytes=args.compact_target_mb << 20,
+            cluster_by=args.compact_cluster_by,
+        )
+        result["compaction"] = {
+            "files_before": stats.files_before,
+            "bytes_before": stats.bytes_before,
+            "files_after": stats.files_after,
+            "bytes_after": stats.bytes_after,
+            "output": args.compact_output,
         }
 
     print(json.dumps(result))
