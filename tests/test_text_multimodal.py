@@ -401,3 +401,73 @@ def test_resize_images_nearest_neighbor(spark):
     r2 = rows["m2"]
     assert not r2.decoded and (r2.thumb_w, r2.thumb_h) == (1, 1)
     assert len(bytes(r2.thumb)) == 3
+
+
+# ---------------------------------------------------------------------------
+# BMP decode (second real image format)
+# ---------------------------------------------------------------------------
+
+
+def _make_bmp(pixels, top_down=False, bpp=24):
+    """pixels: list of rows (top-to-bottom), each row list of (r,g,b)."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    nch = bpp // 8
+    stride = (nch * w + 3) // 4 * 4
+    raw = bytearray()
+    rows = pixels if top_down else pixels[::-1]
+    for row in rows:
+        line = bytearray()
+        for (r, g, b) in row:
+            line += bytes([b, g, r] + ([255] if nch == 4 else []))
+        line += b"\x00" * (stride - len(line))
+        raw += line
+    data_off = 14 + 40
+    size = data_off + len(raw)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp,
+        0, len(raw), 2835, 2835, 0, 0,
+    )
+    return bytes(hdr + info + raw)
+
+
+def test_bmp_decode_bottom_up_and_top_down():
+    from web_content_extractor_spark.operators.multimodal import _decode_bmp
+
+    px = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    for td in (False, True):
+        img = _decode_bmp(_make_bmp(px, top_down=td))
+        assert img.shape == (2, 3, 3)
+        assert img[0, 0].tolist() == [255, 0, 0]
+        assert img[1, 2].tolist() == [70, 80, 90]
+
+
+def test_bmp_decode_32bpp_and_rejects():
+    from web_content_extractor_spark.operators.multimodal import _decode_bmp
+
+    px = [[(1, 2, 3), (4, 5, 6)]]
+    img = _decode_bmp(_make_bmp(px, bpp=32))
+    assert img.shape == (1, 2, 3) and img[0, 1].tolist() == [4, 5, 6]
+    good = _make_bmp(px)
+    assert _decode_bmp(good[:30]) is None           # truncated header
+    assert _decode_bmp(good[:-3]) is None           # truncated pixels
+    assert _decode_bmp(b"XX" + good[2:]) is None    # bad magic
+
+
+def test_bmp_feeds_real_image_features():
+    from web_content_extractor_spark.operators.multimodal import (
+        _real_image_features,
+    )
+
+    # uniform mid-gray 4x2 -> mean_lum 128/255, std 0
+    px = [[(128, 128, 128)] * 4 for _ in range(2)]
+    out = _real_image_features(_make_bmp(px))
+    assert out is not None
+    w, h, feats = out
+    assert (w, h) == (4, 2)
+    assert abs(feats[3] - 128 / 255) < 1e-9 and feats[4] == 0.0

@@ -160,8 +160,49 @@ def _decode_png(payload: bytes):
         return None
 
 
+def _decode_bmp(payload: bytes):
+    """Minimal pure-Python BMP decoder (uncompressed BI_RGB only).
+
+    The second real image format next to PNG: BITMAPFILEHEADER +
+    BITMAPINFOHEADER (or the V4/V5 supersets — width/height/bpp sit at
+    the same offsets), 24-bit BGR or 32-bit BGRA pixel data with 4-byte
+    row padding, bottom-up (positive height) or top-down (negative).
+    Returns an (h, w, 3) uint8 RGB array, or None if undecodable.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:  # BITMAPCOREHEADER not supported
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (nch * w + 3) // 4 * 4
+    need = data_off + stride * h
+    if need > len(payload):
+        return None
+    rows = np.frombuffer(
+        payload[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)
+    px = rows[:, : nch * w].reshape(h, w, nch)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) -> RGB, drop alpha
+
+
 def _real_image_features(payload: bytes, n: int = 8):
-    """Decode (PNG) and extract real features; None if undecodable.
+    """Decode (PNG or BMP) and extract real features; None if
+    undecodable.
 
     Features: [w_norm, h_norm, aspect, mean_lum, std_lum, mean_r,
     mean_g, mean_b] — all in [0, 1]-ish ranges so downstream ANN can
@@ -170,6 +211,8 @@ def _real_image_features(payload: bytes, n: int = 8):
     import numpy as np
 
     img = _decode_png(payload)
+    if img is None:
+        img = _decode_bmp(payload)
     if img is None or img.size == 0:
         return None
     h, w, c = img.shape
