@@ -1164,6 +1164,31 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(d)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: tercile-bucket every doc by its unigram
+    NLL (q_unigram_nll's score) — the classic perplexity-based corpus
+    split.  ntile(3) over (rounded nll, doc_id) is exact and
+    deterministic here; at corpus scale you swap the global sort for
+    approx_percentile cutoffs broadcast as two literals (the sketch's
+    accuracy contract is pinned in tests/test_contract.py)."""
+    from pyspark.sql import Window
+
+    from web_content_extractor_spark.operators.keywords import (
+        unigram_logprob_scores,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    s = unigram_logprob_scores(d).where(F.col("nll").isNotNull())
+    w = Window.orderBy("nll", "doc_id")
+    t = F.ntile(3).over(w)
+    return s.select(
+        "doc_id",
+        "nll",
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget sampling (quota form of the mixture:
     "X tokens of source A") in reproducible portable-hash order —
@@ -1550,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "vocab_topk": q_vocab_topk,
         "session_windows": q_session_windows,
+        "ccnet_buckets": q_ccnet_buckets,
         "unigram_nll": q_unigram_nll,
         "snapshot_diff": q_snapshot_diff,
         "dup_substring_stats": q_dup_substring_stats,
@@ -2391,6 +2417,31 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(sum(smp*smp) / 32.0), 6) AS rms,
                coalesce(sum(flip), 0)::BIGINT AS zcr
         FROM w GROUP BY doc_id
+        """,
+        "ccnet_buckets": """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(trim(text), ' '),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ),
+        c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS total FROM c),
+        s AS (
+          SELECT doc_id,
+                 round(ln((SELECT total FROM tot)) - avg(ln(cnt)), 6)
+                   AS nll
+          FROM t JOIN c USING (tok) GROUP BY doc_id
+        ),
+        b AS (
+          SELECT doc_id, nll,
+                 ntile(3) OVER (ORDER BY nll, doc_id) AS tle
+          FROM s WHERE nll IS NOT NULL
+        )
+        SELECT doc_id, nll,
+               CASE tle WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+        FROM b
         """,
         "session_windows": """
         WITH e AS (SELECT user_id, ts FROM events),

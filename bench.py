@@ -94,6 +94,7 @@ HEADLINE = [
     "vocab_topk",         # top-V vocabulary + coverage curve
     "unigram_nll",        # CCNet-style unigram LM quality proxy
     "session_windows",    # native session_window sessionization
+    "ccnet_buckets",      # CCNet head/middle/tail by unigram NLL
 ]
 
 
