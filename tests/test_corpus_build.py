@@ -99,3 +99,19 @@ def test_compact_flags_must_pair(spark, capsys):
     rc = main(["--compact", "/nope"])
     assert rc == 2
     assert "compact-output" in capsys.readouterr().out
+
+
+def test_corpus_build_empty_selection_still_readable(spark, tmp_path, capsys):
+    src = str(tmp_path / "junk")
+    # every doc fails the quality battery (brace marker + tiny)
+    spark.createDataFrame(
+        [(i, "{ }") for i in range(10)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "empty_corpus")
+    rc = main(["--corpus-input", src, "--corpus-output", out])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["corpus"]["docs_selected"] == 0
+    df = spark.read.parquet(out)  # schema preserved, zero rows
+    assert df.count() == 0
+    assert "pack_id" in df.columns and "shard" in df.columns

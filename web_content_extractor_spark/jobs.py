@@ -296,14 +296,22 @@ def main(argv: list[str] | None = None) -> int:
             order_cols=("shard_pos", "chunk_id"),
         )
         # trainable layout: one range-partitioned, in-order file family
-        # per shard (the small-file compaction's clustered shape)
-        (
-            packed.repartitionByRange(args.shards, "shard", "pack_id")
-            .sortWithinPartitions("shard", "pack_id", "pack_offset")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(args.corpus_output)
-        )
+        # per shard (the small-file compaction's clustered shape).
+        # Empty selection: partitionBy writes NO files for an empty
+        # frame (the output root becomes unreadable), so fall back to a
+        # plain empty write that preserves the schema.  isEmpty() stops
+        # at the first row when data exists — the cost is one extra
+        # first-partition probe, not a second full pass.
+        if packed.isEmpty():
+            packed.write.mode("overwrite").parquet(args.corpus_output)
+        else:
+            (
+                packed.repartitionByRange(args.shards, "shard", "pack_id")
+                .sortWithinPartitions("shard", "pack_id", "pack_offset")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(args.corpus_output)
+            )
         out = spark.read.parquet(args.corpus_output)
         stats = out.agg(
             F.count("*").alias("chunks"),
