@@ -245,6 +245,7 @@ def _write_md(ex_lo: dict, ex_hi: dict, threads: list[dict], rep: int) -> None:
                 old.find("\n## Skewed"),
                 old.find("\n## Hot-key"),
                 old.find("\n## Shuffle-bearing"),
+                old.find("\n## Storage"),
             ) if i != -1),
             default=-1,
         )

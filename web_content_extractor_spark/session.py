@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd beats snappy outright on the text-heavy spans tables
+        # (0.4x bytes, no write penalty — measured in BENCH.md
+        # '## Storage codec'); at 100 TB the byte savings compound
+        # through every shuffle-free re-read
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
