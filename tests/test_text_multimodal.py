@@ -471,3 +471,102 @@ def test_bmp_feeds_real_image_features():
     w, h, feats = out
     assert (w, h) == (4, 2)
     assert abs(feats[3] - 128 / 255) < 1e-9 and feats[4] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# GIF decode (third real image format; real LZW)
+# ---------------------------------------------------------------------------
+
+
+def _pack_codes(codes, width):
+    """LSB-first GIF bit packing at a fixed code width."""
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(w, h, indices, palette, codes=None, mcs=2):
+    """Build a GIF89a; default stream emits CLEAR before every pixel
+    code (valid LZW that never grows the dictionary)."""
+    import struct
+
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    if codes is None:
+        codes = []
+        for i in indices:
+            codes += [clear, i]
+        codes.append(end)
+    data = _pack_codes(codes, mcs + 1)
+    gct = bytearray()
+    for (r, g, b) in palette:
+        gct += bytes([r, g, b])
+    while len(gct) < 3 * (1 << mcs):
+        gct += b"\x00\x00\x00"
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (mcs - 1), 0, 0)
+    out += gct
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([mcs])
+    out += bytes([len(data)]) + data + b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_gif_decode_palette_pixels():
+    from web_content_extractor_spark.operators.multimodal import _decode_gif
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    img = _decode_gif(_make_gif(2, 2, [0, 1, 2, 3], pal))
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
+    assert img[1, 1].tolist() == [9, 9, 9]
+
+
+def test_gif_lzw_dictionary_growth():
+    from web_content_extractor_spark.operators.multimodal import _decode_gif
+
+    # mcs=2: clear=4 end=5, first dict code 6.  Stream CLEAR,0,1,6,END
+    # decodes to [0,1,0,1] (code 6 = the just-created (0,1) entry).
+    pal = [(10, 0, 0), (0, 20, 0), (0, 0, 0), (0, 0, 0)]
+    img = _decode_gif(_make_gif(2, 2, None, pal, codes=[4, 0, 1, 6, 5]))
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [10, 0, 0]
+    assert img[0, 1].tolist() == [0, 20, 0]
+    assert img[1, 0].tolist() == [10, 0, 0]
+    assert img[1, 1].tolist() == [0, 20, 0]
+
+
+def test_gif_canonical_single_pixel_and_rejects():
+    from web_content_extractor_spark.operators.multimodal import _decode_gif
+
+    g = (b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00!"
+         b"\xf9\x04\x01\x00\x00\x00\x00,\x00\x00\x00\x00\x01\x00\x01\x00"
+         b"\x00\x02\x02D\x01\x00;")
+    img = _decode_gif(g)
+    assert img.shape == (1, 1, 3) and img[0, 0].tolist() == [255, 255, 255]
+    assert _decode_gif(g[:10]) is None
+    assert _decode_gif(b"NOTGIF" + g[6:]) is None
+
+
+def test_gif_feeds_real_image_features():
+    from web_content_extractor_spark.operators.multimodal import (
+        _real_image_features,
+    )
+
+    pal = [(128, 128, 128), (0, 0, 0), (0, 0, 0), (0, 0, 0)]
+    out = _real_image_features(_make_gif(3, 2, [0] * 6, pal))
+    assert out is not None
+    w, h, feats = out
+    assert (w, h) == (3, 2)
+    assert abs(feats[3] - 128 / 255) < 1e-9

@@ -2,9 +2,10 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched ``mapInPandas`` stages.  Three decode paths are REAL
+as Arrow-batched ``mapInPandas`` stages.  Five decode paths are REAL
 pure-Python kernels exercised by tests: PNG (``_decode_png``: IDAT
-inflate + all five scanline filters -> pixel features), PDF layout
+inflate + all five scanline filters -> pixel features), BMP
+(``_decode_bmp``), GIF (``_decode_gif``: real LZW), PDF layout
 (``_parse_pdf_real`` below), and RIFF/WAVE PCM16 audio
 (``_decode_wav``: chunk walker + int16 signal features, oracle-checked
 end to end).  Video frame decode is the one genuinely
@@ -213,6 +214,8 @@ def _real_image_features(payload: bytes, n: int = 8):
     img = _decode_png(payload)
     if img is None:
         img = _decode_bmp(payload)
+    if img is None:
+        img = _decode_gif(payload)
     if img is None or img.size == 0:
         return None
     h, w, c = img.shape
@@ -678,3 +681,131 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, schema=AUDIO_FEATURES)
+
+
+def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-flavor LZW decode (variable code width, LSB-first packing).
+
+    Returns a list of palette indices, or None on a malformed stream.
+    """
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = dict(base)
+                next_code = end + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out[:n_pixels] if len(out) >= n_pixels else None
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + (prev[0],)
+            else:
+                return None
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels] if len(out) >= n_pixels else None
+
+
+def _decode_gif(payload: bytes):
+    """Minimal pure-Python GIF decoder (first frame, stdlib only).
+
+    Real LZW with dictionary growth and the KwKwK case; global or
+    local palette; interlaced frames are deinterlaced.  Returns the
+    first frame as an (h, w, 3) uint8 RGB array, or None.
+    Transparency/animation composition is out of scope — the feature
+    stage only needs pixel statistics of the first frame.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    try:
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:  # trailer
+                return None
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b != 0x2C:
+                return None
+            _l, _t, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None or iw == 0 or ih == 0:
+                return None
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw(bytes(data), mcs, iw * ih)
+            if idx is None:
+                return None
+            arr = np.asarray(idx, dtype=np.int32)
+            if arr.max() * 3 + 2 >= len(pal):
+                return None
+            flat = np.frombuffer(pal, dtype=np.uint8)
+            img = flat.reshape(-1, 3)[arr].reshape(ih, iw, 3)
+            if ipacked & 0x40:  # interlaced: rows in 4-pass order
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img.copy()
+    except (IndexError, struct.error):
+        return None
+    return None
