@@ -1291,17 +1291,17 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key detection feeding the salting decision: count-min-sketch
     screen + deterministic hash-sampled candidates + exact broadcast
     recount (operators/skew.py::heavy_hitters) — no corpus-wide per-key
-    shuffle.  Skew is synthesized deterministically (user_id < 30 folds
-    into three ~6.7% hot hosts; the rest stay cold), mirrored in the
-    oracle; output counts are exact, so the sketch path is fully
-    oracle-checked."""
+    shuffle.  Skew is synthesized deterministically and SF-robustly
+    (user_id % 50 < 10 folds ~20% of rows into three hot hosts at any
+    user-count), mirrored in the oracle; output counts are exact, so
+    the sketch path is fully oracle-checked."""
     from web_content_extractor_spark.operators.skew import heavy_hitters
 
     e = _read(spark, sf_dir, "events")
     keyed = e.select(
         "event_id",
         F.when(
-            F.col("user_id") < 30,
+            F.col("user_id") % 50 < 10,
             F.concat(F.lit("hot"), (F.col("user_id") % 3).cast("string")),
         )
         .otherwise(F.concat(F.lit("cold"), F.col("user_id").cast("string")))
@@ -2598,7 +2598,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters": """
         WITH k AS (
-          SELECT CASE WHEN user_id < 30 THEN 'hot' || (user_id % 3)
+          SELECT CASE WHEN user_id % 50 < 10 THEN 'hot' || (user_id % 3)
                       ELSE 'cold' || user_id END AS host
           FROM events
         ),
