@@ -444,6 +444,39 @@ def main() -> int:
         ],
     )
 
+    # token-budget sampling — broadcast budgets + ONE source shuffle
+    tb = contract.q_token_budget(spark, SF_DIR)
+    p = formatted(tb)
+    audit(
+        "token_budget (per-source token quotas)",
+        tb,
+        [
+            ("budgets joined via broadcast", "BroadcastHashJoin" in p),
+            ("corpus shuffles once, on source (window cumsum)",
+             set(re.findall(r"hashpartitioning\((\w+)", p)) == {"source"}),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # native session windows — one user_id shuffle, session agg native
+    sw = contract.q_session_windows(spark, SF_DIR)
+    p = formatted(sw)
+    audit(
+        "session_windows (native dynamic-gap sessionization)",
+        sw,
+        [
+            ("one key shuffle on user_id",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             == {"user_id"}),
+            ("session-window aggregate is native (no Python)",
+             "MapInPandas" not in p and "ArrowEvalPython" not in p),
+            ("partial aggregation present",
+             _final_tree(p).count("HashAggregate") >= 2
+             or "SessionWindow" in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "
