@@ -570,3 +570,23 @@ def test_gif_feeds_real_image_features():
     w, h, feats = out
     assert (w, h) == (3, 2)
     assert abs(feats[3] - 128 / 255) < 1e-9
+
+
+def test_resize_handles_bmp_and_gif_inputs(spark):
+    from web_content_extractor_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    bmp = _make_bmp([[(200, 10, 10)] * 8 for _ in range(8)])
+    pal = [(10, 200, 10), (0, 0, 0), (0, 0, 0), (0, 0, 0)]
+    gif = _make_gif(8, 8, [0] * 64, pal)
+    media = spark.createDataFrame(
+        [("m1", "d1", bmp), ("m2", "d2", gif), ("m3", "d3", b"junk")],
+        "media_id string, doc_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in
+            resize_images(media, size=(4, 4)).collect()}
+    assert rows["m1"].decoded and (rows["m1"].src_w, rows["m1"].src_h) == (8, 8)
+    assert rows["m1"].thumb_w == 4 and len(rows["m1"].thumb) == 4 * 4 * 3
+    assert rows["m2"].decoded and rows["m2"].thumb[:3] == bytes([10, 200, 10])
+    assert not rows["m3"].decoded  # junk falls back, row kept

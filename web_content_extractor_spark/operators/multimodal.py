@@ -201,6 +201,16 @@ def _decode_bmp(payload: bytes):
     return px[:, :, 2::-1].copy()  # BGR(A) -> RGB, drop alpha
 
 
+def _decode_image(payload: bytes):
+    """Format-sniffing dispatch over the real decoders: PNG, BMP, GIF.
+    Returns an (h, w, c) uint8 array or None."""
+    for dec in (_decode_png, _decode_bmp, _decode_gif):
+        img = dec(payload)
+        if img is not None:
+            return img
+    return None
+
+
 def _real_image_features(payload: bytes, n: int = 8):
     """Decode (PNG or BMP) and extract real features; None if
     undecodable.
@@ -211,11 +221,7 @@ def _real_image_features(payload: bytes, n: int = 8):
     """
     import numpy as np
 
-    img = _decode_png(payload)
-    if img is None:
-        img = _decode_bmp(payload)
-    if img is None:
-        img = _decode_gif(payload)
+    img = _decode_image(payload)
     if img is None or img.size == 0:
         return None
     h, w, c = img.shape
@@ -537,7 +543,7 @@ def resize_images(
             ):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    img = _decode_png(payload)
+                    img = _decode_image(payload)
                 except Exception:
                     img = None  # drop-not-fail
                 if img is None or img.size == 0:
