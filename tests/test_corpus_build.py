@@ -115,3 +115,31 @@ def test_corpus_build_empty_selection_still_readable(spark, tmp_path, capsys):
     df = spark.read.parquet(out)  # schema preserved, zero rows
     assert df.count() == 0
     assert "pack_id" in df.columns and "shard" in df.columns
+
+
+def test_corpus_build_with_mixture_rates(spark, tmp_path, capsys):
+    src = str(tmp_path / "mix_docs")
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field while the morning light slowly rises "
+    ) * 4
+    spark.createDataFrame(
+        [(i, f"s{i % 2}", base + f" tail {i} " + base) for i in range(40)],
+        "doc_id long, source string, text string",
+    ).write.mode("overwrite").parquet(src)
+    rates_p = str(tmp_path / "rates")
+    spark.createDataFrame(
+        [("s0", 1.0), ("s1", 0.0)], "source string, rate double"
+    ).write.mode("overwrite").parquet(rates_p)
+    out = str(tmp_path / "mix_corpus")
+    rc = main([
+        "--corpus-input", src, "--corpus-output", out,
+        "--mixture-rates", rates_p,
+    ])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # rate 0 drops every s1 doc; rate 1 keeps every s0 doc
+    assert st["corpus"]["docs_selected"] == 20
+    ids = {r.doc_id for r in spark.read.parquet(out)
+           .select("doc_id").distinct().collect()}
+    assert ids == {i for i in range(40) if i % 2 == 0}  # s0 == even ids

@@ -590,3 +590,26 @@ def test_resize_handles_bmp_and_gif_inputs(spark):
     assert rows["m1"].thumb_w == 4 and len(rows["m1"].thumb) == 4 * 4 * 3
     assert rows["m2"].decoded and rows["m2"].thumb[:3] == bytes([10, 200, 10])
     assert not rows["m3"].decoded  # junk falls back, row kept
+
+
+def test_bmp_8bit_palette_decode():
+    import struct
+
+    from web_content_extractor_spark.operators.multimodal import _decode_bmp
+
+    # 3x2 palettized: indices row0=[0,1,2], row1=[2,1,0]
+    pal_rgb = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal_rgb)
+    stride = 4  # 3 px padded to 4
+    raw = bytes([2, 1, 0, 0]) + bytes([0, 1, 2, 0])  # bottom-up rows
+    data_off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(raw), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0,
+                       len(raw), 2835, 2835, 3, 0)
+    img = _decode_bmp(hdr + info + pal + raw)
+    assert img.shape == (2, 3, 3)
+    assert img[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert img[1].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+    # out-of-palette index is rejected, not misread
+    bad = hdr + info + pal + bytes([9, 0, 0, 0, 0, 0, 0, 0])
+    assert _decode_bmp(bad) is None

@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="training shards (corpus mode)")
     p.add_argument("--pack-budget", type=int, default=1024,
                    help="tokens per training pack (corpus mode)")
+    p.add_argument("--mixture-rates", default=None,
+                   help="optional (source, rate) parquet applied after "
+                        "curation (corpus mode): deterministic Bernoulli "
+                        "down-sampling to the target source mixture")
     p.add_argument("--compact", default=None,
                    help="parquet root to compact (small-file maintenance)")
     p.add_argument("--compact-output", default=None,
@@ -285,6 +289,13 @@ def main(argv: list[str] | None = None) -> int:
             .select("doc_id")
         )
         kept = docs.join(selected, "doc_id", "left_semi")
+        if args.mixture_rates:
+            from web_content_extractor_spark.operators.corpus import (
+                mixture_sample,
+            )
+
+            rates = spark.read.parquet(args.mixture_rates)
+            kept = mixture_sample(kept, rates)
         chunks = chunk_documents(
             kept, chunk_size=args.chunk_size, overlap=args.chunk_overlap
         )

@@ -166,8 +166,8 @@ def _decode_bmp(payload: bytes):
 
     The second real image format next to PNG: BITMAPFILEHEADER +
     BITMAPINFOHEADER (or the V4/V5 supersets — width/height/bpp sit at
-    the same offsets), 24-bit BGR or 32-bit BGRA pixel data with 4-byte
-    row padding, bottom-up (positive height) or top-down (negative).
+    the same offsets); 8-bit palettized, 24-bit BGR, or 32-bit BGRA
+    pixel data with 4-byte row padding, bottom-up (positive height) or top-down (negative).
     Returns an (h, w, 3) uint8 RGB array, or None if undecodable.
     """
     import struct
@@ -183,10 +183,32 @@ def _decode_bmp(payload: bytes):
     w, h = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
         return None
     top_down = h < 0
     h = abs(h)
+    if bpp == 8:
+        # palettized: BGRX color table sits between the info header and
+        # the pixel data; indices are one byte per pixel, padded rows
+        (n_colors,) = struct.unpack_from("<I", payload, 46)
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        )
+        if pal.size < 4 * n_colors:
+            return None
+        pal = pal.reshape(-1, 4)[:, 2::-1]  # BGRX -> RGB
+        stride = (w + 3) // 4 * 4
+        if data_off + stride * h > len(payload):
+            return None
+        idx = np.frombuffer(
+            payload[data_off : data_off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, :w]
+        if int(idx.max()) >= n_colors:
+            return None
+        px = pal[idx]
+        return (px if top_down else px[::-1]).copy()
     nch = bpp // 8
     stride = (nch * w + 3) // 4 * 4
     need = data_off + stride * h
