@@ -613,3 +613,70 @@ def test_bmp_8bit_palette_decode():
     # out-of-palette index is rejected, not misread
     bad = hdr + info + pal + bytes([9, 0, 0, 0, 0, 0, 0, 0])
     assert _decode_bmp(bad) is None
+
+
+def test_png_adam7_interlaced_roundtrip():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from web_content_extractor_spark.operators.multimodal import (
+        _ADAM7,
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    h, w, c = 9, 11, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # encode: seven passes, filter type 0 rows
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    dec = _decode_png(png)
+    assert dec is not None and dec.shape == (h, w, c)
+    assert (dec == img).all()
+
+
+def test_png_noninterlaced_still_decodes():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from web_content_extractor_spark.operators.multimodal import _decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    raw = b"".join(b"\x00" + row.tobytes() for row in img)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dec = _decode_png(png)
+    assert (dec == img).all()

@@ -83,7 +83,8 @@ def _decode_png(payload: bytes):
     Real-decode slot for the image branch: parses IHDR/IDAT, inflates,
     and un-filters scanlines (all five PNG filter types) into an
     (h, w, channels) uint8 array.  Supports 8-bit gray / gray+alpha /
-    RGB / RGBA, non-interlaced — the overwhelmingly common shapes.
+    RGB / RGBA, plain or Adam7-interlaced (seven independently
+    filtered sub-images scattered back onto the canvas).
     Returns None for anything it can't decode (caller falls back to
     the deterministic fake — drop-not-fail).  Swap in PIL/torchvision
     for full coverage; schema and plumbing don't change.
@@ -98,6 +99,7 @@ def _decode_png(payload: bytes):
     pos, n = 8, len(payload)
     width = height = None
     channels = 0
+    adam7 = False
     idat = bytearray()
     try:
         while pos + 8 <= n:
@@ -110,9 +112,10 @@ def _decode_png(payload: bytes):
                 width, height, depth, color, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", data
                 )
-                if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                if depth != 8 or interlace > 1 or color not in _PNG_CHANNELS:
                     return None
                 channels = _PNG_CHANNELS[color]
+                adam7 = interlace == 1
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -120,45 +123,79 @@ def _decode_png(payload: bytes):
         if not width or not height or not idat:
             return None
         raw = zlib.decompress(bytes(idat))
-        stride = width * channels
-        if len(raw) < height * (stride + 1):
-            return None
-        out = np.empty((height, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.uint8)
-        bpp = channels
-        for y in range(height):
-            off = y * (stride + 1)
-            ftype = raw[off]
-            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
-            if ftype == 0:  # None
-                cur = line.copy()
-            elif ftype == 2:  # Up
-                cur = line + prev
-            elif ftype in (1, 3, 4):  # Sub / Average / Paeth: scan left-to-right
-                cur = np.empty(stride, dtype=np.uint8)
-                li = line.astype(np.int32)
-                pv = prev.astype(np.int32)
-                for x in range(stride):
-                    a = int(cur[x - bpp]) if x >= bpp else 0
-                    b = int(pv[x])
-                    if ftype == 1:
-                        val = li[x] + a
-                    elif ftype == 3:
-                        val = li[x] + ((a + b) >> 1)
-                    else:
-                        c = int(pv[x - bpp]) if x >= bpp else 0
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                        val = li[x] + pred
-                    cur[x] = val & 0xFF
-            else:
+        if not adam7:
+            img = _png_unfilter(raw, height, width * channels, channels)
+            if img is None:
                 return None
-            out[y] = cur
-            prev = cur
-        return out.reshape(height, width, channels)
+            return img.reshape(height, width, channels)
+        # Adam7: seven sequential sub-images, each filtered on its own
+        out = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * channels
+            sub = _png_unfilter(raw[off : off + ph * (stride + 1)],
+                                ph, stride, channels)
+            if sub is None:
+                return None
+            off += ph * (stride + 1)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        return out
     except Exception:
         return None
+
+
+#: Adam7 pass origins and strides: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
+    """Undo PNG scanline filtering over ``height`` rows of ``stride``
+    bytes (one leading filter byte per row).  Returns (height, stride)
+    uint8 or None on truncation/unknown filter."""
+    import numpy as np
+
+    if len(raw) < height * (stride + 1):
+        return None
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-to-right
+            cur = np.empty(stride, dtype=np.uint8)
+            li = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(pv[x])
+                if ftype == 1:
+                    val = li[x] + a
+                elif ftype == 3:
+                    val = li[x] + ((a + b) >> 1)
+                else:
+                    c = int(pv[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    val = li[x] + pred
+                cur[x] = val & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    return out
 
 
 def _decode_bmp(payload: bytes):
