@@ -216,3 +216,48 @@ def test_windowed_span_counts(spark):
     }
     assert got[("2026-01-01 00:00:00", "pdf")] == 2
     assert got[("2026-01-01 00:10:00", "other")] == 1
+
+
+def test_streaming_sessionized_counts(spark, tmp_path):
+    """session_window in a REAL stream (watermark + append mode +
+    availableNow): closed sessions emit, and the emitted rows match the
+    batch session_windows computation on the same events."""
+    from web_content_extractor_spark.streaming.incremental import (
+        sessionized_counts,
+    )
+
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("sin", "sout", "sckpt"))
+    schema = "user_id long, ts_s string"
+    rows = [
+        (1, "2026-01-01 00:00:00"),
+        (1, "2026-01-01 00:10:00"),   # same session (gap 10m < 30m)
+        (1, "2026-01-01 01:30:00"),   # new session
+        (2, "2026-01-01 00:05:00"),
+        # watermark pusher: advances event-time clock far past the
+        # sessions above so they close and emit in append mode
+        (9, "2026-01-01 09:00:00"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    raw = spark.readStream.schema(schema).parquet(inp)
+    ev = raw.select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    q = (
+        sessionized_counts(ev)
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.read.parquet(outp).collect()
+    }
+    # sessions whose end < watermark (09:00 - 1h) are emitted
+    assert got[(1, "2026-01-01 00:00:00")] == 2
+    assert got[(1, "2026-01-01 01:30:00")] == 1
+    assert got[(2, "2026-01-01 00:05:00")] == 1
+    assert (9, "2026-01-01 09:00:00") not in got  # still open

@@ -241,3 +241,30 @@ def curate_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dynamic-gap sessionization: the stateful form of the
+    batch ``session_window`` query (driver key ``session_windows``).
+
+    Watermarking bounds session state — a session closes (and emits,
+    in append mode) once the watermark passes its end, so state never
+    grows beyond the late-data horizon regardless of stream length.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
