@@ -97,3 +97,33 @@ def test_bucketed_groupby_avoids_shuffle(spark, bucketed_pair):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert agg.count() == 2000
+
+
+def test_snapshot_diff_on_bucketed_tables_is_exchange_free(spark, tmp_path):
+    """The incremental-reprocessing diff join co-locates on bucketed
+    snapshots: full-outer join on doc_id with ZERO Exchange."""
+    from web_content_extractor_spark.operators.diff import snapshot_diff
+    from web_content_extractor_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    old = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+    )
+    new = old.where("doc_id % 10 != 0")
+    write_bucketed(old, "diff_old", buckets=4)
+    write_bucketed(new, "diff_new", buckets=4)
+    try:
+        d = snapshot_diff(
+            read_table(spark, "diff_old"), read_table(spark, "diff_new")
+        )
+        counts = {r.status: r["count"] for r in
+                  d.groupBy("status").count().collect()}
+        assert counts == {"removed": 500, "unchanged": 4500}
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1200]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS diff_old")
+        spark.sql("DROP TABLE IF EXISTS diff_new")
