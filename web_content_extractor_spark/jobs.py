@@ -283,11 +283,15 @@ def main(argv: list[str] | None = None) -> int:
                 [], "snippet_id long, snippet string"
             )
         )
-        selected = (
-            curation_manifest(docs, snippets=snippets)
-            .where("selected")
-            .select("doc_id")
-        )
+        manifest = curation_manifest(docs, snippets=snippets)
+        funnel_row = manifest.agg(
+            F.count("*").alias("total"),
+            F.sum((~F.col("keep_quality")).cast("int")).alias("q"),
+            F.sum(F.col("is_duplicate").cast("int")).alias("dup"),
+            F.sum(F.col("is_contaminated").cast("int")).alias("contam"),
+            F.sum(F.col("selected").cast("int")).alias("sel"),
+        ).collect()[0]
+        selected = manifest.where("selected").select("doc_id")
         kept = docs.join(selected, "doc_id", "left_semi")
         if args.mixture_rates:
             from web_content_extractor_spark.operators.corpus import (
@@ -331,6 +335,13 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()[0]
         result["corpus"] = {
             "docs_selected": kept.count(),
+            "curation_funnel": {
+                "total": funnel_row.total,
+                "dropped_quality": int(funnel_row.q or 0),
+                "flagged_duplicate": int(funnel_row.dup or 0),
+                "flagged_contaminated": int(funnel_row.contam or 0),
+                "selected": int(funnel_row.sel or 0),
+            },
             "chunks": stats.chunks,
             "tokens": int(stats.tokens or 0),
             "packs": stats.packs,
