@@ -48,3 +48,35 @@ def test_hot_target_capped_not_exploded(spark):
     assert r.n_refs == 700 and r.n_docs == 700
     assert len(r.top_texts) == 3
     assert r.top_texts == ["text0", "text1", "text2"]  # 100 each, text asc
+
+
+def test_differential_vs_python_reference(spark):
+    """Random link tables: counts, in-degrees, and capped top-k lists
+    must match a direct Python implementation."""
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(21)
+    rows = [
+        (
+            f"d{rng.randrange(12)}",
+            f"https://t/{rng.randrange(6)}",
+            f"w{rng.randrange(5)}",
+        )
+        for _ in range(400)
+    ]
+    k = 3
+    got = {
+        r.target: (r.n_refs, r.n_docs, list(r.top_texts))
+        for r in anchor_text_index(_links(spark, rows), k=k).collect()
+    }
+    per = defaultdict(list)
+    for d, t, w in rows:
+        per[t].append((d, w))
+    for t, items in per.items():
+        n_refs = len(items)
+        n_docs = len({d for d, _ in items})
+        cnt = Counter(w for _, w in items)
+        top = [w for w, _ in sorted(cnt.items(), key=lambda x: (-x[1], x[0]))][:k]
+        assert got[t] == (n_refs, n_docs, top), t
+    assert set(got) == set(per)

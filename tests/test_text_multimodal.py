@@ -680,3 +680,26 @@ def test_png_noninterlaced_still_decodes():
     )
     dec = _decode_png(png)
     assert (dec == img).all()
+
+
+def test_gif_local_palette_overrides_global():
+    import struct
+
+    from web_content_extractor_spark.operators.multimodal import _decode_gif
+
+    # build by hand: GCT present (all white) but the image descriptor
+    # carries its own LCT (red at index 0) — the LCT must win
+    mcs = 2
+    gct = b"\xff\xff\xff" * 4
+    lct = b"\xc8\x00\x00" + b"\x00\x00\x00" * 3
+    clear, end = 4, 5
+    data = _pack_codes([clear, 0, end], mcs + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 1, 1, 0x80 | (mcs - 1), 0, 0)
+    out += gct
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x80 | (mcs - 1))
+    out += lct
+    out += bytes([mcs, len(data)]) + data + b"\x00\x3B"
+    img = _decode_gif(bytes(out))
+    assert img.shape == (1, 1, 3)
+    assert img[0, 0].tolist() == [200, 0, 0]
