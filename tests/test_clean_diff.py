@@ -94,3 +94,18 @@ def test_diff_of_identical_snapshots_is_all_unchanged(spark):
     old = _docs(spark, [(i, f"t{i}") for i in range(50)])
     st = snapshot_diff(old, old).groupBy("status").count().collect()
     assert {(r.status, r["count"]) for r in st} == {("unchanged", 50)}
+
+
+def test_clean_text_is_idempotent(spark):
+    cases = [
+        "  Café  du\tmonde\x07x ",
+        "plain",
+        "å  b́  ",
+        "",
+    ]
+    df = _docs(spark, list(enumerate(cases)))
+    once = df.select("doc_id", clean_text(F.col("text")).alias("c"))
+    twice = once.select("doc_id", clean_text(F.col("c")).alias("c"))
+    a = {r.doc_id: r.c for r in once.collect()}
+    b = {r.doc_id: r.c for r in twice.collect()}
+    assert a == b

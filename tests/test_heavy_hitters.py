@@ -86,3 +86,35 @@ def test_empty_input(spark):
         F.col("id").alias("row_id"), F.col("id").cast("string").alias("host")
     )
     assert heavy_hitters(df, "host", row_id="row_id").count() == 0
+
+
+def test_randomized_differential_vs_exact_groupby(spark):
+    import random
+
+    rng = random.Random(3)
+    for trial in range(2):
+        n = 5000
+        hot = [f"hot{j}" for j in range(rng.randint(1, 3))]
+        rows = []
+        for i in range(n):
+            if rng.random() < 0.5:
+                rows.append((i, rng.choice(hot)))
+            else:
+                rows.append((i, f"cold{rng.randrange(2000)}"))
+        df = spark.createDataFrame(rows, "row_id long, host string")
+        frac = 0.04
+        got = {
+            r.host: r.n
+            for r in heavy_hitters(
+                df, "host", min_frac=frac, row_id="row_id"
+            ).collect()
+        }
+        import math
+
+        cut = math.ceil(frac * n)
+        exact = {
+            r.host: r.n
+            for r in df.groupBy("host").agg(F.count("*").alias("n")).collect()
+            if r.n >= cut
+        }
+        assert got == exact, trial
