@@ -1152,6 +1152,16 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(d, v=100)
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge step: corpus-weighted adjacent char-pair counts.
+    Pairs enumerate over the distinct word vocabulary (weighted by word
+    frequency) — the corpus-sized shuffle is the word groupBy only."""
+    from web_content_extractor_spark.operators.keywords import bpe_pair_counts
+
+    d = _read(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, top=200)
+
+
 def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality proxy: per-doc mean negative
     log-prob under the corpus' own unigram distribution (low = fluent-
@@ -1574,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "token_budget": q_token_budget,
         "vocab_topk": q_vocab_topk,
+        "bpe_pairs": q_bpe_pairs,
         "session_windows": q_session_windows,
         "ccnet_buckets": q_ccnet_buckets,
         "unigram_nll": q_unigram_nll,
@@ -2481,6 +2492,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(rank AS INTEGER) AS rank, tok, cnt,
                round(cum::DOUBLE / total, 6) AS coverage
         FROM r, tot WHERE rank <= 100
+        """,
+        "bpe_pairs": """
+        WITH t AS (
+          SELECT unnest(list_filter(string_split(trim(text), ' '),
+                                    x -> x <> '')) AS w
+          FROM documents
+        ),
+        wc AS (
+          SELECT w, count(*) AS cnt FROM t
+          WHERE regexp_matches(w, '^[a-z0-9]+$') AND len(w) >= 2
+          GROUP BY w
+        ),
+        p AS (
+          SELECT unnest(list_transform(range(1, len(w)),
+                                       i -> substring(w, i::INT, 2))) AS pair,
+                 cnt
+          FROM wc
+        ),
+        a AS (SELECT pair, sum(cnt) AS cnt FROM p GROUP BY pair),
+        r AS (SELECT pair, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+              FROM a)
+        SELECT CAST(rank AS INTEGER) AS rank, pair,
+               substring(pair, 1, 1) AS left_sym,
+               substring(pair, 2, 1) AS right_sym,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM r WHERE rank <= 200
         """,
         "unigram_nll": """
         WITH t AS (

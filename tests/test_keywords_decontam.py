@@ -214,3 +214,43 @@ def test_decontam_empty_snippet_matches_nothing(spark):
     )
     assert decontam.contaminated_pairs(docs, snips).count() == 0
     assert decontam.contaminated_pairs_multi(docs, snips).count() == 0
+
+
+# --- BPE pair counting -----------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower"),
+            (2, "Newest widest"),  # capitalized word is filtered out
+            (3, "x a"),  # len-1 words contribute no pairs
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.pair: r
+        for r in keywords.bpe_pair_counts(docs, top=100).collect()
+    }
+    # vocab: low x2, lower x1, widest x1 ("Newest" fails [a-z0-9]+)
+    assert rows["lo"].cnt == 3  # 2x "low" + 1x "lower"
+    assert rows["ow"].cnt == 3
+    assert rows["we"].cnt == 1  # lo[we]r only
+    assert rows["st"].cnt == 1  # wide[st]
+    assert "ne" not in rows  # "Newest" dropped (uppercase)
+    assert rows["lo"].left_sym == "l" and rows["lo"].right_sym == "o"
+    # rank 1 must be the count-max with pair-text tie-break
+    by_rank = sorted(rows.values(), key=lambda r: r.rank)
+    assert by_rank[0].cnt >= by_rank[-1].cnt
+    assert [r.rank for r in by_rank] == list(range(1, len(by_rank) + 1))
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    # "ab" occurring in 3 separate docs weighs 3, even though the
+    # vocabulary holds one distinct word
+    docs = spark.createDataFrame(
+        [(i, "ab") for i in range(3)], "doc_id int, text string"
+    )
+    out = keywords.bpe_pair_counts(docs).collect()
+    assert len(out) == 1
+    assert out[0].pair == "ab" and out[0].cnt == 3 and out[0].rank == 1

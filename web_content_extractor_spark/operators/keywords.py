@@ -147,3 +147,57 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "nll",
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, top: int = 200, text_col: str = "text"
+) -> DataFrame:
+    """First BPE-training merge step: corpus-weighted adjacent
+    character-pair counts over the word vocabulary.
+
+    The op a tokenizer-training pipeline runs before every merge: count
+    how often each adjacent symbol pair occurs across the corpus, pick
+    the argmax, merge, repeat.  This computes the full first-round pair
+    table (rank, pair, left/right symbol, count) for the ``top`` pairs.
+
+    Scale design — the whole point at 100 TB: pairs are enumerated over
+    the DISTINCT word vocabulary weighted by word frequency, never over
+    raw token occurrences.  The only corpus-sized operation is the word
+    ``groupBy`` (one balanced shuffle with map-side partial counts);
+    the char-pair explode and second agg touch vocabulary-sized data
+    (MBs).  This is exactly how reference BPE trainers (e.g. the
+    original Sennrich implementation) structure the count: a word-freq
+    dict first, pair stats derived from it.
+
+    Words are restricted to clean lowercase ``[a-z0-9]+`` tokens of
+    length >= 2 so character indexing is unambiguous across engines
+    (the DuckDB oracle substrings the same vocabulary identically).
+    Rank ties break by pair text — deterministic on both sides.
+    """
+    words = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    wc = (
+        words.filter(F.col("w").rlike("^[a-z0-9]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # vocabulary-sized from here on: HOF explode is off the hot path
+    pairs = wc.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - F.lit(1)),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").alias("cnt"))
+    ranked = agg.orderBy(F.desc("cnt"), F.asc("pair")).limit(top)
+    return ranked.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("pair")))
+        .alias("rank"),
+        "pair",
+        F.col("pair").substr(1, 1).alias("left_sym"),
+        F.col("pair").substr(2, 1).alias("right_sym"),
+        "cnt",
+    )
