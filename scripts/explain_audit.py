@@ -477,6 +477,28 @@ def main() -> int:
         ],
     )
 
+    # bpe_pairs — pair enumeration must sit ABOVE the word aggregation
+    # (vocab-sized data), never over raw token occurrences
+    bp = contract.q_bpe_pairs(spark, SF_DIR)
+    p = formatted(bp)
+    audit(
+        "bpe_pairs (BPE merge-step pair counts)",
+        bp,
+        [
+            ("shuffles key on word then pair only (corpus-sized shuffle"
+             " is the word groupBy)",
+             set(re.findall(r"hashpartitioning\((\w+)", p)) == {"w", "pair"}),
+            ("both aggs have map-side partials",
+             _final_tree(p).count("HashAggregate") >= 4),
+            ("pair explode (Generate) present above the word agg",
+             "Generate" in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+            ("top-k cut is a global TakeOrdered, not a sort",
+             "TakeOrderedAndProject" in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "

@@ -254,3 +254,32 @@ def test_bpe_pairs_weighted_by_word_frequency(spark):
     out = keywords.bpe_pair_counts(docs).collect()
     assert len(out) == 1
     assert out[0].pair == "ab" and out[0].cnt == 3 and out[0].rank == 1
+
+
+def test_bpe_pairs_differential_python_reference(spark):
+    import collections
+    import random
+    import re
+
+    rng = random.Random(7)
+    words = ["low", "lower", "newest", "widest", "ab", "a", "b2c", "zz", "Mix"]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randrange(0, 12))))
+        for i in range(40)
+    ]
+    wc: collections.Counter = collections.Counter()
+    for _, text in docs:
+        for w in re.split(r"[ \t\n\x0b\f\r]+", text.strip()):
+            if w and re.fullmatch(r"[a-z0-9]+", w) and len(w) >= 2:
+                wc[w] += 1
+    exp: collections.Counter = collections.Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            exp[w[i : i + 2]] += c
+    out = {
+        r.pair: r.cnt
+        for r in keywords.bpe_pair_counts(
+            spark.createDataFrame(docs, "doc_id int, text string"), top=10_000
+        ).collect()
+    }
+    assert out == dict(exp)
