@@ -1162,6 +1162,23 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, top=200)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tokenizer cycle: train 40 BPE merges on the corpus (the
+    distributed word-freq table feeds a driver-side Sennrich merge
+    loop — iterative, hence rows-only by design), then encode every
+    document distributed (merge ranks broadcast, per-batch word cache).
+    The first learned merge is anchored to the DuckDB-oracled
+    `bpe_pairs` query in tests/test_bpe.py."""
+    from web_content_extractor_spark.operators.bpe import (
+        encode_with_merges,
+        train_bpe,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=40)
+    return encode_with_merges(d, merges)
+
+
 def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality proxy: per-doc mean negative
     log-prob under the corpus' own unigram distribution (low = fluent-
@@ -1585,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "vocab_topk": q_vocab_topk,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_encode": q_bpe_encode,
         "session_windows": q_session_windows,
         "ccnet_buckets": q_ccnet_buckets,
         "unigram_nll": q_unigram_nll,
