@@ -143,3 +143,29 @@ def test_corpus_build_with_mixture_rates(spark, tmp_path, capsys):
     ids = {r.doc_id for r in spark.read.parquet(out)
            .select("doc_id").distinct().collect()}
     assert ids == {i for i in range(40) if i % 2 == 0}  # s0 == even ids
+
+
+def test_corpus_build_with_bpe_training(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus")
+    _write_docs(spark, src, n=12)
+    rc = main([
+        "--corpus-input", src,
+        "--corpus-output", out,
+        "--chunk-size", "64",
+        "--shards", "2",
+        "--train-bpe", "15",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    bp = summary["bpe"]
+    assert bp["merges_requested"] == 15
+    assert 0 < bp["merges_learned"] <= 15
+    merges = spark.read.parquet(bp["output"]).orderBy("rank").collect()
+    assert len(merges) == bp["merges_learned"]
+    assert [m.rank for m in merges] == list(range(1, len(merges) + 1))
+    # learned on the training text: "the" is the most common word, so
+    # early merges build it; counts never increase with rank order is
+    # NOT guaranteed (merged symbols create new pairs), but every
+    # count must be >= 2 (the trainer's cutoff)
+    assert all(m.cnt >= 2 for m in merges)

@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optional (source, rate) parquet applied after "
                         "curation (corpus mode): deterministic Bernoulli "
                         "down-sampling to the target source mixture")
+    p.add_argument("--train-bpe", type=int, default=0,
+                   help="corpus mode: learn this many BPE merges on the "
+                        "curated corpus and write the merge table next "
+                        "to the output (0 = skip)")
+    p.add_argument("--merges-output", default=None,
+                   help="BPE merge-table path (default: "
+                        "<corpus-output>_merges)")
     p.add_argument("--compact", default=None,
                    help="parquet root to compact (small-file maintenance)")
     p.add_argument("--compact-output", default=None,
@@ -300,6 +307,22 @@ def main(argv: list[str] | None = None) -> int:
 
             rates = spark.read.parquet(args.mixture_rates)
             kept = mixture_sample(kept, rates)
+        if args.train_bpe > 0:
+            from web_content_extractor_spark.operators.bpe import (
+                merges_table,
+                train_bpe,
+            )
+
+            merges = train_bpe(kept, n_merges=args.train_bpe)
+            merges_out = args.merges_output or f"{args.corpus_output}_merges"
+            merges_table(spark, merges).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(merges_out)
+            result["bpe"] = {
+                "merges_learned": len(merges),
+                "merges_requested": args.train_bpe,
+                "output": merges_out,
+            }
         chunks = chunk_documents(
             kept, chunk_size=args.chunk_size, overlap=args.chunk_overlap
         )
