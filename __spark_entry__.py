@@ -1162,6 +1162,22 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, top=200)
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (l_partkey, l_suppkey) — the clustering key
+    the z-ordered writer lays files out by.  Pure shift/mask/or Column
+    algebra (codegen); the DuckDB oracle runs the literal same
+    bit-spreading sequence."""
+    from web_content_extractor_spark.sinks.zorder import interleave_bits
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 65536).alias("x"),
+        (F.col("l_suppkey") % 65536).alias("y"),
+    )
+    return li.withColumn("zval", interleave_bits(F.col("x"), F.col("y")))
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full tokenizer cycle: train 40 BPE merges on the corpus (the
     distributed word-freq table feeds a driver-side Sennrich merge
@@ -1603,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "bpe_pairs": q_bpe_pairs,
         "bpe_encode": q_bpe_encode,
+        "zorder_keys": q_zorder_keys,
         "session_windows": q_session_windows,
         "ccnet_buckets": q_ccnet_buckets,
         "unigram_nll": q_unigram_nll,
@@ -1724,6 +1741,14 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT host, round(rank, 6) AS rank FROM r{iters}"
     )
+
+
+def _sql_spread(e: str) -> str:
+    """The Morton bit-spreading rounds as SQL text — the literal same
+    (shift, mask) sequence as sinks/zorder.py::_part1by1."""
+    for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        e = f"(({e} | ({e} << {sh})) & {m})"
+    return e
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2510,6 +2535,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(rank AS INTEGER) AS rank, tok, cnt,
                round(cum::DOUBLE / total, 6) AS coverage
         FROM r, tot WHERE rank <= 100
+        """,
+        "zorder_keys": f"""
+        WITH b AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_partkey % 65536 AS BIGINT) AS x,
+                 CAST(l_suppkey % 65536 AS BIGINT) AS y
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, x, y,
+               ({_sql_spread('x')} | ({_sql_spread('y')} << 1)) AS zval
+        FROM b
         """,
         "bpe_pairs": """
         WITH t AS (
