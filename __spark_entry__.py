@@ -991,6 +991,19 @@ def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_corpus(d, n_shards=8, seed=42)
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: stable hash-percentile
+    buckets (content-independent — docs never migrate across splits
+    between pipeline versions).  Zero shuffle: a free codegen column
+    on the curation scan."""
+    from web_content_extractor_spark.operators.corpus import (
+        train_val_test_split,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return train_val_test_split(d, val_pct=2, test_pct=3, seed=7)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli mixture re-weighting: per-source keep
     rates (src{i} -> ((i % 4) + 1) / 4) broadcast onto the corpus; the
@@ -1620,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_encode": q_bpe_encode,
         "zorder_keys": q_zorder_keys,
+        "corpus_split": q_corpus_split,
         "session_windows": q_session_windows,
         "ccnet_buckets": q_ccnet_buckets,
         "unigram_nll": q_unigram_nll,
@@ -2376,6 +2390,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, h % 8 AS shard,
                row_number() OVER (PARTITION BY h % 8
                                   ORDER BY h, doc_id) - 1 AS shard_pos
+        FROM h
+        """,
+        "corpus_split": """
+        WITH h AS (
+          SELECT doc_id,
+                 ((((doc_id + 7) * 2654435761) % 2147483647 * 48271)
+                   % 2147483647) % 100 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 2 THEN 'val'
+                    WHEN bucket < 5 THEN 'test'
+                    ELSE 'train' END AS split
         FROM h
         """,
         "mixture_sample": """

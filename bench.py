@@ -95,6 +95,7 @@ HEADLINE = [
     "bpe_pairs",          # BPE merge-step pair counts (vocab-weighted)
     "bpe_encode",         # BPE train (40 merges) + distributed encode
     "zorder_keys",        # Morton z-values (codegen bit algebra)
+    "corpus_split",       # deterministic train/val/test hash split
     "unigram_nll",        # CCNet-style unigram LM quality proxy
     "session_windows",    # native session_window sessionization
     "ccnet_buckets",      # CCNet head/middle/tail by unigram NLL

@@ -11,6 +11,7 @@ from web_content_extractor_spark.operators.corpus import (
     pack_token_stream,
     portable_hash,
     shard_corpus,
+    train_val_test_split,
 )
 
 
@@ -225,3 +226,43 @@ def test_token_budget_layout_independent_and_source_filtered(spark):
     n_s1 = sum(1 for r in token_budget_sample(docs, budgets).collect()
                if r.source == "s1")
     assert n_s1 == docs.where("source = 's1'").count()
+
+
+# --- train/val/test split ----------------------------------------------------
+
+
+def test_split_partitions_and_percentages(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(5000)], "doc_id long"
+    )
+    out = train_val_test_split(docs, val_pct=2, test_pct=3).collect()
+    by = Counter(r.split for r in out)
+    assert by["val"] + by["test"] + by["train"] == 5000
+    # uniform hash: expect ~2% val, ~3% test (loose band)
+    assert 0.01 <= by["val"] / 5000 <= 0.04
+    assert 0.015 <= by["test"] / 5000 <= 0.05
+    for r in out:
+        want = "val" if r.bucket < 2 else ("test" if r.bucket < 5 else "train")
+        assert r.split == want
+
+
+def test_split_is_content_independent_and_stable(spark):
+    a = spark.createDataFrame(
+        [(i, f"text v1 {i}") for i in range(300)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"REWRITTEN {i}!") for i in range(300)], "doc_id long, text string"
+    )
+    sa = {r.doc_id: r.split for r in train_val_test_split(a).collect()}
+    sb = {r.doc_id: r.split for r in train_val_test_split(b).collect()}
+    # re-cleaning every document must not move any doc across splits
+    assert sa == sb
+
+
+def test_split_changes_with_seed(spark):
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    s1 = {r.doc_id: r.split for r in
+          train_val_test_split(docs, seed=7).collect()}
+    s2 = {r.doc_id: r.split for r in
+          train_val_test_split(docs, seed=8).collect()}
+    assert s1 != s2

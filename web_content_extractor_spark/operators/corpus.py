@@ -181,3 +181,31 @@ def token_budget_sample(
         .where(F.col("__before") < F.col("token_budget"))
         .drop("__h", "__before", "token_budget")
     )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    val_pct: int = 1,
+    test_pct: int = 1,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic held-out split: (id, bucket, split) with split in
+    {'train','val','test'}.
+
+    The standard corpus-prep step before training: assign each document
+    a stable percentile bucket by the portable hash (content-independent
+    — re-crawling or re-cleaning a doc never moves it across splits,
+    which would leak val/test into train between pipeline versions) and
+    carve [0, val_pct) -> val, [val_pct, val_pct+test_pct) -> test,
+    rest -> train.  Pure codegen integer algebra, zero shuffle — at
+    100 TB this is a free column on the curation scan, never a join.
+    """
+    bucket = (portable_hash(F.col(id_col), seed) % 100).alias("bucket")
+    out = docs.select(id_col, bucket)
+    return out.withColumn(
+        "split",
+        F.when(F.col("bucket") < val_pct, F.lit("val"))
+        .when(F.col("bucket") < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
