@@ -1220,6 +1220,18 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(d)
 
 
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality proxy: per-doc mean negative conditional
+    log-prob under the corpus' own bigram statistics (one order up
+    from q_unigram_nll — the sharper CCNet-style fluency signal)."""
+    from web_content_extractor_spark.operators.keywords import (
+        bigram_logprob_scores,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return bigram_logprob_scores(d)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail: tercile-bucket every doc by its unigram
     NLL (q_unigram_nll's score) — the classic perplexity-based corpus
@@ -1634,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "zorder_keys": q_zorder_keys,
         "corpus_split": q_corpus_split,
+        "bigram_nll": q_bigram_nll,
         "session_windows": q_session_windows,
         "ccnet_buckets": q_ccnet_buckets,
         "unigram_nll": q_unigram_nll,
@@ -2600,6 +2613,35 @@ def oracle_sql() -> dict[str, str]:
                substring(pair, 2, 1) AS right_sym,
                CAST(cnt AS BIGINT) AS cnt
         FROM r WHERE rank <= 200
+        """,
+        "bigram_nll": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(lower(text)), ' '),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i::INT] || ' ' || toks[(i+1)::INT])) AS bg
+          FROM t WHERE len(toks) >= 2
+        ),
+        c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+               FROM c2 GROUP BY 1),
+        s AS (
+          SELECT b.doc_id, count(*) AS n_bigrams,
+                 round(avg(ln(c1.c1) - ln(c2.c2)), 6) AS nll
+          FROM b
+          JOIN c2 USING (bg)
+          JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+          GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               s.nll
+        FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "unigram_nll": """
         WITH t AS (

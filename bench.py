@@ -96,6 +96,7 @@ HEADLINE = [
     "bpe_encode",         # BPE train (40 merges) + distributed encode
     "zorder_keys",        # Morton z-values (codegen bit algebra)
     "corpus_split",       # deterministic train/val/test hash split
+    "bigram_nll",         # bigram-LM fluency proxy (one bigram shuffle)
     "unigram_nll",        # CCNet-style unigram LM quality proxy
     "session_windows",    # native session_window sessionization
     "ccnet_buckets",      # CCNet head/middle/tail by unigram NLL

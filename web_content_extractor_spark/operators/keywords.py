@@ -201,3 +201,51 @@ def bpe_pair_counts(
         F.col("pair").substr(2, 1).alias("right_sym"),
         "cnt",
     )
+
+
+def bigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM quality proxy: per-doc mean negative conditional
+    log-prob under the corpus' own bigram model.
+
+    score(d) = -(1/|bigrams|) * sum ln P(w2 | w1), with the MLE
+    P(w2|w1) = c(w1 w2) / c(w1 ·) where c(w1 ·) sums bigram counts by
+    prefix — so conditionals normalize exactly and every scored bigram
+    was observed (no zeros, no smoothing constant to sync with the
+    oracle; same construction as the unigram scorer one order up).
+    Lower = locally fluent word transitions; the sharper signal CCNet
+    gets from a real LM, approximated with the corpus' own statistics.
+
+    Shuffle profile: ONE (bigram) count shuffle with map-side partials;
+    prefix totals are derived FROM the bigram counts (vocabulary-sized
+    agg, never a second corpus pass); both count tables re-attach by
+    key join (at scale: pruned vocab broadcasts); the per-doc mean
+    shuffles (doc_id, one double).  Docs with < 2 tokens score NULL,
+    kept for drop-not-fail visibility.
+    """
+    from web_content_extractor_spark.functions.text_quality import (
+        word_ngrams_all,
+    )
+
+    bi = docs.select(
+        "doc_id", F.explode(word_ngrams_all(F.col(text_col), 2)).alias("bg")
+    )
+    c2 = bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = (
+        c2.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    scored = (
+        bi.join(c2, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log("c1") - F.log("c2")), 6).alias("nll"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "nll",
+    )
