@@ -499,6 +499,60 @@ def main() -> int:
         ],
     )
 
+    # corpus_split — a free codegen column: no keyed shuffle, no Python
+    cs = contract.q_corpus_split(spark, SF_DIR)
+    cs.collect()  # finalize AQE so codegen ids materialize
+    p = formatted(cs)
+    audit(
+        "corpus_split (train/val/test hash split)",
+        cs,
+        [
+            ("no keyed shuffle (only _read's test-scale round-robin "
+             "fan-out)",
+             "hashpartitioning(" not in p and "rangepartitioning(" not in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+            ("whole-stage codegen (final AQE plan)", "codegen id" in p),
+        ],
+    )
+
+    # zorder_keys — Morton bit algebra is a pure projection over the scan
+    zk = contract.q_zorder_keys(spark, SF_DIR)
+    zk.collect()
+    p = formatted(zk)
+    audit(
+        "zorder_keys (Morton z-value projection)",
+        zk,
+        [
+            ("pure projection: no keyed shuffle, no join, no agg",
+             "Join" not in p and "HashAggregate" not in p
+             and "hashpartitioning(" not in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+            ("whole-stage codegen (final AQE plan)", "codegen id" in p),
+        ],
+    )
+
+    # bigram_nll — ONE corpus-sized shuffle family (bigram counts +
+    # doc re-key); the prefix-total agg keys on the derived w1
+    # (_groupingexpression) over the VOCAB-sized count table
+    bn = contract.q_bigram_nll(spark, SF_DIR)
+    p = formatted(bn)
+    audit(
+        "bigram_nll (bigram-LM fluency proxy)",
+        bn,
+        [
+            ("bigram counts aggregate with map-side partials",
+             _final_tree(p).count("HashAggregate") >= 4),
+            ("shuffles key only on bg / doc_id / derived w1 (prefix "
+             "totals are vocab-sized)",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             <= {"bg", "w1", "doc_id", "_groupingexpression"}),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "
