@@ -1284,6 +1284,84 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup of a synthetic crawl batch against the
+    existing corpus: corpus = doc_id % 3 != 0; the batch carries fresh
+    docs (% 3 == 0), re-keyed copies of corpus docs (% 3 == 1, corpus
+    dups -> dropped by the fingerprint anti-join) and re-keyed copies
+    of batch docs (% 9 == 0, in-batch dups -> dropped by first-wins).
+    Content-keyed, so a re-crawled page at a NEW url is still a dup."""
+    from web_content_extractor_spark.operators.dedup_docs import (
+        dedup_against_corpus,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 3 != 0)
+    batch = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .unionByName(
+            d.where(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup_against_corpus(batch, corpus).select("doc_id", "fp")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis
+    exponential race): 100 docs drawn proportional to token count,
+    deterministically from (doc_id, seed).  Plan is a codegen key
+    projection + TakeOrderedAndProject — per-partition top-k heap,
+    no shuffle, no global sort."""
+    from web_content_extractor_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", tq.token_count(F.col("text")).alias("weight")
+    )
+    return weighted_sample(d, k=100, seed=11).select(
+        "doc_id", "weight", "es_key"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fixed-count sample: exactly min(20, |source|) docs
+    per source in reproducible portable-hash order — the COUNT form of
+    selection next to mixture_sample (rate) and token_budget (quota).
+    ONE shuffle keyed by source."""
+    from web_content_extractor_spark.operators.selection import (
+        stratified_sample,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(d, k=20, seed=13).select(
+        "doc_id", "source", "draw"
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): hashed-bigram
+    target-vs-raw bucket log-ratios, target slice = sources whose
+    trailing digits % 4 == 0 (a stand-in for 'Wikipedia-like').
+    Bucket ids mix portable vocab ids, so the DuckDB oracle computes
+    the identical integers; the K-row log-ratio table broadcasts back
+    onto per-doc features."""
+    from web_content_extractor_spark.operators.selection import dsir_weights
+
+    d = _read(spark, sf_dir, "documents")
+    tgt = (
+        F.regexp_extract("source", r"(\d+)$", 1).cast("bigint") % 4
+    ) == 0
+    return dsir_weights(d, tgt, n_buckets=64, seed=17)
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text normalization: Unicode NFC (vectorized pandas
     Series.str.normalize — no JVM builtin), control-char strip,
@@ -1647,6 +1725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "corpus_split": q_corpus_split,
         "bigram_nll": q_bigram_nll,
+        "dedup_incremental": q_dedup_incremental,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
+        "dsir_weights": q_dsir_weights,
         "session_windows": q_session_windows,
         "ccnet_buckets": q_ccnet_buckets,
         "unigram_nll": q_unigram_nll,
@@ -2613,6 +2695,121 @@ def oracle_sql() -> dict[str, str]:
                substring(pair, 2, 1) AS right_sym,
                CAST(cnt AS BIGINT) AS cnt
         FROM r WHERE rank <= 200
+        """,
+        "dedup_incremental": """
+        WITH batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+          WHERE doc_id % 3 = 1
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents
+          WHERE doc_id % 9 = 0
+        ),
+        b AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM batch
+        ),
+        first AS (
+          SELECT doc_id, fp FROM b
+          QUALIFY row_number() OVER (PARTITION BY fp
+                                     ORDER BY doc_id) = 1
+        ),
+        seen AS (
+          SELECT DISTINCT
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM documents WHERE doc_id % 3 <> 0
+        )
+        SELECT f.doc_id, f.fp
+        FROM first f
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = f.fp)
+        """,
+        "weighted_sample": """
+        WITH d AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(trim(text), ' '),
+                                 x -> x <> '')) AS weight
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id, weight,
+                 round(
+                   -ln(((((doc_id + 11) * 2654435761) % 2147483647
+                         * 48271) % 2147483647 + 1) / 2147483647.0)
+                   / greatest(weight::DOUBLE, 1e-12), 6) AS es_key
+          FROM d
+        )
+        SELECT doc_id, weight, es_key
+        FROM k ORDER BY es_key, doc_id LIMIT 100
+        """,
+        "stratified_sample": """
+        WITH h AS (
+          SELECT doc_id, source,
+                 (((doc_id + 13) * 2654435761) % 2147483647 * 48271)
+                   % 2147483647 AS h
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY h, doc_id) AS draw
+          FROM h
+        )
+        SELECT doc_id, source, draw FROM r WHERE draw <= 20
+        """,
+        "dsir_weights": """
+        WITH t AS (
+          SELECT doc_id,
+                 (regexp_extract(source, '(\\d+)$', 1)::BIGINT % 4) = 0
+                   AS tgt,
+                 list_filter(string_split(trim(lower(text)), ' '),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        uni AS (SELECT DISTINCT unnest(toks) AS tok FROM t),
+        vocab AS (
+          SELECT tok, row_number() OVER (ORDER BY tok) AS tid FROM uni
+        ),
+        b AS (
+          SELECT doc_id, tgt,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i::INT] || ' ' || toks[(i+1)::INT]))
+                   AS bg
+          FROM t WHERE len(toks) >= 2
+        ),
+        f AS (
+          SELECT b.doc_id, b.tgt,
+                 ((v1.tid * 2654435761 + v2.tid * 48271 + 17)
+                   % 2147483647) % 64 AS bucket
+          FROM b
+          JOIN vocab v1 ON split_part(b.bg, ' ', 1) = v1.tok
+          JOIN vocab v2 ON split_part(b.bg, ' ', 2) = v2.tok
+        ),
+        c AS (
+          SELECT bucket,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt,
+                 count(*) AS c_raw
+          FROM f GROUP BY bucket
+        ),
+        tot AS (SELECT sum(c_tgt) AS tt, sum(c_raw) AS tr FROM c),
+        lr AS (
+          SELECT bucket,
+                 ln((c_tgt + 1) / (tt + 64))
+                   - ln((c_raw + 1) / (tr + 64)) AS lr
+          FROM c, tot
+        ),
+        s AS (
+          SELECT f.doc_id, count(*) AS n_feats,
+                 round(sum(lr.lr), 6) AS dsir_logw
+          FROM f JOIN lr USING (bucket) GROUP BY f.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+               s.dsir_logw
+        FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "bigram_nll": """
         WITH t AS (

@@ -100,6 +100,8 @@ HEADLINE = [
     "unigram_nll",        # CCNet-style unigram LM quality proxy
     "session_windows",    # native session_window sessionization
     "ccnet_buckets",      # CCNet head/middle/tail by unigram NLL
+    "weighted_sample",    # ES weighted top-k draw (TakeOrdered, no shuffle)
+    "dsir_weights",       # DSIR hashed-bigram importance log-weights
 ]
 
 

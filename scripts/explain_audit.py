@@ -553,6 +553,80 @@ def main() -> int:
         ],
     )
 
+    # dedup_incremental — batch-vs-corpus ingest dedup: every keyed
+    # shuffle is on the 16-byte fingerprint (bodies never re-shuffle
+    # on the corpus side: its scan collapses to DISTINCT fp)
+    di = contract.q_dedup_incremental(spark, SF_DIR)
+    p = formatted(di)
+    audit(
+        "dedup_incremental (batch-vs-corpus ingest dedup)",
+        di,
+        [
+            ("anti-join drops corpus-known fingerprints",
+             "LeftAnti" in p),
+            ("keyed shuffles only on the fingerprint",
+             set(re.findall(r"hashpartitioning\((\w+)", p)) <= {"fp"}),
+            ("corpus side pre-aggregates to distinct fingerprints",
+             _final_tree(p).count("HashAggregate") >= 2),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # weighted_sample — ES exponential race must compile to a
+    # per-partition top-k heap (TakeOrderedAndProject), never a global
+    # sort or shuffle
+    ws = contract.q_weighted_sample(spark, SF_DIR)
+    ws.collect()
+    p = formatted(ws)
+    audit(
+        "weighted_sample (Efraimidis-Spirakis top-k draw)",
+        ws,
+        [
+            ("TakeOrderedAndProject (per-partition heap top-k, "
+             "bounded merge)", "TakeOrderedAndProject" in p),
+            ("no keyed shuffle, no global sort",
+             "hashpartitioning(" not in p
+             and "rangepartitioning(" not in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # stratified_sample — exactly ONE shuffle, keyed by the stratum
+    ss = contract.q_stratified_sample(spark, SF_DIR)
+    ss.collect()
+    p = formatted(ss)
+    audit(
+        "stratified_sample (fixed-count per-stratum draw)",
+        ss,
+        [
+            ("single shuffle keyed by source only",
+             set(re.findall(r"hashpartitioning\((\w+)", p)) == {"source"}),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # dsir_weights — corpus-sized shuffles key only on bigram words /
+    # bucket / doc_id; the K-row log-ratio table broadcasts back; the
+    # only single-partition stage is the VOCAB-sized row_number window
+    dw = contract.q_dsir_weights(spark, SF_DIR)
+    p = formatted(dw)
+    audit(
+        "dsir_weights (DSIR hashed-bigram importance)",
+        dw,
+        [
+            ("shuffles key only on w1/w2/tok/bucket/doc_id",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             <= {"w1", "w2", "tok", "bucket", "doc_id"}),
+            ("log-ratio table broadcasts onto the feature side",
+             "BroadcastExchange" in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "

@@ -29,7 +29,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from web_content_extractor_spark.functions.text_quality import fingerprint
@@ -482,3 +482,43 @@ def duplicate_clusters(
             break
     edges.unpersist()
     return (labels, rounds) if with_rounds else labels
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time dedup: keep only the batch documents whose content
+    is new — not in the existing corpus AND first-of-its-content within
+    the batch (min-id wins, like ``exact_duplicates``).
+
+    The incremental complement of the batch dedup family: a crawl
+    refresh re-fetches mostly unchanged pages, so the daily ingest job
+    is "batch ⟂ corpus", never corpus ⟂ corpus.  Content-keyed, unlike
+    ``snapshot_diff`` (id-keyed): a re-crawled page with a NEW url but
+    identical body is a duplicate here, invisible there.
+
+    Scale shape: the corpus side collapses to DISTINCT 16-byte
+    fingerprints in the scan projection (bodies never move); the
+    in-batch first-wins window and the left_anti join key on the SAME
+    fingerprint column, so AQE reuses one batch-sized shuffle
+    partitioning for both.  At production scale the corpus fingerprint
+    set is a maintained table (the streaming curator's checkpointed
+    first-seen state, streaming/incremental.py) rather than a
+    per-ingest re-scan.
+
+    Returns the surviving batch rows + their ``fp`` fingerprint column
+    (callers append these fps to the corpus fingerprint table).
+    """
+    fp = fingerprint(F.col(text_col))
+    b = batch.withColumn("fp", fp)
+    seen = corpus.select(fp.alias("fp")).distinct()
+    w = Window.partitionBy("fp").orderBy(id_col)
+    first = (
+        b.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return first.join(seen, "fp", "left_anti")

@@ -1,0 +1,226 @@
+"""Data-selection operators: weighted sampling, stratified sampling,
+and DSIR-style importance weighting.
+
+The three selection shapes an LLM-pretraining data recipe actually
+uses, beyond the rate- and quota-based forms in operators/corpus.py:
+
+- ``weighted_sample`` — draw k documents WITHOUT replacement with
+  probability proportional to a weight column (tokens, quality score):
+  the Efraimidis–Spirakis exponential race.  Each doc gets key
+  ``-ln(u) / w`` with u uniform in (0, 1]; the k smallest keys are
+  exactly a weighted draw without replacement (Efraimidis & Spirakis,
+  IPL 2006).  u is derived from the portable integer hash, so the
+  sample is a pure function of (doc_id, seed) — rerun-stable and
+  reproducible in the SQL oracle.
+- ``stratified_sample`` — exactly min(k, |stratum|) docs per stratum
+  in reproducible hash order: the fixed-COUNT form next to
+  ``mixture_sample`` (rate) and ``token_budget_sample`` (quota).
+- ``dsir_weights`` — Data Selection with Importance Resampling (Xie
+  et al., NeurIPS 2023): score every raw document by how target-like
+  its hashed bigram features are, ``log w(d) = sum_f c_f(d) *
+  (ln p_target(f) - ln p_raw(f))`` with add-1 smoothed bucket
+  distributions.  Downstream, ``weighted_sample`` over ``exp(log w)``
+  IS the DSIR resampling step — the two operators compose.
+
+Scale profile at 10^12 docs:
+
+- ``weighted_sample``: zero shuffles.  ``orderBy(key).limit(k)``
+  compiles to TakeOrderedAndProject — a per-partition top-k heap and
+  one P·k-row merge, never a global sort; the key is a codegen
+  projection over the scan.
+- ``stratified_sample``: ONE shuffle keyed by stratum.  A hot stratum
+  is a single sorted partition (a sort, not a collect); if one stratum
+  dominates, pre-bucket it with a hash sub-key and take
+  ceil(k / n_buckets) per sub-stratum — same trick as the token-budget
+  note.
+- ``dsir_weights``: bigram→vocab-id joins (vocabulary is MB-scale →
+  broadcast at real scale), ONE corpus-sized agg keyed by (bucket) for
+  feature counts whose output is exactly ``n_buckets`` rows, the
+  K-row log-ratio table broadcast back, and ONE per-doc sum keyed by
+  doc_id.  Nothing corpus-sized is ever sorted.
+
+Portable-hash / ln determinism contract: integer mixing uses the same
+two-round multiplicative hash as operators/corpus.py (exact int64 in
+both engines); ``ln`` appears only inside values rounded to 6 dp
+(boundary-straddle risk ~1e-9/value) and in the ES sort key where a
+cross-engine flip needs two keys within ~1 ulp of each other —
+generically impossible for hash-derived inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.operators.corpus import (
+    M31,
+    _MULT1,
+    _MULT2,
+    portable_hash,
+)
+
+
+def _uniform(col: Column, seed: int) -> Column:
+    """Deterministic uniform in (0, 1]: (h + 1) / 2^31-1 over the
+    portable integer hash (h in [0, M31-1], so u is never 0)."""
+    return (portable_hash(col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(M31)
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    seed: int = 11,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample of k docs without
+    replacement: keep the k smallest ``es_key = -ln(u) / w``.
+
+    ``weight_col`` must be > 0 (callers clamp; a zero weight would be
+    an infinite key, i.e. never sampled — we keep that semantics by
+    clamping to a tiny epsilon instead of erroring).  Ties in the
+    float key are broken by id for a total, engine-independent order.
+
+    Plan shape: codegen projection + TakeOrderedAndProject (per-
+    partition heap top-k, single bounded merge) — no shuffle, no
+    global sort, survives any corpus size with driver memory O(P·k).
+    """
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    key = -F.log(_uniform(F.col(id_col), seed)) / w
+    return (
+        docs.withColumn("es_key", F.round(key, 6))
+        .orderBy("es_key", id_col)
+        .limit(k)
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int = 10,
+    seed: int = 13,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) docs per stratum, chosen in
+    reproducible portable-hash order (a per-stratum simple random
+    sample that reruns bit-identically).
+
+    Output adds ``draw`` — the doc's 1-based position in its stratum's
+    hash order (stable across reruns; useful for taking a prefix of a
+    larger pre-drawn sample without resampling).
+    """
+    h = portable_hash(F.col(id_col), seed)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col))
+    return (
+        docs.withColumn("draw", F.row_number().over(w))
+        .where(F.col("draw") <= k)
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 256,
+    seed: int = 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR hashed-bigram importance log-weights (Xie et al. 2023).
+
+    Features are word bigrams hashed into ``n_buckets`` buckets; the
+    hash goes through vocabulary ids (dense 1-based row_number over the
+    sorted distinct unigrams) so both Spark and the SQL oracle compute
+    the identical integer — no engine-specific string hash.  Bucket
+    distributions are add-1 smoothed over the TARGET slice (rows where
+    ``is_target``) and the RAW corpus (all rows):
+
+        log w(d) = sum_{bigram b in d} ln p_tgt(bucket(b))
+                                     - ln p_raw(bucket(b))
+
+    Higher = more target-like.  Docs with < 2 tokens get NULL
+    (drop-not-fail visibility); resampling = ``weighted_sample`` over
+    ``exp(dsir_logw)``.
+
+    Output: (id, n_feats, dsir_logw rounded to 6 dp).
+    """
+    from web_content_extractor_spark.functions.text_quality import (
+        tokens,
+        word_ngrams_all,
+    )
+
+    base = docs.withColumn("__tgt", is_target)
+
+    uni = base.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = (
+        uni.distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("tok")))
+    )
+
+    bi = base.select(
+        id_col,
+        "__tgt",
+        F.explode(word_ngrams_all(F.col(text_col), 2)).alias("bg"),
+    ).select(
+        id_col,
+        "__tgt",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    v1 = vocab.select(F.col("tok").alias("w1"), F.col("tid").alias("t1"))
+    v2 = vocab.select(F.col("tok").alias("w2"), F.col("tid").alias("t2"))
+    feats = (
+        bi.join(v1, "w1")
+        .join(v2, "w2")
+        .withColumn(
+            "bucket",
+            (
+                (
+                    F.col("t1") * F.lit(_MULT1)
+                    + F.col("t2") * F.lit(_MULT2)
+                    + F.lit(seed)
+                )
+                % F.lit(M31)
+            )
+            % F.lit(n_buckets),
+        )
+    )
+
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_tgt"),
+        F.count("*").alias("c_raw"),
+    )
+    totals = counts.agg(
+        F.sum("c_tgt").alias("tot_tgt"), F.sum("c_raw").alias("tot_raw")
+    )
+    lr = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_tgt") + 1) / (F.col("tot_tgt") + n_buckets))
+                - F.log((F.col("c_raw") + 1) / (F.col("tot_raw") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+
+    scored = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("dsir_logw"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            "dsir_logw",
+        )
+    )
