@@ -1546,6 +1546,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_docs.duplicate_clusters(d, min_jaccard=0.8)
 
 
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection per duplicate cluster: keep the longest
+    member (n_chars desc, min-id tie-break) — the RefinedWeb/CCNet
+    "which dup survives" resolution step after transitive clustering."""
+    d = _read(spark, sf_dir, "documents")
+    clusters = dedup_docs.duplicate_clusters(d, min_jaccard=0.8)
+    return dedup_docs.resolve_clusters(d, clusters).select(
+        "doc_id", "cluster_id", "cluster_size", "is_canonical"
+    )
+
+
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup: doc counts + char volume by (source, lang) with
     subtotal and grand-total grouping sets."""
@@ -1739,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "asof_join": q_asof_join,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_resolve": q_dedup_resolve,
         "rollup_counts": q_rollup_counts,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "similarity_topk": q_similarity_topk,
@@ -3140,6 +3152,44 @@ def oracle_sql() -> dict[str, str]:
           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
         )
         SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        "dedup_resolve": f"""
+        WITH RECURSIVE t AS ({_TOKS_CTE}),
+        g AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+          FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+          WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        p AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        ),
+        e AS (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p
+        ),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        ),
+        c AS (
+          SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        )
+        SELECT c.doc_id, c.cluster_id,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) = 1
+                 AS is_canonical
+        FROM c JOIN documents d USING (doc_id)
         """,
         "rollup_counts": """
         SELECT coalesce(source, '(all)') AS source,

@@ -50,3 +50,54 @@ class TestDedupAgainstCorpus:
         assert dedup_against_corpus(empty, corpus).count() == 0
         fresh = _df(spark, [(10, "x"), (11, "y")])
         assert dedup_against_corpus(fresh, corpus).count() == 2
+
+
+class TestResolveClusters:
+    def test_longest_wins_min_id_tiebreak(self, spark):
+        from web_content_extractor_spark.operators.dedup_docs import (
+            resolve_clusters,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 5)],
+            "doc_id long, n_chars long",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4)],
+            "doc_id long, cluster_id long",
+        )
+        got = {
+            r.doc_id: (r.cluster_size, r.is_canonical)
+            for r in resolve_clusters(docs, clusters).collect()
+        }
+        # 2 and 3 tie on length -> min id 2 is canonical; singleton 4
+        # is its own canonical
+        assert got == {
+            1: (3, False),
+            2: (3, True),
+            3: (3, False),
+            4: (1, True),
+        }
+
+    def test_one_canonical_per_cluster(self, spark):
+        from web_content_extractor_spark.operators.dedup_docs import (
+            duplicate_clusters,
+            resolve_clusters,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (i, "alpha beta gamma delta epsilon" + (" tail" if i % 2 else ""))
+                for i in range(6)
+            ]
+            + [(10, "totally different words here entirely")],
+            "doc_id long, text string",
+        ).withColumn("n_chars", F.length("text").cast("long"))
+        out = resolve_clusters(
+            docs, duplicate_clusters(docs, min_jaccard=0.5)
+        ).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.cluster_id, []).append(r.is_canonical)
+        assert all(sum(v) == 1 for v in per.values())
+        assert len(out) == 7

@@ -522,3 +522,43 @@ def dedup_against_corpus(
         .drop("__rn")
     )
     return first.join(seen, "fp", "left_anti")
+
+
+def resolve_clusters(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document selection: per duplicate cluster keep the
+    highest-quality member (tie-break min id), marking the rest for
+    drop.
+
+    The resolution step between ``duplicate_clusters`` and the write:
+    pair lists say *what* is duplicated, clusters say *together*, this
+    says *which one survives* — real pipelines keep the longest /
+    highest-scoring copy (RefinedWeb, CCNet), not the arbitrary min-id.
+
+    Output: (id, cluster_id, cluster_size, is_canonical).
+
+    Scale shape: ONE shuffle keyed by cluster_id; near-dup clusters
+    are near-cliques (a handful of docs), so partitions stay balanced
+    — a degenerate mega-cluster (template spam) is the one skew risk,
+    and it is exactly what the heavy-hitter screen in operators/skew.py
+    flags before this runs.
+    """
+    j = clusters.join(docs.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    cnt = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(cnt))
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col("__rn") == 1).alias("is_canonical"),
+        )
+    )
