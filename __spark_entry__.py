@@ -1284,6 +1284,61 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style (host, path_prefix) blocklist filter over synthesized
+    URLs (same shapes as url_projections): broadcast LEFT ANTI hash
+    join keyed on the www-stripped host with the path-prefix test as
+    residual condition — the corpus never shuffles."""
+    from web_content_extractor_spark.operators.crawl import blocklist_filter
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://www.h"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".example.com/files/a"), sid, F.lit(".pdf")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".example.org/p"), sid),
+        )
+        .otherwise(
+            F.concat(F.lit("https://media.example.net/x/y/z"), sid, F.lit(".tar.gz"))
+        )
+    )
+    links = d.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [
+            ("h0.example.com", "/files"),
+            ("h2.example.org", ""),
+            ("media.example.net", "/x/y"),
+        ],
+        "host string, path_prefix string",
+    )
+    return blocklist_filter(links, bl)
+
+
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report: doc/token volume, exact-dup rate
+    (fingerprint distinct), source/lang cardinality, mean length —
+    the summary a curation run prints before and after each stage.
+    Single scan + global agg with partials; at 100 TB the exact
+    count-distinct on fingerprints becomes approx_count_distinct."""
+    d = _read(spark, sf_dir, "documents")
+    fp = tq.fingerprint(F.col("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tq.token_count(F.col("text"))).alias("total_tokens"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_exact_dups"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time dedup of a synthetic crawl batch against the
     existing corpus: corpus = doc_id % 3 != 0; the batch carries fresh
@@ -1736,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "corpus_split": q_corpus_split,
         "bigram_nll": q_bigram_nll,
+        "url_blocklist": q_url_blocklist,
+        "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
         "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
@@ -2707,6 +2764,58 @@ def oracle_sql() -> dict[str, str]:
                substring(pair, 2, 1) AS right_sym,
                CAST(cnt AS BIGINT) AS cnt
         FROM r WHERE rank <= 200
+        """,
+        "url_blocklist": """
+        WITH u AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 3 = 0 THEN
+                     'https://www.h' || (doc_id % 5) ||
+                     '.example.com/files/a' || doc_id || '.pdf'
+                   WHEN doc_id % 3 = 1 THEN
+                     'http://h' || (doc_id % 5) ||
+                     '.example.org/p' || doc_id
+                   ELSE
+                     'https://media.example.net/x/y/z' || doc_id ||
+                     '.tar.gz'
+                 END AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, url,
+                 regexp_replace(
+                   lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)),
+                   '^www\\.', '') AS host,
+                 coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1),
+                          '') AS path
+          FROM u
+        ),
+        b(bhost, bprefix) AS (
+          VALUES ('h0.example.com', '/files'),
+                 ('h2.example.org', ''),
+                 ('media.example.net', '/x/y')
+        )
+        SELECT doc_id, url FROM p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM b
+          WHERE b.bhost = p.host AND starts_with(p.path, b.bprefix)
+        )
+        """,
+        "corpus_health": """
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split(trim(text), ' '),
+                                        x -> x <> ''))) AS BIGINT)
+                 AS total_tokens,
+               count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g')))
+                 AS n_unique,
+               count(*) - count(DISTINCT
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                 AS n_exact_dups,
+               round(avg(n_chars), 6) AS mean_chars,
+               count(DISTINCT source) AS n_sources,
+               count(DISTINCT lang) AS n_langs
+        FROM documents
         """,
         "dedup_incremental": """
         WITH batch AS (

@@ -553,6 +553,42 @@ def main() -> int:
         ],
     )
 
+    # url_blocklist — blocklist filtering must be a broadcast anti
+    # join: the corpus side never shuffles
+    ub = contract.q_url_blocklist(spark, SF_DIR)
+    p = formatted(ub)
+    audit(
+        "url_blocklist (broadcast host/path-prefix anti-join)",
+        ub,
+        [
+            ("broadcast LEFT ANTI join", "LeftAnti" in p
+             and "BroadcastExchange" in p),
+            ("no keyed shuffle on the corpus side",
+             "hashpartitioning(" not in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # corpus_health — one scan, global agg with partials (the
+    # multi-distinct runs via Expand, still one scan of documents)
+    ch = contract.q_corpus_health(spark, SF_DIR)
+    p = formatted(ch)
+    audit(
+        "corpus_health (single-scan corpus report)",
+        ch,
+        [
+            ("single documents scan (multi-distinct via Expand, one "
+             "pass)",
+             _final_tree(p).count("Location: InMemoryFileIndex") == 1
+             and "Expand" in p),
+            ("partial aggregation present",
+             _final_tree(p).count("HashAggregate") >= 2),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
     # dedup_incremental — batch-vs-corpus ingest dedup: every keyed
     # shuffle is on the 16-byte fingerprint (bodies never re-shuffle
     # on the corpus side: its scan collapses to DISTINCT fp)

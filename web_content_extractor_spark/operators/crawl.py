@@ -219,3 +219,43 @@ def crawl(
         F.lit(user_agent).alias("user_agent"),
         F.lit(corr_id).alias("correlation_id"),
     )
+
+
+def blocklist_filter(
+    links: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop links matching a (host, path_prefix) blocklist — the
+    UT1-style domain/path exclusion every production crawl curation
+    runs before extraction (spam/adult/malware host lists).
+
+    A link is dropped when its www-stripped lowercase host equals a
+    blocklist host AND its path starts with that entry's
+    ``path_prefix`` (empty prefix blocks the whole host).  Unparseable
+    URLs (no host) are kept — drop-not-fail, same policy as the
+    tokenizer's candidate handling.
+
+    Scale shape: blocklists are small (UT1 is ~4M rows ≈ tens of MB)
+    — explicitly broadcast, so the filter is a broadcast LEFT ANTI
+    hash join keyed on host with the prefix test as residual
+    condition; the corpus never shuffles.
+    """
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
+    )
+    tagged = links.withColumn("__host", host).withColumn("__path", path)
+    b = blocklist.select(
+        F.lower(F.col("host")).alias("__bhost"),
+        F.col("path_prefix").alias("__bprefix"),
+    )
+    kept = tagged.join(
+        F.broadcast(b),
+        (tagged["__host"] == b["__bhost"])
+        & tagged["__path"].startswith(b["__bprefix"]),
+        "left_anti",
+    )
+    return kept.drop("__host", "__path")

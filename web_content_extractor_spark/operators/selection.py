@@ -132,7 +132,13 @@ def dsir_weights(
     Features are word bigrams hashed into ``n_buckets`` buckets; the
     hash goes through vocabulary ids (dense 1-based row_number over the
     sorted distinct unigrams) so both Spark and the SQL oracle compute
-    the identical integer — no engine-specific string hash.  Bucket
+    the identical integer — no engine-specific string hash.  The dense
+    ids exist only for oracle portability: the id window is a
+    single-partition sort of the VOCABULARY (MBs for natural-language
+    corpora, never the corpus) — if the vocab itself outgrows one task
+    (100M+ terms), swap the id for ``F.xxhash64(tok)`` directly; ids
+    need determinism, not density, and the bucket distribution is
+    hash-uniform either way.  Bucket
     distributions are add-1 smoothed over the TARGET slice (rows where
     ``is_target``) and the RAW corpus (all rows):
 
