@@ -1284,6 +1284,34 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip: build spec-shaped WARC blobs natively
+    from the docs table (16 bounded archive files' worth, records in
+    doc order), parse them back with the Arrow-batched record walker,
+    and return (doc_id, text) — the oracle is the documents table
+    itself, so header framing, Content-Length octet math, and the
+    record walk are all hash-checked."""
+    from web_content_extractor_spark.sources.warc import (
+        parse_warc_records,
+        warc_blob_per_group,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("https://example.com/doc/"), F.col("doc_id").cast("string")
+    )
+    blobs = warc_blob_per_group(
+        d, uri, F.col("text"), (F.col("doc_id") % 16)
+    )
+    parsed = parse_warc_records(blobs)
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+    )
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style (host, path_prefix) blocklist filter over synthesized
     URLs (same shapes as url_projections): broadcast LEFT ANTI hash
@@ -1791,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "corpus_split": q_corpus_split,
         "bigram_nll": q_bigram_nll,
+        "warc_roundtrip": q_warc_roundtrip,
         "url_blocklist": q_url_blocklist,
         "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
@@ -2764,6 +2793,9 @@ def oracle_sql() -> dict[str, str]:
                substring(pair, 2, 1) AS right_sym,
                CAST(cnt AS BIGINT) AS cnt
         FROM r WHERE rank <= 200
+        """,
+        "warc_roundtrip": """
+        SELECT doc_id, text FROM documents
         """,
         "url_blocklist": """
         WITH u AS (

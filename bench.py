@@ -102,6 +102,7 @@ HEADLINE = [
     "ccnet_buckets",      # CCNet head/middle/tail by unigram NLL
     "weighted_sample",    # ES weighted top-k draw (TakeOrdered, no shuffle)
     "dsir_weights",       # DSIR hashed-bigram importance log-weights
+    "warc_roundtrip",     # WARC build + record-walk parse round-trip
 ]
 
 

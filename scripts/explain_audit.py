@@ -553,6 +553,24 @@ def main() -> int:
         ],
     )
 
+    # warc_roundtrip — ONE shuffle keyed by the archive-file group;
+    # the record walk is a single Arrow stage (per-record Python, the
+    # unavoidable minimum for a byte-framed archive format)
+    wr = contract.q_warc_roundtrip(spark, SF_DIR)
+    p = formatted(wr)
+    audit(
+        "warc_roundtrip (WARC build + record-walk parse)",
+        wr,
+        [
+            ("single keyed shuffle on the archive group",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             == {"blob_id"}),
+            ("exactly one Arrow Python stage (the record walker)",
+             len(re.findall(r"\(\d+\) MapInPandas", _final_tree(p))) == 1
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
     # url_blocklist — blocklist filtering must be a broadcast anti
     # join: the corpus side never shuffles
     ub = contract.q_url_blocklist(spark, SF_DIR)

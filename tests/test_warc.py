@@ -1,0 +1,118 @@
+"""WARC source: native record build, file read, malformed handling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.sources.warc import (
+    _walk_records,
+    parse_warc_records,
+    read_warc,
+    warc_blob_per_group,
+    warc_record,
+)
+
+
+def _rec(uri: str, body: bytes) -> bytes:
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+    )
+    return hdr + body + b"\r\n\r\n"
+
+
+class TestWalkRecords:
+    def test_multi_record_blob(self):
+        blob = _rec("https://a/1", b"one") + _rec("https://a/2", b"two\r\nx")
+        got = [r for r in _walk_records(blob)]
+        assert got == [
+            ("https://a/1", b"one"),
+            ("https://a/2", b"two\r\nx"),
+        ]
+
+    def test_malformed_records_skipped_not_fatal(self):
+        bad_len = (
+            b"WARC/1.0\r\nWARC-Target-URI: https://bad\r\n"
+            b"Content-Length: oops\r\n\r\nxxxx\r\n\r\n"
+        )
+        truncated = _rec("https://trunc", b"full body")[:-15]
+        blob = bad_len + _rec("https://ok", b"fine") + truncated
+        got = [r for r in _walk_records(blob)]
+        assert None in got
+        assert ("https://ok", b"fine") in got
+        assert all(r is None or r[0] != "https://trunc" for r in got)
+
+    def test_payload_containing_warc_magic(self):
+        # a record whose BODY embeds the magic must not desync the walk
+        body = b"quoting WARC/1.0\r\n\r\n inside"
+        blob = _rec("https://a/1", body) + _rec("https://a/2", b"next")
+        got = [r for r in _walk_records(blob)]
+        assert got == [("https://a/1", body), ("https://a/2", b"next")]
+
+
+class TestSparkWarc:
+    def test_native_build_matches_python_framing(self, spark):
+        d = spark.createDataFrame(
+            [(1, "hello world"), (2, "café")], "doc_id long, text string"
+        )
+        uri = F.concat(F.lit("https://x/"), F.col("doc_id").cast("string"))
+        rows = d.select(warc_record(uri, F.col("text")).alias("r")).collect()
+        got = {bytes(r.r) for r in rows}
+        assert got == {
+            _rec("https://x/1", "hello world".encode()),
+            _rec("https://x/2", "café".encode()),
+        }
+
+    def test_blob_round_trip(self, spark):
+        d = spark.createDataFrame(
+            [(i, f"body {i} — text") for i in range(40)],
+            "doc_id long, text string",
+        )
+        uri = F.concat(F.lit("https://x/"), F.col("doc_id").cast("string"))
+        blobs = warc_blob_per_group(d, uri, F.col("text"), F.col("doc_id") % 4)
+        assert blobs.count() == 4
+        parsed = parse_warc_records(blobs)
+        got = {
+            (r.target_uri, bytes(r.payload).decode()) for r in parsed.collect()
+        }
+        assert got == {(f"https://x/{i}", f"body {i} — text") for i in range(40)}
+
+    def test_records_ordered_within_blob(self, spark):
+        d = spark.createDataFrame(
+            [(i, f"b{i}") for i in (5, 1, 9, 3)], "doc_id long, text string"
+        )
+        blobs = warc_blob_per_group(
+            d, F.col("doc_id").cast("string"), F.col("text"), F.lit(0)
+        )
+        parsed = parse_warc_records(blobs).orderBy("rec_no").collect()
+        assert [r.target_uri for r in parsed] == ["1", "3", "5", "9"]
+
+    def test_read_warc_files(self, spark, tmp_path):
+        for fno in range(3):
+            recs = b"".join(
+                _rec(f"https://f{fno}/p{i}", f"doc {fno}-{i}".encode())
+                for i in range(5)
+            )
+            (tmp_path / f"part-{fno}.warc").write_bytes(recs)
+        got = read_warc(spark, str(tmp_path)).collect()
+        assert len(got) == 15
+        assert len({r.blob_id for r in got}) == 3
+        assert {bytes(r.payload).decode() for r in got} == {
+            f"doc {f}-{i}" for f in range(3) for i in range(5)
+        }
+
+    def test_read_gzipped_multimember_warc(self, spark, tmp_path):
+        # Common Crawl framing: each record its own gzip member
+        import gzip
+
+        members = b"".join(
+            gzip.compress(_rec(f"https://g/p{i}", f"gz {i}".encode()))
+            for i in range(4)
+        )
+        (tmp_path / "cc.warc.gz").write_bytes(members)
+        got = read_warc(spark, str(tmp_path)).collect()
+        assert {bytes(r.payload).decode() for r in got} == {
+            f"gz {i}" for i in range(4)
+        }
