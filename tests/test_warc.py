@@ -116,3 +116,45 @@ class TestSparkWarc:
         assert {bytes(r.payload).decode() for r in got} == {
             f"gz {i}" for i in range(4)
         }
+
+
+class TestWarcExtractionJob:
+    def test_jobs_extract_from_warc(self, spark, tmp_path):
+        from web_content_extractor_spark.jobs import main
+
+        html = (
+            b"<html><body><a href='https://example.com/a.pdf'>Doc</a>"
+            b"<p>hello</p></body></html>"
+        )
+        (tmp_path / "crawl.warc").write_bytes(
+            _rec("https://example.com/", html)
+        )
+        out = str(tmp_path / "spans")
+        rc = main(
+            [
+                "--input", str(tmp_path / "crawl.warc"),
+                "--input-format", "warc",
+                "--output", out,
+            ]
+        )
+        assert rc == 0
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.doc_id == "https://example.com/"
+        assert [(s.kind, s.text, s.media_ref) for s in r.spans] == [
+            ("pdf", "Doc", "https://example.com/a.pdf")
+        ]
+
+    def test_warc_resume_rejected(self, tmp_path):
+        from web_content_extractor_spark.jobs import main
+
+        rc = main(
+            [
+                "--input", str(tmp_path),
+                "--input-format", "warc",
+                "--output", str(tmp_path / "o"),
+                "--resume",
+            ]
+        )
+        assert rc == 2

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="web_content_extractor_spark.jobs")
     p.add_argument("--input", default=None,
                    help="docs path (parquet dir) or Iceberg table id")
+    p.add_argument("--input-format", default=None,
+                   choices=("parquet", "iceberg", "warc"),
+                   help="input format (default: auto — Iceberg for "
+                        "table ids, parquet for paths); 'warc' reads "
+                        "Common Crawl-style .warc/.warc.gz archives, "
+                        "one doc per response record")
     p.add_argument("--output", default=None, help="spans output path")
     p.add_argument("--metrics", default=None, help="metrics table path")
     p.add_argument("--errors", default=None,
@@ -114,6 +120,17 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_docs(spark, args):
+    if args.input_format == "warc":
+        from web_content_extractor_spark.sources.warc import (
+            read_warc,
+            warc_docs,
+        )
+
+        return warc_docs(read_warc(spark, args.input))
+    return read_docs(spark, args.input, fmt=args.input_format)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     extracting = bool(args.input or args.output)
@@ -170,6 +187,13 @@ def main(argv: list[str] | None = None) -> int:
                      "--curate-output or --corpus-input/--corpus-output"
         }))
         return 2
+    if args.input_format == "warc" and args.resume:
+        print(json.dumps({
+            "error": "--resume tracks parquet/Iceberg file lineage; "
+                     "WARC inputs run in plain mode (archives are "
+                     "immutable — re-run on the new files only)"
+        }))
+        return 2
     if args.urls and args.resume:
         print(json.dumps({
             "error": "--urls is a one-shot work list; combine it with "
@@ -198,7 +222,7 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         run_id = uuid.uuid4().hex[:12]
-        docs = read_docs(spark, args.input)
+        docs = _load_docs(spark, args)
         if args.urls:
             try:
                 docs = url_batch(docs, read_url_list(spark, args.urls))
@@ -233,7 +257,7 @@ def main(argv: list[str] | None = None) -> int:
         result = {"run_id": run_id, "docs": n_docs}
 
     if args.content_output and extracting:
-        docs = read_docs(spark, args.input)
+        docs = _load_docs(spark, args)
         extract_content(docs).write.mode("append").parquet(args.content_output)
         result["content_output"] = args.content_output
 

@@ -200,6 +200,32 @@ def parse_warc_records(
     return blobs.select(id_col, blob_col).mapInPandas(gen, PARSED_SCHEMA)
 
 
+def warc_docs(parsed: DataFrame) -> DataFrame:
+    """Adapt parsed WARC records to the engine's DOCS shape: one doc
+    per record, doc_id = the WARC-Target-URI (the reference keys pages
+    by url too), the payload as a single ``kind='html'`` span.  Records
+    with no Target-URI get a synthetic ``<blob>#<rec_no>`` id so they
+    stay addressable rather than colliding on NULL."""
+    return parsed.select(
+        F.coalesce(
+            "target_uri",
+            F.concat(
+                F.col("blob_id").cast("string"),
+                F.lit("#"),
+                F.col("rec_no").cast("string"),
+            ),
+        ).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.decode("payload", "UTF-8").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
 def read_warc(spark, path: str) -> DataFrame:
     """Distributed WARC file read: binaryFile listing (one task per
     file) -> record parse.  Returns (blob_id, rec_no, target_uri,
