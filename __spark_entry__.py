@@ -1396,6 +1396,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_corpus(batch, corpus).select("doc_id", "fp")
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style alpha-sampling: temperature-flattened source mixture
+    (q_s ∝ p_s^0.3, 300-doc budget) realized as per-source keep rates
+    feeding the deterministic Bernoulli mixture_sample.  Rates math
+    runs on the source-cardinality table; one corpus count shuffle."""
+    from web_content_extractor_spark.operators.corpus import (
+        mixture_sample,
+        temperature_mixture_rates,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(d, alpha=0.3, total=300)
+    return mixture_sample(d, rates, seed=5).select("doc_id", "source")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (Efraimidis–Spirakis
     exponential race): 100 docs drawn proportional to token count,
@@ -1823,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
+        "temperature_mixture": q_temperature_mixture,
         "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "dsir_weights": q_dsir_weights,
@@ -2879,6 +2895,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.doc_id, f.fp
         FROM first f
         WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = f.fp)
+        """,
+        "temperature_mixture": """
+        WITH c AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(n) AS n_total FROM c),
+        w AS (
+          SELECT source, n, pow(n * 1.0 / n_total, 0.3) AS w
+          FROM c, tot
+        ),
+        z AS (SELECT sum(w) AS Z FROM w),
+        r AS (
+          SELECT source, least(1.0, w / Z * 300.0 / n) AS rate
+          FROM w, z
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE (((d.doc_id + 5) * 2654435761) % 2147483647 * 48271)
+                % 2147483647 % 1000000
+              < (r.rate * 1000000)::BIGINT
         """,
         "weighted_sample": """
         WITH d AS (

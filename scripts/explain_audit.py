@@ -627,6 +627,25 @@ def main() -> int:
         ],
     )
 
+    # temperature_mixture — ONE corpus-sized shuffle (the source
+    # count); rates math is broadcast scalar algebra on the source
+    # table; the Bernoulli filter rides a broadcast join
+    tm = contract.q_temperature_mixture(spark, SF_DIR)
+    p = formatted(tm)
+    audit(
+        "temperature_mixture (alpha-sampled source mixture)",
+        tm,
+        [
+            ("keyed shuffles only on source",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             <= {"source"}),
+            ("rates broadcast onto the corpus (no corpus-side sort)",
+             "BroadcastExchange" in p and "rangepartitioning(" not in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
     # weighted_sample — ES exponential race must compile to a
     # per-partition top-k heap (TakeOrderedAndProject), never a global
     # sort or shuffle

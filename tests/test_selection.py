@@ -203,3 +203,81 @@ class TestDsirWeights:
         top = weighted_sample(w, k=20, seed=1).collect()
         n_target = sum(1 for r in top if r.doc_id < 30)
         assert n_target >= 15
+
+
+class TestTemperatureMixture:
+    def _docs(self, spark):
+        # sources with counts 100 / 50 / 10
+        rows = (
+            [(i, "big") for i in range(100)]
+            + [(100 + i, "mid") for i in range(50)]
+            + [(150 + i, "rare") for i in range(10)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_matches_python_reference(self, spark):
+        from web_content_extractor_spark.operators.corpus import (
+            temperature_mixture_rates,
+        )
+
+        got = {
+            r.source: r.rate
+            for r in temperature_mixture_rates(
+                self._docs(spark), alpha=0.3, total=80
+            ).collect()
+        }
+        n = {"big": 100, "mid": 50, "rare": 10}
+        tot = sum(n.values())
+        w = {s: (c / tot) ** 0.3 for s, c in n.items()}
+        z = sum(w.values())
+        ref = {s: min(1.0, w[s] / z * 80 / n[s]) for s in n}
+        assert got.keys() == ref.keys()
+        for s in ref:
+            assert abs(got[s] - ref[s]) < 1e-12
+
+    def test_alpha_one_is_natural_proportions(self, spark):
+        from web_content_extractor_spark.operators.corpus import (
+            temperature_mixture_rates,
+        )
+
+        got = {
+            r.source: r.rate
+            for r in temperature_mixture_rates(
+                self._docs(spark), alpha=1.0, total=80
+            ).collect()
+        }
+        # q_s = p_s -> every source keeps the same fraction total/N
+        assert all(abs(v - 80 / 160) < 1e-12 for v in got.values())
+
+    def test_alpha_zero_is_uniform_over_sources(self, spark):
+        from web_content_extractor_spark.operators.corpus import (
+            temperature_mixture_rates,
+        )
+
+        got = {
+            r.source: r.rate
+            for r in temperature_mixture_rates(
+                self._docs(spark), alpha=0.0, total=30
+            ).collect()
+        }
+        # 10 docs per source expected: rate_s = 10 / n_s, capped at 1
+        assert abs(got["big"] - 0.1) < 1e-12
+        assert abs(got["mid"] - 0.2) < 1e-12
+        assert abs(got["rare"] - 1.0) < 1e-12
+
+    def test_flattening_is_monotone_in_alpha(self, spark):
+        from web_content_extractor_spark.operators.corpus import (
+            temperature_mixture_rates,
+        )
+
+        def ratio(alpha):
+            got = {
+                r.source: r.rate
+                for r in temperature_mixture_rates(
+                    self._docs(spark), alpha=alpha, total=40
+                ).collect()
+            }
+            return got["rare"] / got["big"]
+
+        # lower temperature boosts rare sources relative to big ones
+        assert ratio(0.2) > ratio(0.5) > ratio(0.9)

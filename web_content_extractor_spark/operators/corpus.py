@@ -209,3 +209,40 @@ def train_val_test_split(
         .when(F.col("bucket") < val_pct + test_pct, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def temperature_mixture_rates(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    total: int = 1000,
+    key_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source mixture (the mT5/XLM-R alpha-sampling
+    rule): target mixture q_s ∝ p_s^alpha flattens the source
+    distribution (alpha=1 keeps natural proportions, alpha=0 is
+    uniform over sources), realized as per-source keep-RATES for a
+    ``total``-doc budget: rate_s = min(1, total * q_s / n_s).
+
+    Returns (key, rate) — feed straight into ``mixture_sample`` for
+    the deterministic Bernoulli draw; expected kept docs ≈ total
+    (exactly total·q_s per source, saturating at n_s when a rare
+    source can't fill its boosted share).
+
+    Scale shape: ONE corpus-sized count shuffle keyed by source with
+    map-side partials; everything after (the p^alpha normalization)
+    runs on the source-cardinality table — KBs — via broadcast
+    cross-joins of its two scalar totals.
+    """
+    counts = docs.groupBy(key_col).agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.pow(F.col("n") / F.col("n_total"), F.lit(alpha))
+    )
+    z = w.agg(F.sum("w").alias("Z"))
+    return w.crossJoin(F.broadcast(z)).select(
+        key_col,
+        F.least(
+            F.lit(1.0),
+            F.col("w") / F.col("Z") * F.lit(float(total)) / F.col("n"),
+        ).alias("rate"),
+    )
