@@ -158,3 +158,42 @@ class TestWarcExtractionJob:
             ]
         )
         assert rc == 2
+
+
+class TestWarcStreaming:
+    def test_stream_extract_warc_incremental(self, spark, tmp_path):
+        from web_content_extractor_spark.streaming.incremental import (
+            stream_extract_warc,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        out = str(tmp_path / "spans")
+        ckpt = str(tmp_path / "ckpt")
+
+        def page(n):
+            return _rec(
+                f"https://example.com/p{n}",
+                (
+                    f"<html><body><a href='https://example.com/d{n}.pdf'>"
+                    f"D{n}</a></body></html>"
+                ).encode(),
+            )
+
+        (land / "a.warc").write_bytes(page(1) + page(2))
+        q = stream_extract_warc(spark, str(land), out, ckpt)
+        q.awaitTermination(120)
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {
+            "https://example.com/p1", "https://example.com/p2"
+        }
+
+        # a newly landed archive is picked up exactly once on resume
+        (land / "b.warc").write_bytes(page(3))
+        q = stream_extract_warc(spark, str(land), out, ckpt)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 3  # no reprocessing of a.warc
+        by_id = {r.doc_id: r for r in rows}
+        assert [
+            (s.kind, s.media_ref) for s in by_id["https://example.com/p3"].spans
+        ] == [("pdf", "https://example.com/d3.pdf")]

@@ -268,3 +268,58 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory of WARC archives —
+    the continuous-crawl ingestion shape: the crawler drops
+    .warc/.warc.gz files, the stream picks up each file exactly once
+    (checkpointed file log), and the same record walker and extraction
+    plan run per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from web_content_extractor_spark.sources.warc import parse_warc_records
+
+    # the binaryFile source's fixed schema must be stated explicitly
+    # for streaming (no inference on a stream)
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(input_path)
+    blobs = files.select(
+        F.xxhash64("path").alias("blob_id"), F.col("content").alias("blob")
+    )
+    return parse_warc_records(blobs)
+
+
+def stream_extract_warc(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    variant: str = "context",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental extraction straight off landed WARC archives;
+    exactly-once parquet sink, resumable from the stream checkpoint
+    (the WARC sibling of ``stream_extract``)."""
+    from web_content_extractor_spark.sources.warc import warc_docs
+
+    docs = warc_docs(read_warc_stream(spark, input_path))
+    ex = extract(docs, variant=variant)
+    writer = (
+        ex.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
