@@ -1396,6 +1396,31 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_corpus(batch, corpus).select("doc_id", "fp")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: distributed full-batch logistic
+    regression over the DSIR feature map (fastText/GPT-3-style
+    "looks like the target domain" classifier), scoring every doc.
+    Iterative float training — rows-only by design; the numpy
+    differential and separation behavior are pinned in
+    tests/test_selection.py."""
+    from web_content_extractor_spark.operators.selection import (
+        train_quality_classifier,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    tgt = (
+        F.regexp_extract("source", r"(\d+)$", 1).cast("bigint") % 4
+    ) == 0
+    model = train_quality_classifier(
+        d, tgt, n_buckets=64, iters=6, learning_rate=2.0
+    )
+    return model["scores"].select(
+        "doc_id",
+        F.round("p_target", 6).alias("p_target"),
+        "is_target",
+    )
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mT5-style alpha-sampling: temperature-flattened source mixture
     (q_s ∝ p_s^0.3, 300-doc budget) realized as per-source keep rates
@@ -1839,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
         "temperature_mixture": q_temperature_mixture,
+        "quality_classifier": q_quality_classifier,
         "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "dsir_weights": q_dsir_weights,

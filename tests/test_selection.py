@@ -281,3 +281,73 @@ class TestTemperatureMixture:
 
         # lower temperature boosts rare sources relative to big ones
         assert ratio(0.2) > ratio(0.5) > ratio(0.9)
+
+
+class TestQualityClassifier:
+    def _corpus(self, spark):
+        rows = (
+            [(i, True, "alpha beta alpha beta alpha") for i in range(30)]
+            + [(30 + i, False, "gamma delta gamma delta gamma")
+               for i in range(60)]
+        )
+        return spark.createDataFrame(
+            rows, "doc_id long, tgt boolean, text string"
+        )
+
+    def test_separates_planted_classes(self, spark):
+        from web_content_extractor_spark.operators.selection import (
+            train_quality_classifier,
+        )
+
+        model = train_quality_classifier(
+            self._corpus(spark), F.col("tgt"), n_buckets=16, iters=12,
+            learning_rate=4.0,
+        )
+        got = {r.doc_id: r.p_target for r in model["scores"].collect()}
+        assert all(got[i] > 0.8 for i in range(30))
+        assert all(got[i] < 0.2 for i in range(30, 90))
+
+    def test_loss_strictly_decreases(self, spark):
+        from web_content_extractor_spark.operators.selection import (
+            train_quality_classifier,
+        )
+
+        model = train_quality_classifier(
+            self._corpus(spark), F.col("tgt"), n_buckets=16, iters=8,
+            learning_rate=2.0,
+        )
+        ls = model["losses"]
+        assert len(ls) == 8
+        assert all(a > b for a, b in zip(ls, ls[1:]))
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from web_content_extractor_spark.operators.selection import (
+            hashed_bigram_features,
+            train_quality_classifier,
+        )
+
+        d = self._corpus(spark)
+        K, iters, lr = 16, 5, 2.0
+        model = train_quality_classifier(
+            d, F.col("tgt"), n_buckets=K, iters=iters, learning_rate=lr,
+        )
+
+        feats = hashed_bigram_features(d, F.col("tgt"), n_buckets=K)
+        rows = feats.collect()
+        ids = sorted({r.doc_id for r in rows})
+        idx = {v: i for i, v in enumerate(ids)}
+        X = np.zeros((len(ids), K))
+        yv = np.zeros(len(ids))
+        for r in rows:
+            X[idx[r.doc_id], r.bucket] += 1.0
+            yv[idx[r.doc_id]] = 1.0 if r["__tgt"] else 0.0
+        w = np.zeros(K)
+        b = 0.0
+        for _ in range(iters):
+            p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+            w -= lr / len(ids) * (X.T @ (p - yv))
+            b -= lr / len(ids) * float(np.sum(p - yv))
+        np.testing.assert_allclose(model["weights"], w, atol=1e-9)
+        assert abs(model["bias"] - b) < 1e-9

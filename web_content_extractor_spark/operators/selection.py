@@ -119,6 +119,69 @@ def stratified_sample(
     )
 
 
+def hashed_bigram_features(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 256,
+    seed: int = 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, __tgt, bucket): one row per bigram occurrence, hashed into
+    ``n_buckets`` buckets via portable vocab ids (the shared feature
+    map of ``dsir_weights`` and ``train_quality_classifier``).
+
+    Vocab ids are a dense row_number over the sorted distinct unigrams
+    so any SQL engine reproduces the exact integers; the id window
+    sorts only the VOCABULARY (MB-scale — swap for ``xxhash64(tok)``
+    if a 100M+-term vocab ever outgrows one task; ids need
+    determinism, not density)."""
+    from web_content_extractor_spark.functions.text_quality import (
+        tokens,
+        word_ngrams_all,
+    )
+
+    base = docs.withColumn("__tgt", is_target)
+
+    uni = base.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = (
+        uni.distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("tok")))
+    )
+
+    bi = base.select(
+        id_col,
+        "__tgt",
+        F.explode(word_ngrams_all(F.col(text_col), 2)).alias("bg"),
+    ).select(
+        id_col,
+        "__tgt",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    v1 = vocab.select(F.col("tok").alias("w1"), F.col("tid").alias("t1"))
+    v2 = vocab.select(F.col("tok").alias("w2"), F.col("tid").alias("t2"))
+    return (
+        bi.join(v1, "w1")
+        .join(v2, "w2")
+        .withColumn(
+            "bucket",
+            (
+                (
+                    F.col("t1") * F.lit(_MULT1)
+                    + F.col("t2") * F.lit(_MULT2)
+                    + F.lit(seed)
+                )
+                % F.lit(M31)
+            )
+            % F.lit(n_buckets),
+        )
+        .select(id_col, "__tgt", "bucket")
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     is_target: Column,
@@ -151,48 +214,9 @@ def dsir_weights(
 
     Output: (id, n_feats, dsir_logw rounded to 6 dp).
     """
-    from web_content_extractor_spark.functions.text_quality import (
-        tokens,
-        word_ngrams_all,
-    )
-
-    base = docs.withColumn("__tgt", is_target)
-
-    uni = base.select(
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
-    )
-    vocab = (
-        uni.distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("tok")))
-    )
-
-    bi = base.select(
-        id_col,
-        "__tgt",
-        F.explode(word_ngrams_all(F.col(text_col), 2)).alias("bg"),
-    ).select(
-        id_col,
-        "__tgt",
-        F.substring_index("bg", " ", 1).alias("w1"),
-        F.substring_index("bg", " ", -1).alias("w2"),
-    )
-    v1 = vocab.select(F.col("tok").alias("w1"), F.col("tid").alias("t1"))
-    v2 = vocab.select(F.col("tok").alias("w2"), F.col("tid").alias("t2"))
-    feats = (
-        bi.join(v1, "w1")
-        .join(v2, "w2")
-        .withColumn(
-            "bucket",
-            (
-                (
-                    F.col("t1") * F.lit(_MULT1)
-                    + F.col("t2") * F.lit(_MULT2)
-                    + F.lit(seed)
-                )
-                % F.lit(M31)
-            )
-            % F.lit(n_buckets),
-        )
+    feats = hashed_bigram_features(
+        docs, is_target, n_buckets=n_buckets, seed=seed,
+        text_col=text_col, id_col=id_col,
     )
 
     counts = feats.groupBy("bucket").agg(
@@ -230,3 +254,127 @@ def dsir_weights(
             "dsir_logw",
         )
     )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 256,
+    seed: int = 17,
+    iters: int = 10,
+    learning_rate: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Model-based quality filter: train a logistic-regression
+    classifier on the hashed-bigram features (full-batch gradient
+    descent, the distributed analog of the fastText/GPT-3-style
+    "looks like the target domain" quality classifiers) and score
+    every document.
+
+    Discriminative sibling of ``dsir_weights``' generative ratio: the
+    same feature map, but weights are FIT to separate target from raw
+    instead of derived from smoothed counts.  Deterministic: features,
+    init (zeros), and the full-batch gradient are all exact functions
+    of the corpus, so reruns reproduce the same model bit-for-bit up
+    to float-sum ordering (scores are stable to ~1e-9; this is an
+    iterative op — rows-only in the oracle gate, differential-tested
+    against an independent numpy implementation).
+
+    Per iteration (model = K+1 floats on the driver, like PageRank's
+    rank vector in broadcast mode):
+
+    - broadcast the weight table onto the per-doc bucket counts
+      (no corpus shuffle),
+    - one id-keyed agg for the margins, sigmoid is native codegen
+      ``exp``,
+    - one id-keyed join + bucket-keyed agg for the gradient — output
+      is K rows.
+
+    The count table is built ONCE, repartitioned by id and persisted,
+    so both per-iteration shuffles hash on the same key and AQE
+    reuses the exchange.  Returns {"weights", "bias", "losses",
+    "scores": DataFrame(id, p_target, y)}.
+    """
+    spark = docs.sparkSession
+    feats = hashed_bigram_features(
+        docs, is_target, n_buckets=n_buckets, seed=seed,
+        text_col=text_col, id_col=id_col,
+    )
+    x = (
+        feats.groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .repartition(F.col(id_col))
+        .persist()
+    )
+    y = (
+        feats.select(
+            id_col, F.col("__tgt").cast("double").alias("y")
+        )
+        .distinct()
+        .persist()
+    )
+    n_docs = y.count()
+    x.count()  # materialize before the loop references x twice/iter
+
+    w = [0.0] * n_buckets
+    bias = 0.0
+    losses: list[float] = []
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(i, w[i]) for i in range(n_buckets)], "bucket int, wgt double"
+        )
+        margins = (
+            x.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("cnt") * F.col("wgt")).alias("z"))
+        )
+        pr = margins.join(y, id_col).select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") + bias))))
+            .alias("p"),
+            "y",
+        )
+        resid = pr.select(id_col, (F.col("p") - F.col("y")).alias("r"))
+        stats = pr.agg(
+            F.sum(F.col("p") - F.col("y")).alias("gb"),
+            (-F.avg(
+                F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                + (1 - F.col("y"))
+                * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))
+            )).alias("loss"),
+        ).collect()[0]
+        grad = {
+            r.bucket: r.g
+            for r in x.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("cnt") * F.col("r")).alias("g"))
+            .collect()
+        }
+        step = learning_rate / n_docs
+        for b_id, g in grad.items():
+            w[b_id] -= step * g
+        bias -= step * stats.gb
+        losses.append(stats.loss)
+
+    wdf = spark.createDataFrame(
+        [(i, w[i]) for i in range(n_buckets)], "bucket int, wgt double"
+    )
+    scores = (
+        x.join(F.broadcast(wdf), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("wgt")).alias("z"))
+        .join(y, id_col)
+        .select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") + bias))))
+            .alias("p_target"),
+            F.col("y").cast("boolean").alias("is_target"),
+        )
+    )
+    return {
+        "weights": w,
+        "bias": bias,
+        "losses": losses,
+        "scores": scores,
+    }
