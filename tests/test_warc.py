@@ -197,3 +197,30 @@ class TestWarcStreaming:
         assert [
             (s.kind, s.media_ref) for s in by_id["https://example.com/p3"].spans
         ] == [("pdf", "https://example.com/d3.pdf")]
+
+
+class TestWalkFuzz:
+    def test_roundtrip_arbitrary_payload_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        payload = st.binary(max_size=400)
+        adversarial = st.sampled_from(
+            [b"WARC/1.0", b"\r\n\r\n", b"Content-Length: 0\r\n\r\n",
+             b"\x00\xff", b""]
+        )
+        parts = st.lists(st.one_of(payload, adversarial), max_size=6)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(parts, min_size=1, max_size=5))
+        def check(docs):
+            bodies = [b"".join(p) for p in docs]
+            blob = b"".join(
+                _rec(f"https://f/{i}", b) for i, b in enumerate(bodies)
+            )
+            got = [r for r in _walk_records(blob) if r is not None]
+            assert got == [
+                (f"https://f/{i}", b) for i, b in enumerate(bodies)
+            ]
+
+        check()
