@@ -1312,6 +1312,40 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing into (host, path_prefix) disallow rules for
+    ua='*' — spec group semantics (consecutive User-agent lines = one
+    group, any-match) computed with native lag/cumsum/max windows.
+    Bodies are synthesized per host to exercise: a non-matching
+    googlebot group, a '*' group extended by a second agent line
+    (hid%3==0), an alternating extra Disallow vs Allow line, an empty
+    Disallow (allow-all, dropped), and a Crawl-delay line."""
+    from web_content_extractor_spark.operators.crawl import robots_rules
+
+    d = _read(spark, sf_dir, "documents")
+    hid = d.select((F.col("doc_id") % 50).alias("hid")).distinct()
+    nl = F.lit("\n")
+    body = F.concat(
+        F.lit("# synthetic robots\n"),
+        F.lit("User-agent: googlebot\nDisallow: /private"),
+        F.col("hid").cast("string"), nl, nl,
+        F.lit("User-agent: *\n"),
+        F.when(F.col("hid") % 3 == 0, F.lit("User-agent: extra\n"))
+        .otherwise(F.lit("")),
+        F.lit("Disallow: /tmp"), F.col("hid").cast("string"), nl,
+        F.when(F.col("hid") % 2 == 0, F.lit("Disallow: /cgi\n"))
+        .otherwise(F.lit("Allow: /pub\n")),
+        F.lit("Disallow:\nCrawl-delay: 5"),
+    )
+    robots = hid.select(
+        F.concat(
+            F.lit("h"), F.col("hid").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        body.alias("robots"),
+    )
+    return robots_rules(robots, user_agent="*")
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style (host, path_prefix) blocklist filter over synthesized
     URLs (same shapes as url_projections): broadcast LEFT ANTI hash
@@ -1861,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": q_bigram_nll,
         "warc_roundtrip": q_warc_roundtrip,
         "url_blocklist": q_url_blocklist,
+        "robots_rules": q_robots_rules,
         "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
         "temperature_mixture": q_temperature_mixture,
@@ -2874,6 +2909,65 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM b
           WHERE b.bhost = p.host AND starts_with(p.path, b.bprefix)
         )
+        """,
+        "robots_rules": """
+        WITH hid AS (SELECT DISTINCT doc_id % 50 AS hid FROM documents),
+        r AS (
+          SELECT 'h' || hid || '.example.com' AS host,
+                 '# synthetic robots' || chr(10) ||
+                 'User-agent: googlebot' || chr(10) ||
+                 'Disallow: /private' || hid || chr(10) || chr(10) ||
+                 'User-agent: *' || chr(10) ||
+                 CASE WHEN hid % 3 = 0
+                      THEN 'User-agent: extra' || chr(10) ELSE '' END ||
+                 'Disallow: /tmp' || hid || chr(10) ||
+                 CASE WHEN hid % 2 = 0
+                      THEN 'Disallow: /cgi' || chr(10)
+                      ELSE 'Allow: /pub' || chr(10) END ||
+                 'Disallow:' || chr(10) || 'Crawl-delay: 5' AS robots
+          FROM hid
+        ),
+        ls AS (SELECT host, string_split(robots, chr(10)) AS l FROM r),
+        lines AS (
+          SELECT host, i AS line_no,
+                 trim(regexp_replace(l[i], '#.*$', '')) AS line
+          FROM ls, UNNEST(range(1, len(l) + 1)) AS u(i)
+        ),
+        tagged AS (
+          SELECT host, line_no,
+                 lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+                   AS field,
+                 trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1))
+                   AS value
+          FROM lines
+          WHERE regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1) <> ''
+        ),
+        g AS (
+          SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END
+                      AS is_agent
+          FROM tagged
+        ),
+        g2 AS (
+          SELECT *, CASE WHEN is_agent = 1 AND coalesce(
+                           lag(is_agent) OVER (PARTITION BY host
+                                               ORDER BY line_no), 0) = 0
+                         THEN 1 ELSE 0 END AS gs
+          FROM g
+        ),
+        g3 AS (
+          SELECT *, sum(gs) OVER (PARTITION BY host ORDER BY line_no)
+                      AS group_id
+          FROM g2
+        ),
+        grp AS (
+          SELECT host, group_id,
+                 max(CASE WHEN lower(value) = '*' THEN 1 ELSE 0 END) AS m
+          FROM g3 WHERE is_agent = 1 GROUP BY host, group_id
+        )
+        SELECT DISTINCT g3.host AS host, g3.value AS path_prefix
+        FROM g3 JOIN grp USING (host, group_id)
+        WHERE g3.field = 'disallow' AND length(g3.value) > 0
+          AND grp.m = 1
         """,
         "corpus_health": """
         SELECT count(*) AS n_docs,

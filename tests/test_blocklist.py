@@ -59,3 +59,85 @@ class TestBlocklistFilter:
         )
         assert "LeftAnti" in plan and "Broadcast" in plan
         assert "hashpartitioning" not in plan
+
+
+class TestRobotsRules:
+    def _robots(self, spark, body, host="a.com"):
+        return spark.createDataFrame(
+            [(host, body)], "host string, robots string"
+        )
+
+    def test_star_group_rules_extracted(self, spark):
+        from web_content_extractor_spark.operators.crawl import robots_rules
+
+        body = (
+            "User-agent: googlebot\nDisallow: /g\n\n"
+            "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"
+            "Allow: /pub\nCrawl-delay: 3\n"
+        )
+        got = {
+            (r.host, r.path_prefix)
+            for r in robots_rules(self._robots(spark, body)).collect()
+        }
+        assert got == {("a.com", "/private"), ("a.com", "/tmp")}
+
+    def test_consecutive_agent_lines_share_one_group(self, spark):
+        from web_content_extractor_spark.operators.crawl import robots_rules
+
+        # '*' listed FIRST, another agent after it: the Disallow still
+        # applies to '*' (one group, any-match) — the case a
+        # last-agent-wins shortcut gets wrong
+        body = "User-agent: *\nUser-agent: bingbot\nDisallow: /x\n"
+        got = {
+            r.path_prefix
+            for r in robots_rules(self._robots(spark, body)).collect()
+        }
+        assert got == {"/x"}
+
+    def test_comments_blank_and_empty_disallow_dropped(self, spark):
+        from web_content_extractor_spark.operators.crawl import robots_rules
+
+        body = (
+            "# top comment\n\nUser-agent: *\n"
+            "Disallow: /keep  # trailing comment\n"
+            "Disallow:\n\n# done\n"
+        )
+        got = [
+            r.path_prefix
+            for r in robots_rules(self._robots(spark, body)).collect()
+        ]
+        assert got == ["/keep"]
+
+    def test_specific_agent_selection(self, spark):
+        from web_content_extractor_spark.operators.crawl import robots_rules
+
+        body = (
+            "User-agent: mybot\nDisallow: /mine\n\n"
+            "User-agent: *\nDisallow: /all\n"
+        )
+        got = {
+            r.path_prefix
+            for r in robots_rules(
+                self._robots(spark, body), user_agent="mybot"
+            ).collect()
+        }
+        assert got == {"/mine"}
+
+    def test_composes_with_blocklist_filter(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            blocklist_filter,
+            robots_rules,
+        )
+
+        body = "User-agent: *\nDisallow: /secret\n"
+        rules = robots_rules(self._robots(spark, body, host="a.com"))
+        links = spark.createDataFrame(
+            [
+                (1, "https://a.com/secret/page"),
+                (2, "https://a.com/open/page"),
+                (3, "https://b.com/secret/page"),
+            ],
+            "doc_id long, url string",
+        )
+        got = {r.doc_id for r in blocklist_filter(links, rules).collect()}
+        assert got == {2, 3}

@@ -259,3 +259,79 @@ def blocklist_filter(
         "left_anti",
     )
     return kept.drop("__host", "__path")
+
+
+def robots_rules(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots",
+) -> DataFrame:
+    """Parse robots.txt bodies into (host, path_prefix) disallow rules
+    for ``user_agent`` — the other half of crawl curation next to the
+    manual blocklist: `blocklist_filter(links, robots_rules(robots))`.
+
+    Spec-shaped group semantics, computed entirely with native
+    windows (no Python): consecutive ``User-agent:`` lines form ONE
+    group; a ``Disallow:`` applies if ANY agent in its group matches.
+    Implementation: explode lines in order, mark agent lines, start a
+    new group at each agent line that follows a non-agent line
+    (lag + cumsum), attach each rule line to the latest group id
+    (running max), and join the per-group "matches our agent" flag
+    back.  Comments (#) and empty ``Disallow:`` (allow-all) drop.
+
+    Scale shape: robots bodies are tiny and per-host independent —
+    every window partitions by host, so the parse is one host-keyed
+    shuffle of KB-sized groups; the rule table out is exactly what
+    ``blocklist_filter`` broadcasts.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        host_col,
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias(
+            "line_no", "line"
+        ),
+    ).select(
+        host_col,
+        "line_no",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    )
+    field = F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    tagged = lines.select(
+        host_col,
+        "line_no",
+        field.alias("field"),
+        value.alias("value"),
+    ).where(F.col("field") != "")
+
+    w = Window.partitionBy(host_col).orderBy("line_no")
+    is_agent = (F.col("field") == "user-agent").cast("int")
+    grouped = tagged.withColumn("is_agent", is_agent).withColumn(
+        "group_start",
+        (
+            (F.col("is_agent") == 1)
+            & (F.coalesce(F.lag("is_agent").over(w), F.lit(0)) == 0)
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("group_start").over(w))
+
+    groups = (
+        grouped.where(F.col("is_agent") == 1)
+        .groupBy(host_col, "group_id")
+        .agg(
+            F.max(
+                (F.lower("value") == user_agent.lower()).cast("int")
+            ).alias("agent_match")
+        )
+    )
+    rules = grouped.where(
+        (F.col("field") == "disallow") & (F.length("value") > 0)
+    )
+    return (
+        rules.join(groups, [host_col, "group_id"])
+        .where(F.col("agent_match") == 1)
+        .select(F.col(host_col).alias("host"),
+                F.col("value").alias("path_prefix"))
+        .distinct()
+    )
