@@ -1346,6 +1346,37 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_rules(robots, user_agent="*")
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml URL-inventory extraction (the crawl seed source):
+    per-host urlset bodies synthesized natively — 3 <loc> entries with
+    whitespace padding plus a <lastmod> distractor; every 5th host is
+    a sitemapindex whose locs are child sitemap URLs (is_index)."""
+    from web_content_extractor_spark.operators.crawl import sitemap_urls
+
+    d = _read(spark, sf_dir, "documents")
+    hid = d.select((F.col("doc_id") % 40).alias("hid")).distinct()
+    h = F.col("hid").cast("string")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://s'), h,
+        F.lit(".example.com/a</loc><lastmod>2026-01-01</lastmod></url>"),
+        F.lit("<url><loc>  https://s"), h,
+        F.lit(".example.com/b  </loc></url><url><loc>https://s"), h,
+        F.lit(".example.com/c</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://s"), h,
+        F.lit(".example.com/sitemap1.xml</loc></sitemap>"),
+        F.lit("<sitemap><loc>https://s"), h,
+        F.lit(".example.com/sitemap2.xml</loc></sitemap></sitemapindex>"),
+    )
+    maps = hid.select(
+        F.concat(F.lit("s"), h, F.lit(".example.com")).alias("host"),
+        F.when(F.col("hid") % 5 == 0, index).otherwise(urlset)
+        .alias("sitemap"),
+    )
+    return sitemap_urls(maps)
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style (host, path_prefix) blocklist filter over synthesized
     URLs (same shapes as url_projections): broadcast LEFT ANTI hash
@@ -1896,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "url_blocklist": q_url_blocklist,
         "robots_rules": q_robots_rules,
+        "sitemap_urls": q_sitemap_urls,
         "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
         "temperature_mixture": q_temperature_mixture,
@@ -2968,6 +3000,35 @@ def oracle_sql() -> dict[str, str]:
         FROM g3 JOIN grp USING (host, group_id)
         WHERE g3.field = 'disallow' AND length(g3.value) > 0
           AND grp.m = 1
+        """,
+        "sitemap_urls": """
+        WITH hid AS (SELECT DISTINCT doc_id % 40 AS hid FROM documents),
+        m AS (
+          SELECT 's' || hid || '.example.com' AS host,
+                 CASE WHEN hid % 5 = 0 THEN
+                   '<sitemapindex><sitemap><loc>https://s' || hid ||
+                   '.example.com/sitemap1.xml</loc></sitemap>' ||
+                   '<sitemap><loc>https://s' || hid ||
+                   '.example.com/sitemap2.xml</loc></sitemap>' ||
+                   '</sitemapindex>'
+                 ELSE
+                   '<?xml version="1.0"?><urlset><url><loc>https://s'
+                   || hid ||
+                   '.example.com/a</loc><lastmod>2026-01-01</lastmod>'
+                   || '</url><url><loc>  https://s' || hid ||
+                   '.example.com/b  </loc></url><url><loc>https://s'
+                   || hid || '.example.com/c</loc></url></urlset>'
+                 END AS sitemap
+          FROM hid
+        ),
+        u AS (
+          SELECT host,
+                 unnest(regexp_extract_all(
+                   sitemap, '<loc>\\s*(.*?)\\s*</loc>', 1)) AS url,
+                 contains(sitemap, '<sitemapindex') AS is_index
+          FROM m
+        )
+        SELECT DISTINCT host, url, is_index FROM u WHERE length(url) > 0
         """,
         "corpus_health": """
         SELECT count(*) AS n_docs,

@@ -141,3 +141,50 @@ class TestRobotsRules:
         )
         got = {r.doc_id for r in blocklist_filter(links, rules).collect()}
         assert got == {2, 3}
+
+
+class TestSitemapUrls:
+    def test_urlset_extraction_with_padding_and_distractors(self, spark):
+        from web_content_extractor_spark.operators.crawl import sitemap_urls
+
+        body = (
+            "<urlset><url><loc> https://a.com/x </loc>"
+            "<lastmod>2026-01-01</lastmod></url>"
+            "<url><loc>https://a.com/y</loc></url>"
+            "<url><loc></loc></url></urlset>"
+        )
+        maps = spark.createDataFrame(
+            [("a.com", body)], "host string, sitemap string"
+        )
+        got = {(r.url, r.is_index) for r in sitemap_urls(maps).collect()}
+        assert got == {
+            ("https://a.com/x", False),
+            ("https://a.com/y", False),
+        }
+
+    def test_sitemapindex_flagged(self, spark):
+        from web_content_extractor_spark.operators.crawl import sitemap_urls
+
+        body = (
+            "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+            "</sitemap></sitemapindex>"
+        )
+        maps = spark.createDataFrame(
+            [("a.com", body)], "host string, sitemap string"
+        )
+        got = sitemap_urls(maps).collect()
+        assert [(r.url, r.is_index) for r in got] == [
+            ("https://a.com/s1.xml", True)
+        ]
+
+    def test_duplicate_locs_deduped(self, spark):
+        from web_content_extractor_spark.operators.crawl import sitemap_urls
+
+        body = (
+            "<urlset><url><loc>https://a.com/x</loc></url>"
+            "<url><loc>https://a.com/x</loc></url></urlset>"
+        )
+        maps = spark.createDataFrame(
+            [("a.com", body)], "host string, sitemap string"
+        )
+        assert sitemap_urls(maps).count() == 1

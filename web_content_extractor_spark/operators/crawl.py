@@ -335,3 +335,30 @@ def robots_rules(
                 F.col("value").alias("path_prefix"))
         .distinct()
     )
+
+
+def sitemap_urls(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    body_col: str = "sitemap",
+) -> DataFrame:
+    """Extract the URL inventory from sitemap.xml bodies — the crawl
+    SEED source next to robots_rules' exclusion rules: a production
+    crawl starts from sitemap <loc> entries, filters them through
+    robots/blocklist, and feeds the remainder to the frontier
+    (sources/urls.py url_batch shape).
+
+    Handles both plain urlsets and sitemapindex files by taking every
+    ``<loc>`` element (an index's locs are child sitemap URLs — the
+    caller fetches and re-parses those; ``is_index`` flags them).
+    Pure codegen: one regexp_extract_all + explode per body, no
+    Python, no shuffle beyond the input's own layout.
+    """
+    locs = F.expr(
+        f"regexp_extract_all({body_col}, '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)"
+    )
+    return sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(locs).alias("url"),
+        F.col(body_col).rlike("<sitemapindex").alias("is_index"),
+    ).where(F.length("url") > 0).distinct()
