@@ -1377,6 +1377,51 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_urls(maps)
 
 
+def q_crawl_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-curation front end in one plan: sitemap
+    <loc> seeds (urlsets only) filtered through per-host robots.txt
+    disallow rules via the broadcast blocklist anti-join — what a
+    production crawl runs before url_batch seeds the frontier.
+    Robots for host s{hid} disallow /a when hid%2==0 and /c when
+    hid%3==0, so survival depends on both parsers agreeing."""
+    from web_content_extractor_spark.operators.crawl import (
+        blocklist_filter,
+        robots_rules,
+        sitemap_urls,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    hid = d.select((F.col("doc_id") % 40).alias("hid")).distinct()
+    h = F.col("hid").cast("string")
+    urlset = F.concat(
+        F.lit("<urlset><url><loc>https://s"), h,
+        F.lit(".example.com/a/1</loc></url><url><loc>https://s"), h,
+        F.lit(".example.com/b/1</loc></url><url><loc>https://s"), h,
+        F.lit(".example.com/c/1</loc></url></urlset>"),
+    )
+    maps = hid.select(
+        F.concat(F.lit("s"), h, F.lit(".example.com")).alias("host"),
+        urlset.alias("sitemap"),
+    )
+    seeds = sitemap_urls(maps).where(~F.col("is_index")).select(
+        "host", "url"
+    )
+    robots_body = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(F.col("hid") % 2 == 0, F.lit("Disallow: /a\n"))
+        .otherwise(F.lit("")),
+        F.when(F.col("hid") % 3 == 0, F.lit("Disallow: /c\n"))
+        .otherwise(F.lit("")),
+        F.lit("Crawl-delay: 2"),
+    )
+    robots = hid.select(
+        F.concat(F.lit("s"), h, F.lit(".example.com")).alias("host"),
+        robots_body.alias("robots"),
+    )
+    rules = robots_rules(robots, user_agent="*")
+    return blocklist_filter(seeds.drop("host"), rules)
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style (host, path_prefix) blocklist filter over synthesized
     URLs (same shapes as url_projections): broadcast LEFT ANTI hash
@@ -1928,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "robots_rules": q_robots_rules,
         "sitemap_urls": q_sitemap_urls,
+        "crawl_seeds": q_crawl_seeds,
         "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
         "temperature_mixture": q_temperature_mixture,
@@ -3029,6 +3075,17 @@ def oracle_sql() -> dict[str, str]:
           FROM m
         )
         SELECT DISTINCT host, url, is_index FROM u WHERE length(url) > 0
+        """,
+        "crawl_seeds": """
+        WITH hid AS (SELECT DISTINCT doc_id % 40 AS hid FROM documents),
+        u AS (
+          SELECT hid,
+                 'https://s' || hid || '.example.com' AS base, p.path
+          FROM hid, (VALUES ('/a/1'), ('/b/1'), ('/c/1')) AS p(path)
+        )
+        SELECT base || path AS url FROM u
+        WHERE NOT (path LIKE '/a%' AND hid % 2 = 0)
+          AND NOT (path LIKE '/c%' AND hid % 3 = 0)
         """,
         "corpus_health": """
         SELECT count(*) AS n_docs,
