@@ -103,6 +103,7 @@ HEADLINE = [
     "weighted_sample",    # ES weighted top-k draw (TakeOrdered, no shuffle)
     "dsir_weights",       # DSIR hashed-bigram importance log-weights
     "warc_roundtrip",     # WARC build + record-walk parse round-trip
+    "crawl_seeds",        # sitemap ∘ robots ∘ blocklist composition
 ]
 
 

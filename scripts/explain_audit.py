@@ -571,6 +571,42 @@ def main() -> int:
         ],
     )
 
+    # robots_rules — the window state machine shuffles once, keyed by
+    # host; no Python anywhere in the parse
+    rr = contract.q_robots_rules(spark, SF_DIR)
+    p = formatted(rr)
+    audit(
+        "robots_rules (native window state machine)",
+        rr,
+        [
+            ("keyed shuffles only on host (hid is the synthetic "
+             "input's distinct)",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             <= {"host", "group_id", "hid"}),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # crawl_seeds — the composed front end keeps rules broadcast: the
+    # seed side must reach the anti-join without a seed-keyed shuffle
+    csd = contract.q_crawl_seeds(spark, SF_DIR)
+    p = formatted(csd)
+    audit(
+        "crawl_seeds (sitemap ∘ robots ∘ blocklist composition)",
+        csd,
+        [
+            ("broadcast LEFT ANTI against the parsed rules",
+             "LeftAnti" in p and "BroadcastExchange" in p),
+            ("keyed shuffles only inside the robots parse (host-keyed; "
+             "hid is the synthetic input's distinct)",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             <= {"host", "group_id", "hid"}),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
     # url_blocklist — blocklist filtering must be a broadcast anti
     # join: the corpus side never shuffles
     ub = contract.q_url_blocklist(spark, SF_DIR)
