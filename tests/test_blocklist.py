@@ -188,3 +188,68 @@ class TestSitemapUrls:
             [("a.com", body)], "host string, sitemap string"
         )
         assert sitemap_urls(maps).count() == 1
+
+
+class TestBlocklistNormalization:
+    def test_www_prefixed_blocklist_entries_match(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            blocklist_filter,
+        )
+
+        links = _links(
+            spark, ["https://bad.com/x", "https://www.bad.com/y",
+                    "https://ok.com/z"]
+        )
+        bl = _bl(spark, [("www.bad.com", "")])  # UT1 lists ship both forms
+        got = {r.doc_id for r in blocklist_filter(links, bl).collect()}
+        assert got == {2}
+
+
+class TestRobotsAgentFallback:
+    def test_specific_agent_falls_back_to_star_group(self, spark):
+        from web_content_extractor_spark.operators.crawl import robots_rules
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private\n")],
+            "host string, robots string",
+        )
+        got = {
+            r.path_prefix
+            for r in robots_rules(robots, user_agent="mybot").collect()
+        }
+        assert got == {"/private"}
+
+    def test_product_token_substring_match(self, spark):
+        from web_content_extractor_spark.operators.crawl import robots_rules
+
+        body = (
+            "User-agent: mybot\nDisallow: /mine\n\n"
+            "User-agent: *\nDisallow: /all\n"
+        )
+        robots = spark.createDataFrame(
+            [("a.com", body)], "host string, robots string"
+        )
+        # full crawler UA string matches the group's product token
+        got = {
+            r.path_prefix
+            for r in robots_rules(
+                robots, user_agent="MyBot/1.2 (+https://example.com)"
+            ).collect()
+        }
+        assert got == {"/mine"}
+
+    def test_specific_groups_suppress_star_fallback(self, spark):
+        from web_content_extractor_spark.operators.crawl import robots_rules
+
+        body = (
+            "User-agent: mybot\nDisallow: /mine\n\n"
+            "User-agent: *\nDisallow: /all\n"
+        )
+        robots = spark.createDataFrame(
+            [("a.com", body)], "host string, robots string"
+        )
+        got = {
+            r.path_prefix
+            for r in robots_rules(robots, user_agent="mybot").collect()
+        }
+        assert got == {"/mine"}

@@ -351,3 +351,22 @@ class TestQualityClassifier:
             b -= lr / len(ids) * float(np.sum(p - yv))
         np.testing.assert_allclose(model["weights"], w, atol=1e-9)
         assert abs(model["bias"] - b) < 1e-9
+
+
+class TestStringIdSampling:
+    def test_string_ids_sample_is_seeded_not_first_k(self, spark):
+        d = spark.range(100).select(
+            F.concat(F.lit("https://h/p"), F.col("id").cast("string"))
+            .alias("doc_id"),
+            F.lit(1).alias("weight"),
+        )
+        a = {r.doc_id for r in weighted_sample(d, k=20, seed=1).collect()}
+        b = {r.doc_id for r in weighted_sample(d, k=20, seed=2).collect()}
+        first_k = {f"https://h/p{i}" for i in range(20)}
+        assert a != first_k and b != first_k
+        assert a != b  # seed actually drives the draw
+        # and keys are real numbers, not NULL-degenerate
+        assert all(
+            r.es_key is not None
+            for r in weighted_sample(d, k=20, seed=1).collect()
+        )

@@ -8,11 +8,15 @@ here, not in the grading run.
 
 from __future__ import annotations
 
+import os
 import re
 
 import __spark_entry__ as contract
 
-SURVEY = "/root/repo/SURVEY.md"
+SURVEY = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "SURVEY.md",
+)
 
 
 def test_every_cited_query_exists_with_matching_oracle_status():

@@ -28,8 +28,8 @@ class TestWalkRecords:
         blob = _rec("https://a/1", b"one") + _rec("https://a/2", b"two\r\nx")
         got = [r for r in _walk_records(blob)]
         assert got == [
-            ("https://a/1", b"one"),
-            ("https://a/2", b"two\r\nx"),
+            ("https://a/1", b"one", "response"),
+            ("https://a/2", b"two\r\nx", "response"),
         ]
 
     def test_malformed_records_skipped_not_fatal(self):
@@ -41,7 +41,7 @@ class TestWalkRecords:
         blob = bad_len + _rec("https://ok", b"fine") + truncated
         got = [r for r in _walk_records(blob)]
         assert None in got
-        assert ("https://ok", b"fine") in got
+        assert ("https://ok", b"fine", "response") in got
         assert all(r is None or r[0] != "https://trunc" for r in got)
 
     def test_payload_containing_warc_magic(self):
@@ -49,7 +49,10 @@ class TestWalkRecords:
         body = b"quoting WARC/1.0\r\n\r\n inside"
         blob = _rec("https://a/1", body) + _rec("https://a/2", b"next")
         got = [r for r in _walk_records(blob)]
-        assert got == [("https://a/1", body), ("https://a/2", b"next")]
+        assert got == [
+            ("https://a/1", body, "response"),
+            ("https://a/2", b"next", "response"),
+        ]
 
 
 class TestSparkWarc:
@@ -220,7 +223,99 @@ class TestWalkFuzz:
             )
             got = [r for r in _walk_records(blob) if r is not None]
             assert got == [
-                (f"https://f/{i}", b) for i, b in enumerate(bodies)
+                (f"https://f/{i}", b, "response")
+                for i, b in enumerate(bodies)
             ]
 
         check()
+
+
+def _typed_rec(uri: str, body: bytes, rtype: str) -> bytes:
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rtype.encode() + b"\r\n"
+        b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+    )
+    return hdr + body + b"\r\n\r\n"
+
+
+class TestRealArchiveShapes:
+    def test_only_response_records_become_docs(self, spark):
+        from web_content_extractor_spark.sources.warc import warc_docs
+
+        uri = "https://example.com/"
+        blob = (
+            _typed_rec("", b"warcinfo body", "warcinfo")
+            + _typed_rec(uri, b"GET / HTTP/1.1\r\nHost: x\r\n\r\n", "request")
+            + _typed_rec(uri, b"<html>page</html>", "response")
+            + _typed_rec(uri, b"fetch metadata", "metadata")
+        )
+        blobs = spark.createDataFrame(
+            [(1, bytearray(blob))], "blob_id long, blob binary"
+        )
+        from web_content_extractor_spark.sources.warc import (
+            parse_warc_records,
+        )
+
+        docs = warc_docs(parse_warc_records(blobs)).collect()
+        assert len(docs) == 1
+        assert docs[0].spans[0].text == "<html>page</html>"
+
+    def test_http_message_payload_stripped_to_body(self, spark):
+        from web_content_extractor_spark.sources.warc import (
+            parse_warc_records,
+            warc_docs,
+        )
+
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html>real body\r\n\r\nwith a blank line</html>"
+        )
+        blob = _typed_rec("https://a/", http, "response")
+        blobs = spark.createDataFrame(
+            [(1, bytearray(blob))], "blob_id long, blob binary"
+        )
+        docs = warc_docs(parse_warc_records(blobs)).collect()
+        assert docs[0].spans[0].text == (
+            "<html>real body\r\n\r\nwith a blank line</html>"
+        )
+
+    def test_corrupt_gzip_member_salvages_prefix(self, spark):
+        import gzip
+
+        from web_content_extractor_spark.sources.warc import (
+            parse_warc_records,
+        )
+
+        good = gzip.compress(_rec("https://g/1", b"ok one")) + gzip.compress(
+            _rec("https://g/2", b"ok two")
+        )
+        # cut INSIDE the deflate data (half the member) so the third
+        # record genuinely cannot decode — trailer-only cuts still
+        # inflate fully and are legitimately salvaged whole
+        member3 = gzip.compress(_rec("https://g/3", b"lost" * 200))
+        truncated = member3[: len(member3) // 2]
+        blobs = spark.createDataFrame(
+            [(1, bytearray(good + truncated))], "blob_id long, blob binary"
+        )
+        got = parse_warc_records(blobs).collect()
+        assert {r.target_uri for r in got} == {"https://g/1", "https://g/2"}
+
+    def test_null_text_record_does_not_erase_blob(self, spark):
+        from pyspark.sql import functions as F
+
+        from web_content_extractor_spark.sources.warc import (
+            parse_warc_records,
+            warc_blob_per_group,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "alive"), (2, None), (3, "also alive")],
+            "doc_id long, text string",
+        )
+        blobs = warc_blob_per_group(
+            d, F.col("doc_id").cast("string"), F.col("text"), F.lit(0)
+        )
+        got = parse_warc_records(blobs).collect()
+        assert {r.target_uri for r in got} == {"1", "3"}

@@ -187,6 +187,14 @@ def main(argv: list[str] | None = None) -> int:
                      "--curate-output or --corpus-input/--corpus-output"
         }))
         return 2
+    if args.input_format == "iceberg" and args.resume:
+        print(json.dumps({
+            "error": "--resume tracks parquet FILE lineage; Iceberg "
+                     "inputs resume from table snapshots instead — "
+                     "run snapshot_diff/changed_docs and extract the "
+                     "changed ids in plain mode"
+        }))
+        return 2
     if args.input_format == "warc" and args.resume:
         print(json.dumps({
             "error": "--resume tracks parquet/Iceberg file lineage; "

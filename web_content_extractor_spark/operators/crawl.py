@@ -249,7 +249,11 @@ def blocklist_filter(
     )
     tagged = links.withColumn("__host", host).withColumn("__path", path)
     b = blocklist.select(
-        F.lower(F.col("host")).alias("__bhost"),
+        # same normalization as the link side: lists ship host rows
+        # both with and without the www. prefix
+        F.regexp_replace(F.lower(F.col("host")), r"^www\.", "").alias(
+            "__bhost"
+        ),
         F.col("path_prefix").alias("__bprefix"),
     )
     kept = tagged.join(
@@ -274,6 +278,12 @@ def robots_rules(
     Spec-shaped group semantics, computed entirely with native
     windows (no Python): consecutive ``User-agent:`` lines form ONE
     group; a ``Disallow:`` applies if ANY agent in its group matches.
+    Agent matching follows the stdlib robotparser: the robots value's
+    product token (before any ``/``) must be a case-insensitive
+    substring of the crawler's ``user_agent``; per host, if any
+    specific group matches, those groups apply, else the ``*`` groups
+    are the fallback (``user_agent='*'`` selects the wildcard groups
+    directly).
     Implementation: explode lines in order, mark agent lines, start a
     new group at each agent line that follows a non-agent line
     (lag + cumsum), attach each rule line to the latest group id
@@ -316,21 +326,39 @@ def robots_rules(
         ).cast("int"),
     ).withColumn("group_id", F.sum("group_start").over(w))
 
+    ua = user_agent.lower()
+    token = F.substring_index(F.lower("value"), "/", 1)
+    if ua == "*":
+        spec = F.lit(False)
+    else:
+        spec = (token != "*") & (F.instr(F.lit(ua), token) > 0)
     groups = (
         grouped.where(F.col("is_agent") == 1)
         .groupBy(host_col, "group_id")
         .agg(
-            F.max(
-                (F.lower("value") == user_agent.lower()).cast("int")
-            ).alias("agent_match")
+            F.max(spec.cast("int")).alias("spec_match"),
+            F.max((F.lower("value") == "*").cast("int")).alias(
+                "star_match"
+            ),
         )
+    )
+    # per-host tier: specific groups win; '*' groups are the fallback
+    host_tier = groups.groupBy(host_col).agg(
+        F.max("spec_match").alias("any_spec")
+    )
+    applies = (
+        groups.join(host_tier, host_col)
+        .where(
+            ((F.col("any_spec") == 1) & (F.col("spec_match") == 1))
+            | ((F.col("any_spec") == 0) & (F.col("star_match") == 1))
+        )
+        .select(host_col, "group_id")
     )
     rules = grouped.where(
         (F.col("field") == "disallow") & (F.length("value") > 0)
     )
     return (
-        rules.join(groups, [host_col, "group_id"])
-        .where(F.col("agent_match") == 1)
+        rules.join(applies, [host_col, "group_id"])
         .select(F.col(host_col).alias("host"),
                 F.col("value").alias("path_prefix"))
         .distinct()

@@ -60,12 +60,27 @@ from web_content_extractor_spark.operators.corpus import (
 )
 
 
-def _uniform(col: Column, seed: int) -> Column:
-    """Deterministic uniform in (0, 1]: (h + 1) / 2^31-1 over the
-    portable integer hash (h in [0, M31-1], so u is never 0)."""
-    return (portable_hash(col, seed) + F.lit(1)).cast("double") / F.lit(
-        float(M31)
-    )
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _id_hash31(docs: DataFrame, id_col: str, seed: int) -> Column:
+    """Deterministic id hash in [0, M31): the oracle-portable integer
+    hash for integer ids; for string/other ids (e.g. URL doc_ids from
+    the WARC source) a seeded xxhash64 folded into the same range —
+    not SQL-replayable, but a string id must never silently hash to
+    NULL (``cast(string as bigint)`` -> NULL would degrade the sample
+    to first-k-by-id order with no error)."""
+    if docs.schema[id_col].dataType.simpleString() in _INT_TYPES:
+        return portable_hash(F.col(id_col), seed)
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(M31))
+
+
+def _uniform(docs: DataFrame, id_col: str, seed: int) -> Column:
+    """Deterministic uniform in (0, 1]: (h + 1) / 2^31-1 over the id
+    hash (h in [0, M31-1], so u is never 0)."""
+    return (_id_hash31(docs, id_col, seed) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(M31))
 
 
 def weighted_sample(
@@ -88,7 +103,7 @@ def weighted_sample(
     global sort, survives any corpus size with driver memory O(P·k).
     """
     w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
-    key = -F.log(_uniform(F.col(id_col), seed)) / w
+    key = -F.log(_uniform(docs, id_col, seed)) / w
     return (
         docs.withColumn("es_key", F.round(key, 6))
         .orderBy("es_key", id_col)
@@ -111,7 +126,7 @@ def stratified_sample(
     hash order (stable across reruns; useful for taking a prefix of a
     larger pre-drawn sample without resampling).
     """
-    h = portable_hash(F.col(id_col), seed)
+    h = _id_hash31(docs, id_col, seed)
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col))
     return (
         docs.withColumn("draw", F.row_number().over(w))
@@ -329,12 +344,15 @@ def train_quality_classifier(
             .groupBy(id_col)
             .agg(F.sum(F.col("cnt") * F.col("wgt")).alias("z"))
         )
+        # persist: both the stats action and the gradient action read
+        # pr — without the cache each iteration would recompute the
+        # broadcast-join + id-keyed margin agg twice
         pr = margins.join(y, id_col).select(
             id_col,
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") + bias))))
             .alias("p"),
             "y",
-        )
+        ).persist()
         resid = pr.select(id_col, (F.col("p") - F.col("y")).alias("r"))
         stats = pr.agg(
             F.sum(F.col("p") - F.col("y")).alias("gb"),
@@ -351,6 +369,7 @@ def train_quality_classifier(
             .agg(F.sum(F.col("cnt") * F.col("r")).alias("g"))
             .collect()
         }
+        pr.unpersist()
         step = learning_rate / n_docs
         for b_id, g in grad.items():
             w[b_id] -= step * g

@@ -51,7 +51,8 @@ _HDR_RE = re.compile(rb"([A-Za-z0-9-]+):[ \t]*([^\r\n]*)\r?\n")
 
 RECORD_SCHEMA = "target_uri string, payload binary"
 PARSED_SCHEMA = (
-    "blob_id bigint, rec_no int, target_uri string, payload binary"
+    "blob_id bigint, rec_no int, target_uri string, payload binary, "
+    "warc_type string"
 )
 
 
@@ -93,8 +94,12 @@ def warc_blob_per_group(
     """
     recs = docs.select(
         group.alias("blob_id"),
-        F.struct(F.col(order_col).alias("o"), warc_record(uri, payload_text).alias("r")).alias("s"),
-    )
+        F.struct(
+            F.col(order_col).alias("o"),
+            warc_record(uri, payload_text).alias("r"),
+        ).alias("s"),
+    ).where(F.col("s.r").isNotNull())  # a NULL uri/text record would
+    # null-propagate through the concat fold and erase its whole blob
     ordered = recs.groupBy("blob_id").agg(
         F.array_sort(F.collect_list("s")).alias("ss")
     )
@@ -108,23 +113,39 @@ def warc_blob_per_group(
 
 def _maybe_gunzip(blob: bytes) -> bytes:
     """Inflate a (possibly multi-member, i.e. per-record-gzipped
-    Common Crawl style) gzip stream; pass plain bytes through."""
+    Common Crawl style) gzip stream; pass plain bytes through.
+
+    Drop-not-fail: a truncated/corrupt member salvages every member
+    decoded before it rather than failing the task — a crawler dying
+    mid-write must not abort the whole ingest batch or stream.
+    """
     if len(blob) < 2 or blob[0] != 0x1F or blob[1] != 0x8B:
         return blob
-    import gzip
-    import io
+    import zlib
 
-    out = io.BytesIO()
-    with gzip.GzipFile(fileobj=io.BytesIO(blob)) as g:
-        # GzipFile.read() consumes ALL members of a multi-member stream
-        out.write(g.read())
-    return out.getvalue()
+    out = bytearray()
+    data = blob
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data)
+            while d.unconsumed_tail:
+                out += d.decompress(d.unconsumed_tail)
+            out += d.flush()
+        except zlib.error:
+            break  # salvage the members decoded so far
+        if not d.eof:
+            break  # truncated final member: keep what flushed
+        data = d.unused_data
+    return bytes(out)
 
 
-def _walk_records(blob: bytes) -> Iterator[tuple[str | None, bytes] | None]:
-    """Yield (target_uri, payload) per well-formed record; ``None``
-    per skipped (malformed) one.  Re-anchors on the WARC magic, so a
-    bad record never poisons the rest of the file."""
+def _walk_records(
+    blob: bytes,
+) -> Iterator[tuple[str | None, bytes, str | None] | None]:
+    """Yield (target_uri, payload, warc_type) per well-formed record;
+    ``None`` per skipped (malformed) one.  Re-anchors on the WARC
+    magic, so a bad record never poisons the rest of the file."""
     pos = 0
     n = len(blob)
     while True:
@@ -150,9 +171,13 @@ def _walk_records(blob: bytes) -> Iterator[tuple[str | None, bytes] | None]:
             pos = hdr_end + 4
             continue
         uri = headers.get(b"warc-target-uri")
+        rtype = headers.get(b"warc-type")
         yield (
             uri.decode("utf-8", "replace") if uri is not None else None,
             blob[body_start:body_start + length],
+            rtype.decode("utf-8", "replace").lower()
+            if rtype is not None
+            else None,
         )
         pos = body_start + length
 
@@ -174,7 +199,7 @@ def parse_warc_records(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, recnos, uris, payloads = [], [], [], []
+            ids, recnos, uris, payloads, types = [], [], [], [], []
             for bid, blob in zip(pdf[id_col], pdf[blob_col]):
                 if blob is None:
                     continue
@@ -185,6 +210,7 @@ def parse_warc_records(
                         recnos.append(rec_no)
                         uris.append(rec[0])
                         payloads.append(rec[1])
+                        types.append(rec[2])
                     rec_no += 1
             if not ids:
                 continue  # empty frames break Arrow list/binary typing
@@ -194,6 +220,7 @@ def parse_warc_records(
                     "rec_no": pd.Series(recnos, dtype="int32"),
                     "target_uri": uris,
                     "payload": payloads,
+                    "warc_type": types,
                 }
             )
 
@@ -202,11 +229,27 @@ def parse_warc_records(
 
 def warc_docs(parsed: DataFrame) -> DataFrame:
     """Adapt parsed WARC records to the engine's DOCS shape: one doc
-    per record, doc_id = the WARC-Target-URI (the reference keys pages
-    by url too), the payload as a single ``kind='html'`` span.  Records
-    with no Target-URI get a synthetic ``<blob>#<rec_no>`` id so they
-    stay addressable rather than colliding on NULL."""
-    return parsed.select(
+    per RESPONSE record (a real capture stores request + response +
+    metadata records per page, all sharing one Target-URI — only the
+    response carries the document; untyped records, e.g. from minimal
+    writers, pass through), doc_id = the WARC-Target-URI (the
+    reference keys pages by url too), the payload as a single
+    ``kind='html'`` span.  Response payloads that are full HTTP
+    messages (status line + headers + blank line + body, the Common
+    Crawl framing) are stripped to the body; bare-body payloads pass
+    through unchanged.  Records with no Target-URI get a synthetic
+    ``<blob>#<rec_no>`` id so they stay addressable rather than
+    colliding on NULL."""
+    raw = F.decode("payload", "UTF-8")
+    sep_pos = F.instr(raw, "\r\n\r\n")
+    body = F.when(
+        raw.startswith("HTTP/") & (sep_pos > 0),
+        F.substring(raw, sep_pos + F.lit(4), F.length(raw)),
+    ).otherwise(raw)
+    kept = parsed.where(
+        F.col("warc_type").isNull() | (F.col("warc_type") == "response")
+    )
+    return kept.select(
         F.coalesce(
             "target_uri",
             F.concat(
@@ -218,7 +261,7 @@ def warc_docs(parsed: DataFrame) -> DataFrame:
         F.array(
             F.struct(
                 F.lit("html").alias("kind"),
-                F.decode("payload", "UTF-8").alias("text"),
+                body.alias("text"),
                 F.lit(None).cast("string").alias("media_ref"),
                 F.lit(0).alias("offset"),
             )
