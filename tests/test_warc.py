@@ -319,3 +319,13 @@ class TestRealArchiveShapes:
         )
         got = parse_warc_records(blobs).collect()
         assert {r.target_uri for r in got} == {"1", "3"}
+
+
+def test_read_warc_skips_tmp_sidecars(spark, tmp_path):
+    (tmp_path / "done.warc").write_bytes(_rec("https://d/1", b"done"))
+    # a VALID record under a .tmp name: if the glob let it through, a
+    # second row would prove it
+    (tmp_path / "inflight.tmp").write_bytes(_rec("https://d/2", b"half"))
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    got = read_warc(spark, str(tmp_path)).collect()
+    assert [r.target_uri for r in got] == ["https://d/1"]

@@ -269,11 +269,21 @@ def warc_docs(parsed: DataFrame) -> DataFrame:
     )
 
 
-def read_warc(spark, path: str) -> DataFrame:
+def read_warc(
+    spark, path: str, glob: str = "*.warc*"
+) -> DataFrame:
     """Distributed WARC file read: binaryFile listing (one task per
     file) -> record parse.  Returns (blob_id, rec_no, target_uri,
-    payload) with blob_id = a stable hash of the file path."""
-    files = spark.read.format("binaryFile").load(path)
+    payload, warc_type) with blob_id = a stable hash of the file path.
+
+    ``glob`` keeps half-written sidecars out of the listing (crawlers
+    write ``.tmp`` then rename; markers like ``_SUCCESS`` land in the
+    same dir) — pass ``None`` to read everything.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path)
     blobs = files.select(
         F.xxhash64("path").alias("blob_id"), F.col("content").alias("blob")
     )

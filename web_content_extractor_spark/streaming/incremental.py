@@ -274,12 +274,15 @@ def read_warc_stream(
     spark: SparkSession,
     input_path: str,
     max_files_per_trigger: int | None = None,
+    glob: str = "*.warc*",
 ) -> DataFrame:
     """File-source stream over a landing directory of WARC archives —
     the continuous-crawl ingestion shape: the crawler drops
     .warc/.warc.gz files, the stream picks up each file exactly once
     (checkpointed file log), and the same record walker and extraction
-    plan run per micro-batch."""
+    plan run per micro-batch.  ``glob`` keeps half-written ``.tmp``
+    sidecars out of the exactly-once file log (a stream that ingests
+    a partial file never re-reads the finished rename)."""
     from pyspark.sql import functions as F
 
     from web_content_extractor_spark.sources.warc import parse_warc_records
@@ -290,6 +293,8 @@ def read_warc_stream(
         "path string, modificationTime timestamp, "
         "length long, content binary"
     )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(input_path)
