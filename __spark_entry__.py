@@ -1422,6 +1422,32 @@ def q_crawl_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(seeds.drop("host"), rules)
 
 
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style random-access index over built WARC blobs: SURT
+    urlkeys + byte offsets/extents.  The oracle recomputes every
+    offset in closed form from the record framing (74 fixed bytes +
+    uri octets + content-length digits + body octets) with a
+    per-blob cumulative window — so the walker's offset bookkeeping
+    is hash-checked byte-for-byte."""
+    from web_content_extractor_spark.sources.warc import (
+        parse_warc_records,
+        warc_blob_per_group,
+        warc_cdx,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    uri = F.concat(
+        F.lit("https://w"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+    )
+    blobs = warc_blob_per_group(
+        d, uri, F.col("text"), (F.col("doc_id") % 8)
+    )
+    return warc_cdx(parse_warc_records(blobs)).select(
+        "urlkey", "blob_id", "rec_offset", "rec_bytes", "target_uri"
+    )
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style (host, path_prefix) blocklist filter over synthesized
     URLs (same shapes as url_projections): broadcast LEFT ANTI hash
@@ -1970,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "bigram_nll": q_bigram_nll,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_cdx": q_warc_cdx,
         "url_blocklist": q_url_blocklist,
         "robots_rules": q_robots_rules,
         "sitemap_urls": q_sitemap_urls,
@@ -2951,6 +2978,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_roundtrip": """
         SELECT doc_id, text FROM documents
+        """,
+        "warc_cdx": """
+        WITH d AS (
+          SELECT doc_id,
+                 'https://w' || (doc_id % 7) || '.example.com/doc/'
+                   || doc_id AS uri,
+                 octet_length(encode(text)) AS n,
+                 doc_id % 8 AS blob_id
+          FROM documents
+        ),
+        r AS (
+          SELECT *,
+                 74 + octet_length(encode(uri))
+                    + length(CAST(n AS VARCHAR)) + n AS rec_bytes
+          FROM d
+        ),
+        o AS (
+          SELECT *,
+                 CAST(coalesce(sum(rec_bytes) OVER (
+                   PARTITION BY blob_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS rec_offset
+          FROM r
+        )
+        SELECT 'com,example,w' || (doc_id % 7) || ')/doc/' || doc_id
+                 AS urlkey,
+               blob_id, rec_offset,
+               CAST(rec_bytes AS BIGINT) AS rec_bytes,
+               uri AS target_uri
+        FROM o
         """,
         "url_blocklist": """
         WITH u AS (

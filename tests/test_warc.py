@@ -27,10 +27,14 @@ class TestWalkRecords:
     def test_multi_record_blob(self):
         blob = _rec("https://a/1", b"one") + _rec("https://a/2", b"two\r\nx")
         got = [r for r in _walk_records(blob)]
-        assert got == [
+        assert [r[:3] for r in got] == [
             ("https://a/1", b"one", "response"),
             ("https://a/2", b"two\r\nx", "response"),
         ]
+        # offsets/extents tile the blob exactly
+        assert got[0][3] == 0
+        assert got[0][3] + got[0][4] == got[1][3]
+        assert got[1][3] + got[1][4] == len(blob)
 
     def test_malformed_records_skipped_not_fatal(self):
         bad_len = (
@@ -39,7 +43,7 @@ class TestWalkRecords:
         )
         truncated = _rec("https://trunc", b"full body")[:-15]
         blob = bad_len + _rec("https://ok", b"fine") + truncated
-        got = [r for r in _walk_records(blob)]
+        got = [r[:3] if r else None for r in _walk_records(blob)]
         assert None in got
         assert ("https://ok", b"fine", "response") in got
         assert all(r is None or r[0] != "https://trunc" for r in got)
@@ -48,7 +52,7 @@ class TestWalkRecords:
         # a record whose BODY embeds the magic must not desync the walk
         body = b"quoting WARC/1.0\r\n\r\n inside"
         blob = _rec("https://a/1", body) + _rec("https://a/2", b"next")
-        got = [r for r in _walk_records(blob)]
+        got = [r[:3] for r in _walk_records(blob)]
         assert got == [
             ("https://a/1", body, "response"),
             ("https://a/2", b"next", "response"),
@@ -221,7 +225,7 @@ class TestWalkFuzz:
             blob = b"".join(
                 _rec(f"https://f/{i}", b) for i, b in enumerate(bodies)
             )
-            got = [r for r in _walk_records(blob) if r is not None]
+            got = [r[:3] for r in _walk_records(blob) if r is not None]
             assert got == [
                 (f"https://f/{i}", b, "response")
                 for i, b in enumerate(bodies)
@@ -329,3 +333,43 @@ def test_read_warc_skips_tmp_sidecars(spark, tmp_path):
     (tmp_path / "_SUCCESS").write_bytes(b"")
     got = read_warc(spark, str(tmp_path)).collect()
     assert [r.target_uri for r in got] == ["https://d/1"]
+
+
+class TestCdxIndex:
+    def test_surt_key_shapes(self, spark):
+        from web_content_extractor_spark.sources.warc import surt_key
+
+        df = spark.createDataFrame(
+            [
+                ("https://www.example.com/a/b?q=1",),
+                ("http://sub.site.org",),
+                ("not a url",),
+            ],
+            "url string",
+        ).select(surt_key(F.col("url")).alias("k"))
+        assert [r.k for r in df.collect()] == [
+            "com,example)/a/b?q=1",
+            "org,site,sub)",
+            None,
+        ]
+
+    def test_index_offsets_seek_to_records(self, spark):
+        from web_content_extractor_spark.sources.warc import (
+            parse_warc_records,
+            warc_cdx,
+        )
+
+        recs = [
+            _rec("https://b.com/x", b"payload one"),
+            _rec("https://a.com/y", b"payload two longer"),
+        ]
+        blob = b"".join(recs)
+        blobs = spark.createDataFrame(
+            [(7, bytearray(blob))], "blob_id long, blob binary"
+        )
+        idx = warc_cdx(parse_warc_records(blobs)).orderBy("urlkey").collect()
+        assert [r.urlkey for r in idx] == ["com,a)/y", "com,b)/x"]
+        # seeking with (offset, bytes) recovers the exact record bytes
+        for r in idx:
+            sliced = blob[r.rec_offset:r.rec_offset + r.rec_bytes]
+            assert sliced in recs

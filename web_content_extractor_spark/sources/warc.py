@@ -52,7 +52,7 @@ _HDR_RE = re.compile(rb"([A-Za-z0-9-]+):[ \t]*([^\r\n]*)\r?\n")
 RECORD_SCHEMA = "target_uri string, payload binary"
 PARSED_SCHEMA = (
     "blob_id bigint, rec_no int, target_uri string, payload binary, "
-    "warc_type string"
+    "warc_type string, rec_offset bigint, rec_bytes bigint"
 )
 
 
@@ -142,10 +142,13 @@ def _maybe_gunzip(blob: bytes) -> bytes:
 
 def _walk_records(
     blob: bytes,
-) -> Iterator[tuple[str | None, bytes, str | None] | None]:
-    """Yield (target_uri, payload, warc_type) per well-formed record;
-    ``None`` per skipped (malformed) one.  Re-anchors on the WARC
-    magic, so a bad record never poisons the rest of the file."""
+) -> Iterator[tuple[str | None, bytes, str | None, int, int] | None]:
+    """Yield (target_uri, payload, warc_type, rec_offset, rec_bytes)
+    per well-formed record — offset/extent within THIS blob, spanning
+    header through the trailing CRLF pair, so a reader can seek
+    straight to the record (the CDX contract) — and ``None`` per
+    skipped (malformed) one.  Re-anchors on the WARC magic, so a bad
+    record never poisons the rest of the file."""
     pos = 0
     n = len(blob)
     while True:
@@ -172,12 +175,15 @@ def _walk_records(
             continue
         uri = headers.get(b"warc-target-uri")
         rtype = headers.get(b"warc-type")
+        rec_end = min(body_start + length + 4, n)
         yield (
             uri.decode("utf-8", "replace") if uri is not None else None,
             blob[body_start:body_start + length],
             rtype.decode("utf-8", "replace").lower()
             if rtype is not None
             else None,
+            start,
+            rec_end - start,
         )
         pos = body_start + length
 
@@ -199,7 +205,8 @@ def parse_warc_records(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, recnos, uris, payloads, types = [], [], [], [], []
+            ids, recnos, uris, payloads = [], [], [], []
+            types, offs, lens = [], [], []
             for bid, blob in zip(pdf[id_col], pdf[blob_col]):
                 if blob is None:
                     continue
@@ -211,6 +218,8 @@ def parse_warc_records(
                         uris.append(rec[0])
                         payloads.append(rec[1])
                         types.append(rec[2])
+                        offs.append(rec[3])
+                        lens.append(rec[4])
                     rec_no += 1
             if not ids:
                 continue  # empty frames break Arrow list/binary typing
@@ -221,6 +230,8 @@ def parse_warc_records(
                     "target_uri": uris,
                     "payload": payloads,
                     "warc_type": types,
+                    "rec_offset": pd.Series(offs, dtype="int64"),
+                    "rec_bytes": pd.Series(lens, dtype="int64"),
                 }
             )
 
@@ -288,3 +299,46 @@ def read_warc(
         F.xxhash64("path").alias("blob_id"), F.col("content").alias("blob")
     )
     return parse_warc_records(blobs)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT-style sort-friendly url key: reversed host labels joined
+    by commas, then ')' and the path — ``https://www.example.com/a``
+    -> ``com,example)/a``.  Groups every subdomain/page of a site into
+    one contiguous key range, which is what makes a CDX index
+    range-scannable by domain.  Pure codegen string algebra."""
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
+            r"^www\.",
+            "",
+        )
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    return F.when(
+        F.length(host) > 0, F.concat(rev, F.lit(")"), path)
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def warc_cdx(parsed: DataFrame) -> DataFrame:
+    """CDX-style random-access index over parsed WARC records:
+    (urlkey, blob_id, rec_offset, rec_bytes, target_uri, warc_type).
+
+    The companion artifact every web archive ships next to its WARC
+    files — a reader seeks to (blob, offset) and reads ``rec_bytes``
+    instead of scanning the archive.  Offsets refer to the blob the
+    walker saw (for ``.warc.gz`` inputs that is the INFLATED stream;
+    index the plain archives if byte-range HTTP fetches over the
+    compressed file are required).  Sorting by ``urlkey`` clusters a
+    domain's records contiguously (SURT), the property CDX range
+    queries rely on.
+    """
+    return parsed.select(
+        surt_key(F.col("target_uri")).alias("urlkey"),
+        "blob_id",
+        "rec_offset",
+        "rec_bytes",
+        "target_uri",
+        "warc_type",
+    ).where(F.col("urlkey").isNotNull())
