@@ -373,3 +373,36 @@ class TestCdxIndex:
         for r in idx:
             sliced = blob[r.rec_offset:r.rec_offset + r.rec_bytes]
             assert sliced in recs
+
+
+def test_jobs_cdx_output(spark, tmp_path):
+    from web_content_extractor_spark.jobs import main
+
+    (tmp_path / "c.warc").write_bytes(
+        _rec("https://www.example.com/p1", b"<html><p>x</p></html>")
+        + _rec("https://other.org/p2", b"<html><p>y</p></html>")
+    )
+    out, cdx = str(tmp_path / "spans"), str(tmp_path / "cdx")
+    rc = main(
+        [
+            "--input", str(tmp_path / "c.warc"),
+            "--input-format", "warc",
+            "--output", out,
+            "--cdx-output", cdx,
+        ]
+    )
+    assert rc == 0
+    idx = spark.read.parquet(cdx).orderBy("urlkey").collect()
+    assert [r.urlkey for r in idx] == ["com,example)/p1", "org,other)/p2"]
+    assert idx[0].rec_offset == 0 and idx[1].rec_offset > 0
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_cdx_requires_warc_format(tmp_path):
+    from web_content_extractor_spark.jobs import main
+
+    rc = main(
+        ["--input", str(tmp_path), "--output", str(tmp_path / "o"),
+         "--cdx-output", str(tmp_path / "c")]
+    )
+    assert rc == 2

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "table ids, parquet for paths); 'warc' reads "
                         "Common Crawl-style .warc/.warc.gz archives, "
                         "one doc per response record")
+    p.add_argument("--cdx-output", default=None,
+                   help="with --input-format warc: also write the "
+                        "CDX-style random-access index (SURT urlkey, "
+                        "blob, offset, bytes), urlkey-range-clustered")
     p.add_argument("--output", default=None, help="spans output path")
     p.add_argument("--metrics", default=None, help="metrics table path")
     p.add_argument("--errors", default=None,
@@ -127,7 +131,22 @@ def _load_docs(spark, args):
             warc_docs,
         )
 
-        return warc_docs(read_warc(spark, args.input))
+        parsed = read_warc(spark, args.input)
+        if getattr(args, "cdx_output", None):
+            from web_content_extractor_spark.sources.warc import warc_cdx
+
+            # urlkey range clustering: a domain's records land in
+            # contiguous sorted files, the layout CDX range scans want
+            (
+                warc_cdx(parsed)
+                .repartitionByRange("urlkey")
+                .sortWithinPartitions("urlkey")
+                .write.mode("append")
+                .parquet(args.cdx_output)
+            )
+            # _load_docs runs again for --content-output: write once
+            args.cdx_output = None
+        return warc_docs(parsed)
     return read_docs(spark, args.input, fmt=args.input_format)
 
 
@@ -185,6 +204,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "error": "--benchmark-snippets requires --curate-input/"
                      "--curate-output or --corpus-input/--corpus-output"
+        }))
+        return 2
+    if args.cdx_output and args.input_format != "warc":
+        print(json.dumps({
+            "error": "--cdx-output indexes WARC archives; it requires "
+                     "--input-format warc"
         }))
         return 2
     if args.input_format == "iceberg" and args.resume:
