@@ -49,7 +49,6 @@ _CRLF = "\r\n"
 _MAGIC = b"WARC/1.0"
 _HDR_RE = re.compile(rb"([A-Za-z0-9-]+):[ \t]*([^\r\n]*)\r?\n")
 
-RECORD_SCHEMA = "target_uri string, payload binary"
 PARSED_SCHEMA = (
     "blob_id bigint, rec_no int, target_uri string, payload binary, "
     "warc_type string, rec_offset bigint, rec_bytes bigint"
