@@ -1926,7 +1926,63 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate checks the FIRST 50
+    # registry entries per round. Round 2's artifact (CORRECTNESS_r02.json)
+    # certified the original front-50 (extraction pipeline + relational +
+    # first training-data batch); those rotate to the back here, and the 48
+    # queries that had no driver-verified row in round 2 (WARC, robots,
+    # BPE, DSIR, PageRank, z-order, the selection battery, the ANN family)
+    # move to the front so CORRECTNESS_r03.json certifies them.
     return {
+        "mixture_sample": q_mixture_sample,
+        "pack_chunks": q_pack_chunks,
+        "host_pagerank": q_host_pagerank,
+        "audio_features": q_audio_features,
+        "dup_substrings": q_dup_substrings,
+        "heavy_hitters": q_heavy_hitters,
+        "anchor_index": q_anchor_index,
+        "clean_text": q_clean_text,
+        "token_budget": q_token_budget,
+        "vocab_topk": q_vocab_topk,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_encode": q_bpe_encode,
+        "zorder_keys": q_zorder_keys,
+        "corpus_split": q_corpus_split,
+        "bigram_nll": q_bigram_nll,
+        "warc_roundtrip": q_warc_roundtrip,
+        "warc_cdx": q_warc_cdx,
+        "url_blocklist": q_url_blocklist,
+        "robots_rules": q_robots_rules,
+        "sitemap_urls": q_sitemap_urls,
+        "crawl_seeds": q_crawl_seeds,
+        "corpus_health": q_corpus_health,
+        "dedup_incremental": q_dedup_incremental,
+        "temperature_mixture": q_temperature_mixture,
+        "quality_classifier": q_quality_classifier,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
+        "dsir_weights": q_dsir_weights,
+        "session_windows": q_session_windows,
+        "ccnet_buckets": q_ccnet_buckets,
+        "unigram_nll": q_unigram_nll,
+        "snapshot_diff": q_snapshot_diff,
+        "dup_substring_stats": q_dup_substring_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "decontam": q_decontam,
+        "tfidf_topk": q_tfidf_topk,
+        "asof_join": q_asof_join,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_resolve": q_dedup_resolve,
+        "rollup_counts": q_rollup_counts,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        "similarity_topk": q_similarity_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "media_features": q_media_features,
+        # --- driver-certified in round 2 (green rows in CORRECTNESS_r02) ---
         # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
         "extract_spans": q_extract_spans,
         "extract_metrics": q_extract_metrics,
@@ -1980,54 +2036,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
         "shard_corpus": q_shard_corpus,
-        "mixture_sample": q_mixture_sample,
-        "pack_chunks": q_pack_chunks,
-        "host_pagerank": q_host_pagerank,
-        "audio_features": q_audio_features,
-        "dup_substrings": q_dup_substrings,
-        "heavy_hitters": q_heavy_hitters,
-        "anchor_index": q_anchor_index,
-        "clean_text": q_clean_text,
-        "token_budget": q_token_budget,
-        "vocab_topk": q_vocab_topk,
-        "bpe_pairs": q_bpe_pairs,
-        "bpe_encode": q_bpe_encode,
-        "zorder_keys": q_zorder_keys,
-        "corpus_split": q_corpus_split,
-        "bigram_nll": q_bigram_nll,
-        "warc_roundtrip": q_warc_roundtrip,
-        "warc_cdx": q_warc_cdx,
-        "url_blocklist": q_url_blocklist,
-        "robots_rules": q_robots_rules,
-        "sitemap_urls": q_sitemap_urls,
-        "crawl_seeds": q_crawl_seeds,
-        "corpus_health": q_corpus_health,
-        "dedup_incremental": q_dedup_incremental,
-        "temperature_mixture": q_temperature_mixture,
-        "quality_classifier": q_quality_classifier,
-        "weighted_sample": q_weighted_sample,
-        "stratified_sample": q_stratified_sample,
-        "dsir_weights": q_dsir_weights,
-        "session_windows": q_session_windows,
-        "ccnet_buckets": q_ccnet_buckets,
-        "unigram_nll": q_unigram_nll,
-        "snapshot_diff": q_snapshot_diff,
-        "dup_substring_stats": q_dup_substring_stats,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "decontam": q_decontam,
-        "tfidf_topk": q_tfidf_topk,
-        "asof_join": q_asof_join,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_resolve": q_dedup_resolve,
-        "rollup_counts": q_rollup_counts,
-        "embedding_neardup_exact": q_embedding_neardup_exact,
-        "similarity_topk": q_similarity_topk,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "semantic_dedup": q_semantic_dedup,
-        "media_features": q_media_features,
     }
 
 
