@@ -266,3 +266,66 @@ def test_split_changes_with_seed(spark):
     s2 = {r.doc_id: r.split for r in
           train_val_test_split(docs, seed=8).collect()}
     assert s1 != s2
+
+
+# ---------------------------------------------------------------------------
+# string doc_ids (WARC source keys docs by URL): every corpus op must
+# compose with non-integer ids — cast(string AS bigint) raises under
+# ANSI mode and silently NULLs the hash without it (mixture_sample then
+# drops every doc, shard_corpus degrades to one NULL bucket)
+# ---------------------------------------------------------------------------
+
+
+def _url_docs(spark, n=400):
+    return spark.createDataFrame(
+        [
+            (f"https://h{i % 7}.example.org/p/{i}", f"src{i % 4}", 10 + i % 5)
+            for i in range(n)
+        ],
+        "doc_id string, source string, n_tokens int",
+    )
+
+
+def test_shard_corpus_string_ids(spark):
+    out = shard_corpus(_url_docs(spark), n_shards=8, seed=3).collect()
+    assert len(out) == 400
+    by_shard = Counter(r.shard for r in out)
+    assert set(by_shard) <= set(range(8))
+    assert min(by_shard.values()) > 20  # uniform, not one NULL bucket
+    for s, n in by_shard.items():
+        poss = sorted(r.shard_pos for r in out if r.shard == s)
+        assert poss == list(range(n))
+
+
+def test_mixture_sample_string_ids(spark):
+    docs = _url_docs(spark)
+    rates = spark.createDataFrame(
+        [("src0", 1.0), ("src1", 0.5), ("src2", 0.0)], "source string, rate double"
+    )
+    kept = mixture_sample(docs, rates, seed=1).collect()
+    by_src = Counter(r.source for r in kept)
+    assert by_src["src0"] == 100  # rate 1.0 keeps everything
+    assert 25 <= by_src.get("src1", 0) <= 75  # ~rate 0.5
+    assert "src2" not in by_src and "src3" not in by_src
+    # deterministic rerun
+    again = mixture_sample(docs, rates, seed=1).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+
+
+def test_token_budget_and_split_string_ids(spark):
+    from web_content_extractor_spark.operators.corpus import (
+        token_budget_sample,
+    )
+
+    docs = _url_docs(spark)
+    budgets = spark.createDataFrame(
+        [("src0", 120), ("src1", 50)], "source string, token_budget int"
+    )
+    kept = token_budget_sample(docs, budgets, seed=2).collect()
+    assert kept  # non-empty, no CAST_INVALID_INPUT
+    by_src = Counter(r.source for r in kept)
+    assert set(by_src) == {"src0", "src1"}
+    splits = train_val_test_split(docs, val_pct=10, test_pct=10).collect()
+    by_split = Counter(r.split for r in splits)
+    assert by_split["train"] > by_split["val"] > 0
+    assert by_split["test"] > 0

@@ -241,3 +241,32 @@ def test_perf_category_thresholds(spark):
     got = [(r.cat, r.slow) for r in df.orderBy("proc_us").collect()]
     assert got == [("fast", False), ("normal", False),
                    ("slow", True), ("critical", True)]
+
+
+def test_crawl_duplicate_nav_targets_one_round(spark):
+    # Two pages crawled in the SAME round both link to /shared:
+    # navigation_links dedups only per (doc_id, nav_url), so the round's
+    # frontier used to carry the duplicate into the next batch, where
+    # create_map raised DUPLICATED_MAP_KEY and the duplicate
+    # double-counted against max_pages.  The frontier is now deduped on
+    # nav_url (first occurrence in priority order).
+    H = "https://dup.example.org"
+    mk = lambda body: [{"kind": "html", "text": body, "media_ref": None, "offset": 0}]
+    docs = spark.createDataFrame(
+        [
+            (f"{H}/", mk(f'<a href="{H}/module-a">Module A</a>'
+                         f'<a href="{H}/module-b">Module B</a>')),
+            (f"{H}/module-a", mk(f'<a href="{H}/shared">Shared</a>')),
+            (f"{H}/module-b", mk(f'<a href="{H}/shared">Shared</a>')),
+            (f"{H}/shared", mk(f'<a href="{H}/end.pdf">End PDF</a>')),
+        ],
+        schema=DOCS,
+    )
+    # max_pages=5 leaves budget 2 after round 2, so pre-fix BOTH
+    # duplicate /shared rows land in the collected frontier -> crash
+    res = crawl(spark, docs, f"{H}/", max_pages=5).collect()
+    assert len(res) == 1
+    row = res[0]
+    # root(2) + module-a(1) + module-b(1) + shared(1, visited ONCE)
+    assert row.total_links == 5
+    assert row.pdf_count == 1  # /shared's PDF counted exactly once

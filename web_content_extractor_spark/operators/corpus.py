@@ -43,14 +43,37 @@ _MULT1 = 2654435761  # Knuth multiplicative hash
 _MULT2 = 48271  # MINSTD
 
 
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def portable_hash(col: Column, seed: int = 0) -> Column:
     """Two-round multiplicative hash of an integer column, in [0, 2^31-1).
 
     Exact int64 arithmetic, reproducible in any engine:
     ``h = (((x + seed) * 2654435761) % M31 * 48271) % M31``.
+
+    Integer columns ONLY: ``cast(string AS bigint)`` yields NULL (or
+    raises under ANSI mode), so non-integer ids must go through
+    :func:`id_hash31`, which falls back to a seeded xxhash64.
     """
     h = ((col.cast("bigint") + F.lit(seed)) * F.lit(_MULT1)) % F.lit(M31)
     return (h * F.lit(_MULT2)) % F.lit(M31)
+
+
+def id_hash31(docs: DataFrame, id_col: str, seed: int = 0) -> Column:
+    """Deterministic id hash in [0, M31) for ANY id type.
+
+    Integer ids use the oracle-portable multiplicative hash; string and
+    other ids (e.g. URL doc_ids from the WARC source) use a seeded
+    xxhash64 folded into the same range — not SQL-replayable, but a
+    string id must never hash to NULL (under ANSI mode the cast raises
+    CAST_INVALID_INPUT; without it the NULL hash silently drops every
+    doc from a mixture sample or degrades a shard shuffle to one NULL
+    bucket).
+    """
+    if docs.schema[id_col].dataType.simpleString() in _INT_TYPES:
+        return portable_hash(F.col(id_col), seed)
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(M31))
 
 
 def shard_corpus(
@@ -68,7 +91,7 @@ def shard_corpus(
     seed reproduce the exact order; a new seed is a fresh epoch-level
     reshuffle.
     """
-    h = portable_hash(F.col("doc_id"), seed)
+    h = id_hash31(docs, "doc_id", seed)
     out = docs.select("doc_id", (h % n_shards).alias("shard"), h.alias("h"))
     if with_pos:
         w = Window.partitionBy("shard").orderBy("h", "doc_id")
@@ -97,7 +120,7 @@ def mixture_sample(
     Sources missing from ``rates`` are dropped (rate 0); rate >= 1
     keeps everything.
     """
-    u = portable_hash(F.col("doc_id"), seed) % F.lit(1_000_000)
+    u = id_hash31(docs, "doc_id", seed) % F.lit(1_000_000)
     return (
         docs.join(F.broadcast(rates), key_col, "inner")
         .where(u < (F.col("rate") * F.lit(1_000_000)).cast("bigint"))
@@ -168,7 +191,7 @@ def token_budget_sample(
     corpus, pre-bucket it into sub-sources and split its budget.
     Budgets join broadcast (one row per source).
     """
-    h = portable_hash(F.col("doc_id"), seed)
+    h = id_hash31(docs, "doc_id", seed)
     w = (
         Window.partitionBy(key_col)
         .orderBy("__h", "doc_id")
@@ -201,7 +224,7 @@ def train_val_test_split(
     rest -> train.  Pure codegen integer algebra, zero shuffle — at
     100 TB this is a free column on the curation scan, never a join.
     """
-    bucket = (portable_hash(F.col(id_col), seed) % 100).alias("bucket")
+    bucket = (id_hash31(docs, id_col, seed) % 100).alias("bucket")
     out = docs.select(id_col, bucket)
     return out.withColumn(
         "split",

@@ -93,7 +93,11 @@ def crawl(
 
     while frontier and len(visited) < max_pages:
         budget = max_pages - len(visited)
-        batch = [u for u in frontier if u not in visited_set][:budget]
+        # dict.fromkeys: order-preserving driver-side dedup — create_map
+        # below rejects duplicate keys (DUPLICATED_MAP_KEY)
+        batch = list(dict.fromkeys(u for u in frontier if u not in visited_set))[
+            :budget
+        ]
         if not batch:
             break
         base_rank = len(visited)
@@ -148,6 +152,14 @@ def crawl(
                 "left_anti",
             )
         )
+        # navigation_links dedups per (doc_id, nav_url) only, so two
+        # pages in one round linking to the same URL yield duplicate
+        # nav_url rows; a duplicate in the batch would raise
+        # DUPLICATED_MAP_KEY from create_map and burn limit() slots.
+        # The priority keyword is a function of nav_url alone, so
+        # groupBy(nav_url) + min(pos) before prioritize() is exactly
+        # "first occurrence in priority order" with unique URLs.
+        nav = nav.groupBy("nav_url").agg(F.min("pos").alias("pos"))
         # collect ONLY the remaining page budget: priority order makes
         # the prefix exactly the pages BFS visits next, so the driver
         # never materializes more URLs than it can crawl (the reference

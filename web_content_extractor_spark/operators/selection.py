@@ -56,23 +56,9 @@ from web_content_extractor_spark.operators.corpus import (
     M31,
     _MULT1,
     _MULT2,
+    id_hash31 as _id_hash31,
     portable_hash,
 )
-
-
-_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
-
-
-def _id_hash31(docs: DataFrame, id_col: str, seed: int) -> Column:
-    """Deterministic id hash in [0, M31): the oracle-portable integer
-    hash for integer ids; for string/other ids (e.g. URL doc_ids from
-    the WARC source) a seeded xxhash64 folded into the same range —
-    not SQL-replayable, but a string id must never silently hash to
-    NULL (``cast(string as bigint)`` -> NULL would degrade the sample
-    to first-k-by-id order with no error)."""
-    if docs.schema[id_col].dataType.simpleString() in _INT_TYPES:
-        return portable_hash(F.col(id_col), seed)
-    return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(M31))
 
 
 def _uniform(docs: DataFrame, id_col: str, seed: int) -> Column:
