@@ -155,3 +155,22 @@ def test_embedding_near_duplicates_self_consistent(spark, embeddings):
     aug = embeddings.unionByName(dup)
     pairs = similarity.embedding_near_duplicates(aug, min_cos=0.999).collect()
     assert any(r.id_a == 0 and r.id_b == 100000 for r in pairs)
+
+
+def test_ngram_jaccard_hot_gram_cut_and_plan(spark):
+    # max_df skew guard: grams over the df cap are dropped via a
+    # broadcast ANTI-join against the (tiny) hot set — never a broadcast
+    # of the corpus-sized kept vocabulary (driver OOM at scale).
+    common = "alpha beta gamma"  # one shared 3-gram in every doc
+    docs = spark.createDataFrame(
+        [(i, f"{common} unique{i} tail{i} end{i}") for i in range(8)]
+        + [(100, "x y z w v u"), (101, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    out = dedup_docs.ngram_jaccard_pairs(docs, min_jaccard=0.5, max_df=5)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    # 'alpha beta gamma' has df=8 > 5 -> cut; the i-docs share nothing
+    # else, so only the exact-dup (100, 101) pair survives
+    assert pairs == {(100, 101): 1.0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan

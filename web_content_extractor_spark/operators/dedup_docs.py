@@ -298,10 +298,15 @@ def ngram_jaccard_pairs(
     ).persist()
     grams.count()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    df_cap = grams.groupBy("g").agg(F.count("*").alias("df")).where(
-        F.col("df") <= max_df
+    # Broadcast the HOT grams (df > max_df) and anti-join, never the kept
+    # set: the kept set is corpus-sized vocabulary (a multi-GB broadcast
+    # at 100x scale, driver OOM), while the hot set is by construction a
+    # handful of boilerplate shingles.  Same kept-gram semantics either
+    # way: kept = all grams minus hot.
+    hot = grams.groupBy("g").agg(F.count("*").alias("df")).where(
+        F.col("df") > max_df
     )
-    grams_f = grams.join(F.broadcast(df_cap.select("g")), "g")
+    grams_f = grams.join(F.broadcast(hot.select("g")), "g", "left_anti")
     inter = (
         grams_f.alias("l")
         .join(grams_f.alias("r"), "g")
