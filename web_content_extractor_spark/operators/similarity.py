@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 def _dot(a: Column, b: Column) -> Column:
     # accumulate in double precision (float32 dot products drift vs
-    # the DuckDB double-precision oracle)
+    # the DuckDB double-precision oracle).  Interpreted by Catalyst
+    # (no codegen for HOF lambdas) — fine for one-off scalar dots like
+    # lsh_bucket's literal planes, but NEVER the per-pair scorer in a
+    # candidate join: that path benched 10-30x slower than the numpy
+    # matmul kernels below, which all hot paths now use.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -45,6 +49,91 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect the (small by contract) query side into (ids, matrix).
+
+    The same pattern as the LSH hyperplanes / IVF centroids: the query
+    set is an index artifact shipped in the kernel closure, so the
+    corpus side streams through ONE scan with no q_vec carried through
+    any join or shuffle.
+    """
+    rows = queries.select(id_col, vec_col).collect()
+    ids = [r[0] for r in rows]
+    Q = (
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        if rows
+        else np.zeros((0, 1))
+    )
+    return ids, Q
+
+
+def _empty_topk(embeddings: DataFrame, id_col: str) -> DataFrame:
+    id_type = dict(embeddings.dtypes)[id_col]
+    return embeddings.sparkSession.createDataFrame(
+        [],
+        f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int",
+    )
+
+
+def _matrix_scorer(q_ids: list, Q: "np.ndarray", id_type: str, topk: int = 0):
+    """mapInPandas scorer for candidate rows (query_id, neighbor_id,
+    c_vec): cos_sim = row-normalized c_vec . normalized Q[query_id],
+    one einsum per Arrow batch (no per-pair interpreted HOFs).
+
+    ``topk`` > 0 additionally trims each batch to its per-query top-k
+    by (cos desc, neighbor_id asc) — a map-side partial top-k, so the
+    downstream global window shuffles O(batches * k) rows per query
+    instead of every candidate.
+    """
+    QN = _norm_rows(Q)
+    qindex = {qid: i for i, qid in enumerate(q_ids)}
+    schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _norm_rows(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]])
+            )
+            qi = np.fromiter(
+                (qindex[q] for q in pdf["query_id"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            cos = np.round(np.einsum("ij,ij->i", V, QN[qi]), 6)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cos_sim": cos,
+                }
+            )
+            if topk:
+                out = (
+                    out.sort_values(
+                        ["query_id", "cos_sim", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(topk)
+                )
+            yield out
+
+    return score, schema
+
+
+def _window_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -54,31 +143,50 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, cos, rank).
 
-    ``queries`` must be small (it is broadcast); self-matches excluded.
+    ``queries`` must be small (collected into the kernel closure, the
+    exact_near_duplicates pattern); self-matches excluded.  The corpus
+    streams through one scan doing a (rows x dim) @ (dim x |Q|) float64
+    matmul per Arrow batch with a per-batch partial top-k, then one
+    window resolves the global top-k — the former crossJoin scored each
+    pair with an interpreted aggregate(zip_with(...)), ~10-30x slower.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    if not q_ids:
+        return _empty_topk(embeddings, id_col)
+    QN = _norm_rows(Q).T  # (dim, m)
+    id_type = dict(embeddings.dtypes)[id_col]
+    qid_frame = pd.DataFrame({"query_id": q_ids})
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _norm_rows(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            cos = np.round(V @ QN, 6)  # (n, m)
+            n, m = cos.shape
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(qid_frame["query_id"].to_numpy(), n),
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
+                    "cos_sim": cos.ravel(),
+                }
+            )
+            out = out[out["query_id"] != out["neighbor_id"]]
+            yield (
+                out.sort_values(
+                    ["query_id", "cos_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _window_topk(scored, k)
 
 
 def exact_near_duplicates(
@@ -203,6 +311,26 @@ def lsh_topk(
     tests measure recall vs brute force.
     """
     planes = hyperplanes(dim, r * tables, seed)
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    if not q_ids:
+        return _empty_topk(embeddings, id_col)
+    id_type = dict(embeddings.dtypes)[id_col]
+    # query buckets computed driver-side with the SAME numpy formula as
+    # the corpus-side lsh_buckets kernel (sign rule + bit packing), so
+    # no q_vec ever enters the join: the probe table is (query_id,
+    # table, bucket) rows only
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
+    bits = (Q @ P.T) >= 0.0
+    bm = bits.reshape(len(q_ids), tables, r).astype(np.int64) @ weights
+    q = embeddings.sparkSession.createDataFrame(
+        [
+            (qid, int(t), int(bm[i, t]))
+            for i, qid in enumerate(q_ids)
+            for t in range(tables)
+        ],
+        f"query_id {id_type}, table int, bucket bigint",
+    )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -210,31 +338,14 @@ def lsh_topk(
             "table", "bucket"
         ),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.posexplode(lsh_buckets(F.col(vec_col), planes, r, tables)).alias(
-            "table", "bucket"
-        ),
-    )
-    scored = (
+    cand = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", "c_vec")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    score, schema = _matrix_scorer(q_ids, Q, id_type, topk=k)
+    return _window_topk(cand.mapInPandas(score, schema=schema), k)
 
 
 def _norm_rows(M: "np.ndarray") -> "np.ndarray":
@@ -367,6 +478,9 @@ def ivf_topk(
     against brute force.
     """
     C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    if not q_ids:
+        return _empty_topk(embeddings, id_col)
     assign = _assign_udf(C)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -375,37 +489,28 @@ def ivf_topk(
     )
     Cn = _norm_rows(np.asarray(C, dtype=np.float64)).T
     npb = min(nprobe, n_centroids)
-
-    @F.pandas_udf("array<int>")
-    def _probes(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        V = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in vs]))
-        order = np.argsort(-(V @ Cn), axis=1)[:, :npb].astype(np.int32)
-        return pd.Series(list(order))
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(_probes(F.col(vec_col))).alias("cid"),
+    # probe selection driver-side (the query set is collected anyway for
+    # the scoring matrix — same argsort over the same normalized floats
+    # the former per-row UDF computed); the probe table joined onto the
+    # corpus is (query_id, cid) rows only, never a vector
+    QV = _norm_rows(Q)
+    order = np.argsort(-(QV @ Cn), axis=1)[:, :npb]
+    id_type = dict(embeddings.dtypes)[id_col]
+    q = embeddings.sparkSession.createDataFrame(
+        [
+            (qid, int(order[i, p]))
+            for i, qid in enumerate(q_ids)
+            for p in range(order.shape[1])
+        ],
+        f"query_id {id_type}, cid int",
     )
-    scored = (
+    cand = (
         c.join(F.broadcast(q), "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", "c_vec")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    score, schema = _matrix_scorer(q_ids, Q, id_type, topk=k)
+    return _window_topk(cand.mapInPandas(score, schema=schema), k)
 
 
 def embedding_near_duplicates(
@@ -425,29 +530,56 @@ def embedding_near_duplicates(
     while keeping bucket sizes ~n/2^6 per table.
     """
     planes = hyperplanes(dim, r * tables, seed)
+    # id-only band self-join (the minhash band-join shape,
+    # dedup_docs.py): the (table, bucket) shuffle carries two ids per
+    # row, never the vectors — carrying both vectors multiplied shuffle
+    # bytes by dim x L tables.  Vectors re-attach by id join after the
+    # pair dedup, then one numpy kernel scores each pair row-wise.
     d = embeddings.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         F.posexplode(lsh_buckets(F.col(vec_col), planes, r, tables)).alias(
             "table", "bucket"
         ),
     )
-    lhs = d.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "table", "bucket"
-    )
-    rhs = d.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "table", "bucket"
-    )
-    return (
+    lhs = d.select(F.col("id").alias("id_a"), "table", "bucket")
+    rhs = d.select(F.col("id").alias("id_b"), "table", "bucket")
+    pairs = (
         lhs.join(rhs, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= min_cos)
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    withv = pairs.join(va, "id_a").join(vb, "id_b")
+    id_type = dict(embeddings.dtypes)[id_col]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _norm_rows(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec_a"]])
+            )
+            B = _norm_rows(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec_b"]])
+            )
+            cos = np.round(np.einsum("ij,ij->i", A, B), 6)
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "cos_sim": cos,
+                }
+            )
+            yield out[out["cos_sim"] >= min_cos]
+
+    return withv.mapInPandas(
+        score, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
 
 
@@ -513,7 +645,9 @@ def semantic_duplicates(
                 mx = 0.0
             ok = mx < threshold
             keep_flags.append(ok)
-            dup_of.append(None if ok else int(pdf["id"].iloc[kept[j]]))
+            # object dtype keeps None + the id's native type (int OR
+            # string) intact through the Arrow conversion
+            dup_of.append(None if ok else pdf["id"].iloc[kept[j]])
             max_sim.append(round(mx, 6))
             if ok:
                 kept.append(i)
@@ -522,11 +656,18 @@ def semantic_duplicates(
                 "id": pdf["id"],
                 "cid": pdf["cid"],
                 "kept": keep_flags,
-                "dup_of": pd.array(dup_of, dtype="Int64"),
+                "dup_of": pd.Series(dup_of, dtype=object),
                 "max_kept_sim": max_sim,
             }
         )
 
+    # derive the id field type from the input (string vec_ids must not
+    # silently coerce at the Arrow boundary); dup_of shares it
+    id_type = dict(embeddings.dtypes)[id_col]
     return assigned.groupBy("cid").applyInPandas(
-        prune, schema="id long, cid int, kept boolean, dup_of long, max_kept_sim double"
+        prune,
+        schema=(
+            f"id {id_type}, cid int, kept boolean, "
+            f"dup_of {id_type}, max_kept_sim double"
+        ),
     )
