@@ -313,11 +313,16 @@ def q_url_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from web_content_extractor_spark.sources.urls import parse_url_items, url_batch
 
+    # deterministic cap: the work list is driver-side by contract, but
+    # its size must not scale with the corpus — take the 500 smallest
+    # eligible doc_ids (TakeOrdered, no full collect)
     ids = sorted(
         r.doc_id
         for r in _read(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 0)
+        .orderBy("doc_id")
+        .limit(500)
         .collect()
     )
     # the URL list is a trigger INPUT (driver-side by contract —
@@ -2315,7 +2320,8 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (WHERE kind = 'youtube') AS youtube_count,
                count(*) FILTER (WHERE kind = 'other') AS other_count
         FROM links
-        WHERE base IN (SELECT base FROM d WHERE doc_id % 3 = 0)
+        WHERE base IN (SELECT base FROM d WHERE doc_id % 3 = 0
+                       ORDER BY doc_id LIMIT 500)
         GROUP BY base
         """,
         "video_ids": """

@@ -175,9 +175,17 @@ def encode_with_merges(
     split = _re.compile(r"[ \t\n\x0b\f\r]+")
     id_field = docs.schema[id_col].dataType.simpleString()
 
+    # cache bound: web text has effectively unbounded distinct-word
+    # cardinality per partition, so an uncapped cross-batch cache is an
+    # executor memory leak over the task lifetime; hit rates live
+    # within a batch (Zipf), so resetting at the cap costs little
+    max_cache = 1_000_000
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}
         for pdf in batches:
+            if len(cache) > max_cache:
+                cache = {}
             ids: list = []
             n_words: list[int] = []
             n_sub: list[int] = []
