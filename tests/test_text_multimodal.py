@@ -242,12 +242,105 @@ def test_image_features_real_path(spark):
     )
 
 
-def test_video_decoder_is_marked_stub(spark, media_df):
-    with pytest.raises(Exception) as ei:
-        multimodal.sample_frames(
-            media_df.where("media_type = 'video'"), deterministic_fake=False
-        ).collect()
-    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+def _tiny_y4m(w=4, h=2, fps=(25, 1), n_frames=5, colorspace="420"):
+    """Hand-built YUV4MPEG2 stream (stdlib only): returns (payload,
+    frame_bytes_list)."""
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{colorspace}jpeg"
+    if colorspace == "mono":
+        header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Cmono"
+        fb = w * h
+    else:
+        fb = w * h + 2 * (w // 2) * (h // 2)
+    frames = [bytes((i * 7 + j) % 256 for j in range(fb)) for i in range(n_frames)]
+    payload = header.encode() + b"\n"
+    for fr in frames:
+        payload += b"FRAME\n" + fr
+    return payload, frames
+
+
+def _tiny_avi(w=2, h=2, us_per_frame=40000, n_frames=2):
+    """Hand-built BI_RGB AVI (stdlib only): (payload, frame_bytes_list)."""
+    import struct
+
+    def chunk(cid, data):
+        return (
+            cid + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b"")
+        )
+
+    avih = struct.pack(
+        "<10I", us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    # BITMAPINFOHEADER with biCompression=0 (BI_RGB) at offset 16
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"strf", strf)
+    fb = w * h * 3
+    frames = [bytes((i * 11 + j) % 256 for j in range(fb)) for i in range(n_frames)]
+    movi = b"movi" + b"".join(chunk(b"00db", fr) for fr in frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body, frames
+
+
+def test_video_y4m_real_decode_golden(spark):
+    import hashlib
+
+    payload, frames = _tiny_y4m()  # 25 fps -> frame ts 0,40,80,120,160
+    media = spark.createDataFrame(
+        [("v1", "d1", "video", "video/x-y4m", payload,
+          {"width": 4, "height": 2, "duration_ms": 200, "n_bytes": len(payload)})],
+        schema=multimodal.MEDIA,
+    )
+    rows = multimodal.sample_frames(
+        media, every_ms=100, deterministic_fake=False
+    ).collect()
+    # cadence 100 ms: first frame at-or-after 0 (ts 0) and 100 (ts 120)
+    got = sorted((r.frame_ts_ms, r.frame_hash) for r in rows)
+    want = [
+        (0, hashlib.sha256(frames[0]).hexdigest()),
+        (120, hashlib.sha256(frames[3]).hexdigest()),
+    ]
+    assert got == want
+
+
+def test_video_avi_real_decode_golden(spark):
+    import hashlib
+
+    payload, frames = _tiny_avi()  # 40000 us/frame -> ts 0, 40
+    media = spark.createDataFrame(
+        [("v2", "d1", "video", "video/avi", payload,
+          {"width": 2, "height": 2, "duration_ms": 80, "n_bytes": len(payload)})],
+        schema=multimodal.MEDIA,
+    )
+    rows = multimodal.sample_frames(
+        media, every_ms=40, deterministic_fake=False
+    ).collect()
+    got = sorted((r.frame_ts_ms, r.frame_hash) for r in rows)
+    want = [(i * 40, hashlib.sha256(fr).hexdigest()) for i, fr in enumerate(frames)]
+    assert got == want
+
+
+def test_video_unsupported_codec_falls_back(spark, media_df):
+    # a compressed/unknown payload must fall back to the deterministic
+    # synthesis (drop-not-fail, like the image branch) — identical rows
+    # to the plumbing-only mode
+    vid = media_df.where("media_type = 'video'")
+    real = multimodal.sample_frames(vid, deterministic_fake=False).collect()
+    fake = multimodal.sample_frames(vid, deterministic_fake=True).collect()
+    assert sorted(map(tuple, real)) == sorted(map(tuple, fake))
+    assert len(real) == 4  # 3500 ms at 1000 ms cadence
+
+
+def test_y4m_decoder_robustness():
+    # truncated tail frame is dropped, garbage returns None
+    payload, frames = _tiny_y4m(n_frames=3)
+    w, h, num, den, out = multimodal._decode_y4m(payload[:-3])
+    assert out == frames[:2]
+    assert multimodal._decode_y4m(b"garbage") is None
+    assert multimodal._decode_y4m(b"") is None
+    assert multimodal._decode_avi_rgb(b"RIFF\x00\x00\x00\x00WAVE") is None
+    # mono colorspace sizing
+    p2, f2 = _tiny_y4m(colorspace="mono")
+    assert multimodal._decode_y4m(p2)[4] == f2
 
 
 def test_frame_sampling_fanout(spark, media_df):

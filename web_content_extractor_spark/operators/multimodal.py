@@ -62,14 +62,138 @@ IMAGE_FEATURES = T.StructType(
 )
 
 
-def _decode_video_real(payload: bytes) -> object:
-    """Real video-decode slot. STUB: no codec libraries (ffmpeg) in
-    this container — the one genuinely environment-blocked decode; the
-    image (PNG) and PDF branches below are real pure-Python decoders."""
-    raise NotImplementedError(
-        "video frame decode requires ffmpeg/pyav — not available in "
-        "this environment; use deterministic_fake=True for plumbing tests"
-    )
+# Y4M colorspace -> chroma plane size as a fraction of (w, h); frame
+# bytes = w*h * (1 + 2 * cw*ch) for the planar layouts below
+_Y4M_CHROMA = {
+    "420": (0.5, 0.5),  # 420jpeg / 420mpeg2 / 420paldv all share sizing
+    "422": (0.5, 1.0),
+    "444": (1.0, 1.0),
+    "mono": (0.0, 0.0),
+}
+
+
+def _decode_y4m(payload: bytes):
+    """Pure-stdlib YUV4MPEG2 decoder: (w, h, fps_num, fps_den, frames).
+
+    Y4M is the uncompressed interchange container (the output side of
+    every ffmpeg rawvideo pipe), so it parses with byte arithmetic
+    alone: a space-separated ASCII header line, then per frame a FRAME
+    marker line followed by the raw planar YUV bytes.  Frames are
+    returned as the raw plane bytes per frame (Y first — callers hash
+    or feature them; layout is planar by construction).  Returns None
+    for anything that is not Y4M (caller falls back).
+    """
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode("ascii", "replace").split(" ")
+        w = h = 0
+        num, den = 25, 1
+        cs = "420"
+        for p in header[1:]:
+            if not p:
+                continue
+            if p[0] == "W":
+                w = int(p[1:])
+            elif p[0] == "H":
+                h = int(p[1:])
+            elif p[0] == "F":
+                num, den = (int(x) for x in p[1:].split(":"))
+            elif p[0] == "C":
+                for key in _Y4M_CHROMA:
+                    if p[1:].startswith(key):
+                        cs = key
+                        break
+        if w <= 0 or h <= 0 or num <= 0 or den <= 0:
+            return None
+        cw, ch = _Y4M_CHROMA[cs]
+        frame_bytes = w * h + 2 * int(w * cw) * int(h * ch)
+        frames: list[bytes] = []
+        pos = nl + 1
+        n = len(payload)
+        while pos < n:
+            if not payload.startswith(b"FRAME", pos):
+                return None  # corrupt frame marker: drop-not-fail
+            fnl = payload.index(b"\n", pos)
+            start = fnl + 1
+            end = start + frame_bytes
+            if end > n:
+                break  # truncated tail frame: keep what fully decoded
+            frames.append(payload[start:end])
+            pos = end
+        return (w, h, num, den, frames)
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_avi_rgb(payload: bytes):
+    """Pure-stdlib uncompressed-AVI (BI_RGB) decoder: same tuple shape
+    as :func:`_decode_y4m`.
+
+    Walks the RIFF chunk tree: 'avih' gives microseconds/frame and
+    dimensions, and raw '##db'/'##dc' chunks inside the 'movi' list are
+    the bottom-up BGR frame payloads.  Compressed codecs (biCompression
+    != 0) return None — the deterministic fallback handles them.
+    """
+    import struct as _struct
+
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    try:
+        us_per_frame = w = h = 0
+        compression_ok = True
+        frames: list[bytes] = []
+
+        def walk(start: int, end: int):
+            nonlocal us_per_frame, w, h, compression_ok, frames
+            pos = start
+            while pos + 8 <= end:
+                cid = payload[pos : pos + 4]
+                (size,) = _struct.unpack_from("<I", payload, pos + 4)
+                body, bend = pos + 8, pos + 8 + size
+                if bend > end:
+                    break
+                if cid in (b"RIFF", b"LIST"):
+                    walk(body + 4, bend)
+                elif cid == b"avih" and size >= 40:
+                    # AVIMAINHEADER: MicroSecPerFrame, MaxBytesPerSec,
+                    # PaddingGranularity, Flags, TotalFrames,
+                    # InitialFrames, Streams, SuggestedBufferSize,
+                    # Width, Height
+                    vals = _struct.unpack_from("<10I", payload, body)
+                    us_per_frame = vals[0]
+                    w, h = vals[8], vals[9]
+                elif cid == b"strf" and size >= 20:
+                    (comp,) = _struct.unpack_from("<I", payload, body + 16)
+                    if comp != 0:  # not BI_RGB
+                        compression_ok = False
+                elif cid[2:4] in (b"db", b"dc") and size > 0:
+                    frames.append(payload[body:bend])
+                pos = bend + (size & 1)  # chunks are word-aligned
+
+        walk(12, len(payload))
+        if not compression_ok or w <= 0 or h <= 0 or not frames:
+            return None
+        # fps num:den from integer microseconds/frame
+        num, den = (1_000_000, us_per_frame) if us_per_frame > 0 else (25, 1)
+        return (w, h, num, den, frames)
+    except (ValueError, IndexError, _struct.error):
+        return None
+
+
+def _decode_video_real(payload: bytes):
+    """Real video decode: uncompressed containers parse with stdlib
+    alone (Y4M from any ffmpeg rawvideo pipe; BI_RGB AVI).  Compressed
+    codecs (h264 etc.) have no decoder in this environment and return
+    None — callers keep the deterministic synthesis fallback, the same
+    drop-not-fail contract as the image branch."""
+    return _decode_y4m(payload) or _decode_avi_rgb(payload)
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -529,10 +653,19 @@ def parse_pdf_layout(
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, deterministic_fake: bool = True
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads.
+    """Frame sampling for video payloads: one row per sampled frame.
 
-    Emits one row per sampled frame timestamp (schema + fan-out shape
-    real; frame decode itself stubbed behind the fake backend).
+    With ``deterministic_fake=False`` supported uncompressed containers
+    (Y4M, BI_RGB AVI) are REALLY decoded: ``frame_ts_ms`` is the true
+    frame timestamp from the container frame rate and ``frame_hash``
+    the sha256 of the raw decoded frame bytes; at each ``every_ms``
+    cadence point the first frame at-or-after it is emitted.  Payloads
+    no decoder handles (compressed codecs) fall back to the
+    deterministic synthesis below — drop-not-fail, mirroring the image
+    branch.  ``deterministic_fake=True`` (default) skips decode
+    entirely and keeps the pure plumbing behavior: one synthetic row
+    per cadence point over meta.duration_ms, hash keyed on
+    (payload, ts).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -542,10 +675,26 @@ def sample_frames(
             for media_id, doc_id, payload, meta in zip(
                 pdf["media_id"], pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
-                if not deterministic_fake:
-                    _decode_video_real(b"")  # pragma: no cover
-                duration = (meta or {}).get("duration_ms") or 0
                 payload = bytes(payload) if payload is not None else b""
+                decoded = None if deterministic_fake else _decode_video_real(payload)
+                if decoded is not None:
+                    _w, _h, num, den, frames = decoded
+                    due = 0
+                    for i, fr in enumerate(frames):
+                        ts = i * 1000 * den // num
+                        if ts < due:
+                            continue
+                        rows.append(
+                            (
+                                media_id,
+                                doc_id,
+                                ts,
+                                hashlib.sha256(fr).hexdigest(),
+                            )
+                        )
+                        due = (ts // every_ms + 1) * every_ms
+                    continue
+                duration = (meta or {}).get("duration_ms") or 0
                 rows += [
                     (
                         media_id,
