@@ -406,3 +406,46 @@ def test_cdx_requires_warc_format(tmp_path):
          "--cdx-output", str(tmp_path / "c")]
     )
     assert rc == 2
+
+
+def test_cdx_addr_modes_and_member_range_access(spark):
+    # the CDX contract per storage layout: plain .warc -> file offsets;
+    # per-record-gzipped .warc.gz (Common Crawl) -> COMPRESSED member
+    # offset + length, verified by actually range-slicing the stored
+    # blob and gunzipping the member; whole-file gzip -> 'inflated'
+    import gzip
+
+    from web_content_extractor_spark.sources.warc import (
+        parse_warc_records,
+        warc_cdx,
+    )
+
+    r1 = _rec("https://a.example.com/1", b"<p>one</p>")
+    r2 = _rec("https://a.example.com/2", b"<p>two-longer</p>")
+    plain = r1 + r2
+    per_record = gzip.compress(r1, mtime=0) + gzip.compress(r2, mtime=0)
+    whole = gzip.compress(plain, mtime=0)
+    blobs = spark.createDataFrame(
+        [(1, plain), (2, per_record), (3, whole)], "blob_id long, blob binary"
+    )
+    idx = warc_cdx(parse_warc_records(blobs)).collect()
+    by = {}
+    for r in idx:
+        by.setdefault(r.blob_id, []).append(r)
+    stored = {1: plain, 2: per_record, 3: whole}
+    recs = {"https://a.example.com/1": r1, "https://a.example.com/2": r2}
+
+    assert {r.addr_mode for r in by[1]} == {"file"}
+    for r in sorted(by[1], key=lambda r: r.rec_offset):
+        # file offsets: seek + read reproduces the record bytes
+        assert stored[1][r.rec_offset:r.rec_offset + r.rec_bytes] == recs[r.target_uri]
+
+    assert {r.addr_mode for r in by[2]} == {"gzip-member"}
+    for r in by[2]:
+        # compressed member extent: byte-range fetch + gunzip the member
+        member = stored[2][r.rec_offset:r.rec_offset + r.rec_bytes]
+        assert gzip.decompress(member) == recs[r.target_uri]
+
+    assert {r.addr_mode for r in by[3]} == {"inflated"}
+    for r in by[3]:
+        assert plain[r.rec_offset:r.rec_offset + r.rec_bytes] == recs[r.target_uri]

@@ -51,8 +51,20 @@ _HDR_RE = re.compile(rb"([A-Za-z0-9-]+):[ \t]*([^\r\n]*)\r?\n")
 
 PARSED_SCHEMA = (
     "blob_id bigint, rec_no int, target_uri string, payload binary, "
-    "warc_type string, rec_offset bigint, rec_bytes bigint"
+    "warc_type string, rec_offset bigint, rec_bytes bigint, "
+    "addr_mode string"
 )
+
+# addr_mode semantics for (rec_offset, rec_bytes):
+#   'file'        — offsets into the stored file as-is (plain .warc):
+#                   seek + read works directly
+#   'gzip-member' — offsets of the gzip MEMBER holding the record in
+#                   the stored .warc.gz (per-record-gzipped, the Common
+#                   Crawl layout): byte-range fetch + gunzip the member
+#                   — the real CDX contract for compressed archives
+#   'inflated'    — offsets into the inflated stream (whole-file gzip:
+#                   records are not member-addressable); a consumer
+#                   must inflate the file before seeking
 
 
 def warc_record(uri: Column, payload_text: Column) -> Column:
@@ -110,33 +122,51 @@ def warc_blob_per_group(
     return ordered.select("blob_id", blob.alias("blob"))
 
 
-def _maybe_gunzip(blob: bytes) -> bytes:
+def _inflate_with_members(blob: bytes):
     """Inflate a (possibly multi-member, i.e. per-record-gzipped
-    Common Crawl style) gzip stream; pass plain bytes through.
+    Common Crawl style) gzip stream, tracking member boundaries.
+
+    Returns ``(inflated, members)`` where ``members`` is a list of
+    ``(comp_off, comp_len, infl_off, infl_len)`` per gzip member —
+    offsets into the ORIGINAL compressed blob and into the inflated
+    stream respectively — or ``(blob, None)`` for non-gzip input.
 
     Drop-not-fail: a truncated/corrupt member salvages every member
     decoded before it rather than failing the task — a crawler dying
     mid-write must not abort the whole ingest batch or stream.
     """
     if len(blob) < 2 or blob[0] != 0x1F or blob[1] != 0x8B:
-        return blob
+        return blob, None
     import zlib
 
     out = bytearray()
+    members: list[tuple[int, int, int, int]] = []
     data = blob
+    comp_off = 0
     while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
         try:
-            out += d.decompress(data)
+            infl = d.decompress(data)
             while d.unconsumed_tail:
-                out += d.decompress(d.unconsumed_tail)
-            out += d.flush()
+                infl += d.decompress(d.unconsumed_tail)
+            infl += d.flush()
         except zlib.error:
             break  # salvage the members decoded so far
+        consumed = len(data) - len(d.unused_data)
+        members.append((comp_off, consumed, len(out), len(infl)))
+        out += infl
         if not d.eof:
             break  # truncated final member: keep what flushed
+        comp_off += consumed
         data = d.unused_data
-    return bytes(out)
+    return bytes(out), members
+
+
+def _maybe_gunzip(blob: bytes) -> bytes:
+    """Inflate a gzip stream (any member layout); pass plain bytes
+    through.  See :func:`_inflate_with_members` for the salvage
+    semantics."""
+    return _inflate_with_members(blob)[0]
 
 
 def _walk_records(
@@ -202,23 +232,52 @@ def parse_warc_records(
     lineage).
     """
 
+    from bisect import bisect_right
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, recnos, uris, payloads = [], [], [], []
-            types, offs, lens = [], [], []
+            types, offs, lens, modes = [], [], [], []
             for bid, blob in zip(pdf[id_col], pdf[blob_col]):
                 if blob is None:
                     continue
+                inflated, members = _inflate_with_members(bytes(blob))
+                infl_offs = (
+                    [m[2] for m in members] if members is not None else []
+                )
                 rec_no = 0
-                for rec in _walk_records(_maybe_gunzip(bytes(blob))):
+                for rec in _walk_records(inflated):
                     if rec is not None:
+                        off, nbytes = rec[3], rec[4]
+                        if members is None:
+                            mode = "file"  # plain .warc: offsets ARE
+                            # stored-file offsets, seekable as-is
+                        else:
+                            # map the record back to its gzip member:
+                            # per-record-gzip archives (the Common
+                            # Crawl layout) inflate each member to
+                            # exactly one record, so the COMPRESSED
+                            # member extent addresses it and readers
+                            # can byte-range fetch the stored .warc.gz.
+                            # A member holding more than one record
+                            # (whole-file gzip) is NOT record-
+                            # addressable — member offsets would lose
+                            # the record's position inside it.
+                            mi = bisect_right(infl_offs, off) - 1
+                            m = members[mi] if mi >= 0 else None
+                            if m and off == m[2] and nbytes == m[3]:
+                                mode, off, nbytes = "gzip-member", m[0], m[1]
+                            else:
+                                mode = "inflated"  # offsets refer to
+                                # the inflated stream
                         ids.append(bid)
                         recnos.append(rec_no)
                         uris.append(rec[0])
                         payloads.append(rec[1])
                         types.append(rec[2])
-                        offs.append(rec[3])
-                        lens.append(rec[4])
+                        offs.append(off)
+                        lens.append(nbytes)
+                        modes.append(mode)
                     rec_no += 1
             if not ids:
                 continue  # empty frames break Arrow list/binary typing
@@ -231,6 +290,7 @@ def parse_warc_records(
                     "warc_type": types,
                     "rec_offset": pd.Series(offs, dtype="int64"),
                     "rec_bytes": pd.Series(lens, dtype="int64"),
+                    "addr_mode": modes,
                 }
             )
 
@@ -322,16 +382,19 @@ def surt_key(url: Column) -> Column:
 
 def warc_cdx(parsed: DataFrame) -> DataFrame:
     """CDX-style random-access index over parsed WARC records:
-    (urlkey, blob_id, rec_offset, rec_bytes, target_uri, warc_type).
+    (urlkey, blob_id, rec_offset, rec_bytes, target_uri, warc_type,
+    addr_mode).
 
     The companion artifact every web archive ships next to its WARC
     files — a reader seeks to (blob, offset) and reads ``rec_bytes``
-    instead of scanning the archive.  Offsets refer to the blob the
-    walker saw (for ``.warc.gz`` inputs that is the INFLATED stream;
-    index the plain archives if byte-range HTTP fetches over the
-    compressed file are required).  Sorting by ``urlkey`` clusters a
-    domain's records contiguously (SURT), the property CDX range
-    queries rely on.
+    instead of scanning the archive.  ``addr_mode`` says what the
+    offsets address (see PARSED_SCHEMA note): 'file' for plain .warc,
+    'gzip-member' for per-record-gzipped .warc.gz (compressed member
+    offset + length — byte-range fetch then gunzip, the real CDX
+    contract), 'inflated' for whole-file-gzipped archives that are not
+    member-addressable.  Sorting by ``urlkey`` clusters a domain's
+    records contiguously (SURT), the property CDX range queries rely
+    on.
     """
     return parsed.select(
         surt_key(F.col("target_uri")).alias("urlkey"),
@@ -340,4 +403,5 @@ def warc_cdx(parsed: DataFrame) -> DataFrame:
         "rec_bytes",
         "target_uri",
         "warc_type",
+        "addr_mode",
     ).where(F.col("urlkey").isNotNull())
