@@ -736,6 +736,51 @@ def main() -> int:
         ],
     )
 
+    # ngram_jaccard — the max_df skew guard must broadcast the HOT
+    # grams (df > cap, a handful of boilerplate shingles) via a
+    # left-anti join, never the corpus-sized kept vocabulary (a
+    # multi-GB driver broadcast at 100x scale)
+    nj = contract.q_ngram_jaccard(spark, SF_DIR)
+    p = formatted(nj)
+    audit(
+        "ngram_jaccard (exact n-gram near-dup pairs)",
+        nj,
+        [
+            ("hot grams removed by a broadcast LeftAnti join",
+             "BroadcastHashJoin LeftAnti BuildRight" in p),
+            ("the broadcast input is the df > max_df aggregate "
+             "(hot set), not the kept vocabulary",
+             bool(re.search(r"Condition : \(df#\d+L? > 1000", p))),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # embedding_neardup — the (table, bucket) band self-join must
+    # shuffle ids only (vectors re-attach by id after the pair dedup)
+    # and score pairs in ONE Arrow kernel, not per-pair HOFs
+    en = contract.q_embedding_neardup(spark, SF_DIR)
+    p = formatted(en)
+    # at sf-test scale AQE broadcasts the band join (no exchange at
+    # all); what must hold at EVERY scale is that no shuffle in this
+    # plan repartitions rows that still carry an embedding vector
+    shuffles = [
+        m.group(0) for m in re.finditer(r"hashpartitioning\([^\)]*\)", p)
+    ]
+    audit(
+        "embedding_neardup (LSH band self-join)",
+        en,
+        [
+            ("no shuffle carries an embedding vector (id-only band "
+             "join + pair dedup; vectors re-attach by id)",
+             all("vec" not in e and "embedding" not in e for e in shuffles)),
+            ("exactly one Arrow scoring kernel",
+             len(re.findall(r"\(\d+\) MapInPandas", p)) == 1),
+            ("no interpreted HOF cosine (aggregate/zip_with)",
+             "zip_with" not in p and "aggregate(" not in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "
