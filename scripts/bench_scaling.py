@@ -142,17 +142,19 @@ executor count scales N -> 4N, exactly the shape of the rule.
 
 Job: flagship end-to-end extraction — parquet scan of the
 materialized interleaved corpus ({docs} docs, ~5 KB HTML each,
-synthesized deterministically from `documents` sf0.1 x{rep}) ->
+synthesized deterministically from `documents` sf0.1 x{rep}; the rep
+count is sized so the N-level run stays >= 60 s, keeping fixed costs
+<2% of the measurement) ->
 `mapInPandas` Arrow tokenizer -> native classify/assemble -> noop
 sink of the canonical nested spans table (the full plan executes; no
 sink cost).
 Wall-clock is best-of-4 steady-state passes per JVM, best JVM over
-repeated trials per level; session startup, Python-worker warmup,
-page-cache warm, and one-time Catalyst planning are excluded, and the
-per-pass host CPU-steal fraction is recorded (the hypervisor throttles
-this VM in bursts and neighbor VMs add 2x wall-clock swings — the
-max-throughput trial is the least-interfered measurement; best passes
-below saw <0.3% steal).
+repeated trials per level{trials_note}; session startup,
+Python-worker warmup, page-cache warm, and one-time Catalyst planning
+are excluded, and the per-pass host CPU-steal fraction is recorded
+(the hypervisor throttles this VM in bursts and neighbor VMs add 2x
+wall-clock swings — the max-throughput trial is the least-interfered
+measurement; best passes below saw <0.3% steal).
 
 Each executor JVM — with every thread and Python worker it forks — is
 pinned (`taskset`) to exactly its own `cores` CPUs at BOTH levels, so
@@ -169,6 +171,7 @@ a single-box artifact, not a property of the engine.
 
 **Scaling efficiency (tp_4N / tp_N) / 4 = {eff_exec}** (target >= 0.8;
 the N-level run is {sec_lo}s >= 60s per the measurement protocol).
+{spread}
 
 ## Context: single-JVM thread scaling (local[k])
 
@@ -204,8 +207,45 @@ AQE when the file layout is uneven (pipeline.tokenize(balance=True)).
 
 def assemble(rep: int) -> None:
     """Build BENCH.md from child JSONs saved under .bench/ by the
-    step-wise driver (each child needs its own wall-clock window)."""
+    step-wise driver (each child needs its own wall-clock window).
+
+    If `.bench/trials/` exists (lo_*.json / hi_*.json / local{{k}}.json
+    written by repeated child runs), the best-throughput trial per
+    level is used and the full per-level spread is reported — the
+    documented protocol for this steal-noisy host.
+    """
     bdir = os.path.join(REPO, ".bench")
+    tdir = os.path.join(bdir, "trials")
+
+    def _load_trials(pat: str) -> list[dict]:
+        import glob
+        return [json.load(open(p)) for p in sorted(glob.glob(
+            os.path.join(tdir, pat)))]
+
+    los, his = _load_trials("lo_*.json"), _load_trials("hi_*.json")
+    if los and his:
+        best = lambda rs: max(rs, key=lambda r: r["docs_per_sec"])
+        ex_lo, ex_hi = best(los), best(his)
+        threads = []
+        for k in (8, 32):
+            tk = _load_trials(f"local{k}.json")
+            threads.append(best(tk) if tk else json.load(
+                open(os.path.join(bdir, f"local{k}.json"))))
+        import textwrap
+        spread = "\n".join(textwrap.wrap(
+            "Trial spread (docs/sec): N-level "
+            + " / ".join(str(r["docs_per_sec"]) for r in
+                         sorted(los, key=lambda r: r["docs_per_sec"]))
+            + "; 4N-level "
+            + " / ".join(str(r["docs_per_sec"]) for r in
+                         sorted(his, key=lambda r: r["docs_per_sec"]))
+            + " — the ambient-interference band this VM shows all "
+            "round; best-of-trials is the least-interfered pairing.",
+            width=70))
+        _write_md(ex_lo, ex_hi, threads, rep, spread=spread,
+                  trials_note=(f" ({len(los)} trials per level,\nall "
+                               "recorded in `.bench/trials/`)"))
+        return
     ex_lo = json.load(open(os.path.join(bdir, "exec_lo.json")))
     ex_hi = json.load(open(os.path.join(bdir, "exec_hi.json")))
     threads = [
@@ -214,7 +254,8 @@ def assemble(rep: int) -> None:
     _write_md(ex_lo, ex_hi, threads, rep)
 
 
-def _write_md(ex_lo: dict, ex_hi: dict, threads: list[dict], rep: int) -> None:
+def _write_md(ex_lo: dict, ex_hi: dict, threads: list[dict], rep: int,
+              spread: str = "", trials_note: str = "") -> None:
     eff_exec = (ex_hi["docs_per_sec"] / ex_lo["docs_per_sec"]) / 4
     summary = {
         "executors": [ex_lo, ex_hi],
@@ -256,6 +297,7 @@ def _write_md(ex_lo: dict, ex_hi: dict, threads: list[dict], rep: int) -> None:
             rep=rep, docs=ex_lo["docs"],
             exec_rows=exec_rows, thread_rows=thread_rows,
             eff_exec=round(eff_exec, 3), sec_lo=ex_lo["sec"],
+            spread=spread, trials_note=trials_note,
             arrow=ex_lo["conf"]["spark.sql.execution.arrow.maxRecordsPerBatch"],
         ))
         f.write(extra)
@@ -270,7 +312,7 @@ def main() -> None:
     p.add_argument("--executors", type=int, default=0)
     p.add_argument("--exec-cores", type=int, default=2)
     p.add_argument("--rep", type=int,
-                   default=int(os.environ.get("SPARK_GRAFT_SCALE_REP", "30")))
+                   default=int(os.environ.get("SPARK_GRAFT_SCALE_REP", "40")))
     p.add_argument("--sf-dir",
                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                           "/root/testdata/sf0.1"))
