@@ -665,24 +665,6 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _read(spark, sf_dir, "events")
-        .select("event_type")
-        .distinct()
-        .orderBy("event_type")
-    )
-
-
-def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _read(spark, sf_dir, "orders")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
-
-
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-ordering window analog: first 3 events per user."""
     from pyspark.sql import Window
@@ -1879,6 +1861,35 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC scan over byte codes + exact
+    re-rank of refine*k candidates (approximate by design -> rows-only;
+    recall + refine-all==brute-force anchors pinned in
+    tests/test_dedup_similarity.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.where("vec_id < 5"), k=5, m=16, n_codes=32, refine=8
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bin equi-join (operators/asof.py::interval_join):
+    events counted into every user's first-30-minute window — a genuine
+    cross-key containment join (any user's events can fall in any
+    window), planned as a hash join on time bins instead of the
+    cartesian theta-join DuckDB's BETWEEN replays as the oracle."""
+    from web_content_extractor_spark.operators.asof import interval_join
+
+    e = _read(spark, sf_dir, "events")
+    iv = (
+        e.groupBy(F.col("user_id").alias("iv_user"))
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    j = interval_join(e, iv, ts_col="ts", bin_seconds=1800)
+    return j.groupBy("iv_user").agg(F.count("*").alias("n_in_window"))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): spherical-kmeans clusters, greedy
     id-ordered within-cluster cosine pruning.  Iterative quantizer ->
@@ -1987,6 +1998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
+        # round-3 additions (new ops: PQ-ANN, range join) — in the
+        # front-50 window; extract_spans/extract_metrics slide to 51-52
+        # (already driver-green in CORRECTNESS_r02)
+        "pq_topk": q_pq_topk,
+        "interval_join": q_interval_join,
         # --- driver-certified in round 2 (green rows in CORRECTNESS_r02) ---
         # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
         "extract_spans": q_extract_spans,
@@ -2017,8 +2033,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg": q_join_agg,
         "priority_order": q_priority_order,
         "dedup_first_wins": q_dedup_first_wins,
-        "distinct_sorted": q_distinct_sorted,
-        "topk": q_topk,
         "window_rank": q_window_rank,
         "sessionize": q_sessionize,
         # training-data ops
@@ -2453,11 +2467,6 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events
         ) WHERE rn = 1
-        """,
-        "distinct_sorted": "SELECT DISTINCT event_type FROM events ORDER BY event_type",
-        "topk": """
-        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
         """,
         "window_rank": """
         SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
@@ -3608,6 +3617,17 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_join": """
+        WITH iv AS (
+          SELECT user_id AS iv_user, min(ts) AS w_start,
+                 min(ts) + INTERVAL 30 MINUTE AS w_end
+          FROM events GROUP BY user_id
+        )
+        SELECT iv.iv_user, count(*) AS n_in_window
+        FROM iv JOIN events e
+          ON e.ts >= iv.w_start AND e.ts <= iv.w_end
+        GROUP BY iv.iv_user
         """,
         "dedup_clusters": f"""
         WITH RECURSIVE t AS ({_TOKS_CTE}),

@@ -54,7 +54,6 @@ HEADLINE = [
     "quality_scores",     # quality scoring
     "similarity_topk",    # brute-force cosine top-k
     "lsh_topk",           # LSH-bucketed ANN
-    "topk",               # global order-by limit
     "per_host_salted",    # salted two-phase Zipf-host rollup
     "pdf_layout",         # PDF/layout media branch
     "crawl_merge",        # iterative BFS crawl rounds
@@ -67,7 +66,8 @@ HEADLINE = [
     "winnow_fingerprints",  # rolling-hash winnowing fingerprints
     "decontam",  # benchmark decontamination (broadcast contains-join)
     "tfidf_topk",  # tf-idf keywords (broadcast df join + window top-k)
-    "asof_join",  # as-of event correlation (union + single-shuffle window)
+    "asof_join",
+    "interval_join",      # range join via time-bin equi-join  # as-of event correlation (union + single-shuffle window)
     "rollup_counts",      # grouping-set subtotals
     "value_percentiles",  # exact grouped quartiles
     "json_props",         # semi-structured JSON property extraction
@@ -75,6 +75,7 @@ HEADLINE = [
     "resample_counts",    # time-series gap-fill onto a dense grid
     "moving_average",     # trailing ROWS-frame average per key
     "ivf_topk",           # IVF ANN (kmeans index build + probes)
+    "pq_topk",            # PQ ANN (byte-code ADC scan + exact re-rank)
     "embedding_neardup_exact",  # exact batch-vs-corpus near-dup
     "line_dedup",         # boilerplate-line removal (df agg + anti set)
     "chunk_docs",         # token-budget chunking (sequence/explode/slice)

@@ -781,6 +781,48 @@ def main() -> int:
         ],
     )
 
+    # interval_join — the range join must plan as a HASH join on the
+    # time-bin key, never the cartesian/BNL theta-join Spark gives a
+    # raw BETWEEN predicate
+    ij = contract.q_interval_join(spark, SF_DIR)
+    p = formatted(ij)
+    audit(
+        "interval_join (range join via time-bin equi-join)",
+        ij,
+        [
+            ("equi-join on the bin key (hash/broadcast join present)",
+             "HashJoin" in p),
+            ("no cartesian/BNL theta join",
+             "BroadcastNestedLoopJoin" not in p
+             and "CartesianProduct" not in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # pq_topk — the ADC scan must score CODES (no embedding column in
+    # any shuffle before the re-rank); only the refine*k candidate set
+    # joins the float vectors back
+    pq = contract.q_pq_topk(spark, SF_DIR)
+    p = formatted(pq)
+    shuffles = [
+        m.group(0) for m in re.finditer(r"hashpartitioning\([^\)]*\)", p)
+    ]
+    audit(
+        "pq_topk (PQ ADC scan + exact re-rank)",
+        pq,
+        [
+            ("no shuffle carries an embedding vector (ADC candidates "
+             "are (query_id, neighbor_id) rows; vectors re-attach only "
+             "for the refine*k re-rank)",
+             all("vec" not in e and "embedding" not in e
+                 for e in shuffles)),
+            ("Arrow kernels only (encode, ADC, re-rank) — no "
+             "interpreted HOF cosine",
+             "zip_with" not in p and "aggregate(" not in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "

@@ -207,3 +207,78 @@ def test_asof_custom_right_cols_without_event_id(spark):
         trades, quotes, on="user_id", ts="ts", right_cols=("bid", "ask")
     ).collect()[0]
     assert row.matched_bid == 1.5 and row.matched_ask == 1.6
+
+
+def _iv_tables(spark):
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    events = spark.createDataFrame(
+        [(i, at(m)) for i, m in enumerate([0, 10, 59, 60, 61, 125, 700])],
+        "event_id bigint, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("A", at(0), at(60)),       # inclusive both ends
+            ("B", at(50), at(70)),      # straddles a bin boundary
+            ("C", at(120), at(130)),    # short, mid-bin
+            ("D", at(300), at(400)),    # matches nothing
+        ],
+        "iv_id string, w_start timestamp, w_end timestamp",
+    )
+    return events, intervals
+
+
+def test_interval_join_between_semantics(spark):
+    from web_content_extractor_spark.operators.asof import interval_join
+
+    events, intervals = _iv_tables(spark)
+    got = {
+        (r.event_id, r.iv_id)
+        for r in interval_join(events, intervals, bin_seconds=3600).collect()
+    }
+    assert got == {
+        (0, "A"), (1, "A"), (2, "A"), (3, "A"),  # 60 inclusive
+        (2, "B"), (3, "B"), (4, "B"),
+        (5, "C"),
+    }
+
+
+def test_interval_join_equals_theta_join(spark):
+    """Differential: bin equi-join == naive BETWEEN theta-join, across
+    bin widths that do and don't divide the interval lengths."""
+    from web_content_extractor_spark.operators.asof import interval_join
+
+    events, intervals = _iv_tables(spark)
+    naive = {
+        (r.event_id, r.iv_id)
+        for r in events.join(
+            intervals,
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")),
+        ).collect()
+    }
+    for bin_s in (60, 420, 3600, 86400):
+        got = {
+            (r.event_id, r.iv_id)
+            for r in interval_join(
+                events, intervals, bin_seconds=bin_s
+            ).collect()
+        }
+        assert got == naive, bin_s
+
+
+def test_interval_join_skew_guard_raises(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from web_content_extractor_spark.operators.asof import interval_join
+
+    events, intervals = _iv_tables(spark)
+    with _pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        interval_join(
+            events, intervals, bin_seconds=1, max_bins_per_interval=100
+        ).collect()
+    assert "interval_join" in str(ei.value)

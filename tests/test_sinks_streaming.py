@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import datetime
 import os
 
 import pytest
@@ -261,3 +262,42 @@ def test_streaming_sessionized_counts(spark, tmp_path):
     assert got[(1, "2026-01-01 01:30:00")] == 1
     assert got[(2, "2026-01-01 00:05:00")] == 1
     assert (9, "2026-01-01 09:00:00") not in got  # still open
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: in-window duplicate text dropped
+    (even under whitespace/case renormalization), distinct text kept;
+    state is fingerprint-keyed, not doc_id-keyed."""
+    from web_content_extractor_spark.streaming.incremental import (
+        dedup_stream_within_watermark,
+    )
+
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = "doc_id string, fetched_at timestamp, text string"
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("d1", base, "alpha beta gamma"),
+        ("d2", base + datetime.timedelta(minutes=1), "alpha  BETA gamma"),
+        ("d3", base + datetime.timedelta(minutes=2), "wholly different"),
+        ("d4", base + datetime.timedelta(minutes=3), "alpha beta gamma"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    stream = spark.readStream.schema(schema).parquet(inp)
+    q = (
+        dedup_stream_within_watermark(stream, delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    kept_texts = sorted(r.text.lower().split()[0] for r in out.collect())
+    assert out.count() == 2, out.collect()
+    assert kept_texts == ["alpha", "wholly"]
+    # fp helper column must not leak into the output schema
+    assert "fp" not in out.columns

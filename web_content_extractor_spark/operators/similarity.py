@@ -671,3 +671,210 @@ def semantic_duplicates(
             f"dup_of {id_type}, max_kept_sim double"
         ),
     )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Train product-quantization codebooks: (m, n_codes, dim/m).
+
+    The vector space is split into ``m`` contiguous subspaces and each
+    subspace gets its own ``n_codes``-entry k-means codebook, so a
+    vector compresses to ``m`` small integers (1 byte each at
+    n_codes<=256) — a 64-dim float32 embedding shrinks 32x.  Training
+    runs driver-side in numpy over a DETERMINISTIC sample (the
+    ``sample`` lowest xxhash64(id) rows — a TakeOrdered, no shuffle of
+    the corpus): codebooks are an index artifact like the IVF
+    centroids and LSH hyperplanes above; at real corpus scale you
+    never train a quantizer on more than a sample anyway.
+    """
+    rows = (
+        embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h", "v")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty embeddings input")
+    X = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(n_codes, len(X))
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, n_codes, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[rng.choice(len(Xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            # squared L2 assignment: ||x||^2 - 2 x.c + ||c||^2
+            d2 = (
+                (Xs * Xs).sum(axis=1, keepdims=True)
+                - 2.0 * (Xs @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                sel = Xs[a == c]
+                if len(sel):
+                    C[c] = sel.mean(axis=0)  # empty cell keeps centroid
+        books[s, :k] = C
+        if k < n_codes:  # degenerate tiny input: pad with the last cell
+            books[s, k:] = C[-1]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its PQ codes + exact norm — ONE narrow
+    mapInPandas pass, no shuffle.  Output (id, codes array<int>,
+    vnorm): ``codes[s]`` indexes ``codebooks[s]``; ``vnorm`` is kept
+    exact so ADC scoring can return true-denominator cosine.  At
+    10^12 docs this codes table (m bytes + 8) IS the resident index;
+    the float vectors stay cold in object storage.
+    """
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
+    m, _, dsub = B.shape
+    Bn2 = (B * B).sum(axis=2)  # (m, n_codes)
+    id_type = dict(embeddings.dtypes)[id_col]
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            S = V.reshape(len(V), m, dsub)
+            # (n, m, n_codes) distances via one einsum per term
+            d2 = Bn2[None, :, :] - 2.0 * np.einsum("nsd,scd->nsc", S, B)
+            codes = np.argmin(d2, axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "vnorm": np.linalg.norm(V, axis=1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"id {id_type}, codes array<int>, vnorm double"
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    refine: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric-distance PQ scan + exact
+    re-rank (the IVF-PQ refinement stage, minus the IVF routing —
+    compose with :func:`ivf_topk`'s cell assignment for both).
+
+    Scan phase: each query builds an (m x n_codes) lookup table of
+    subspace dot products against the codebooks; scoring a corpus
+    vector is m table gathers + a sum over its byte codes — never a
+    float-vector read.  The scan emits ``refine * k`` candidates per
+    query (map-side partial top-k, so the shuffle is O(batches *
+    refine * k) rows), then the exact cosine re-ranks those few
+    candidates from their true vectors.  ``refine`` >= corpus/k
+    degenerates to brute force — the correctness anchor in tests.
+    """
+    books = pq_train(
+        embeddings, m, n_codes, iters, sample, seed, id_col, vec_col
+    )
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    if not q_ids:
+        return _empty_topk(embeddings, id_col)
+    QN = _norm_rows(Q)  # (q, dim)
+    dsub = books.shape[2]
+    # LUT[i, s, c] = q_i[s] . books[s, c]; flattened for one-gather
+    # scoring: approx_dot(q_i, x) = sum_s LUT[i, s, codes[x, s]]
+    LUT = np.einsum(
+        "qsd,scd->qsc", QN.reshape(len(q_ids), m, dsub), books
+    ).reshape(len(q_ids), -1)
+    offs = (np.arange(m) * books.shape[1]).astype(np.int64)
+    nq = len(q_ids)
+    keep = refine * k
+    id_type = dict(embeddings.dtypes)[id_col]
+
+    def adc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64) + offs
+            vn = pdf["vnorm"].to_numpy()
+            vn = np.where(vn == 0.0, 1.0, vn)
+            cos = LUT[:, C].sum(axis=2) / vn  # (q, n)
+            ids = pdf["id"].to_numpy()
+            cut = min(keep, n)
+            # per-query partial top-k inside the batch (argpartition
+            # then exact ordering happens at the re-rank)
+            part = np.argpartition(-cos, cut - 1, axis=1)[:, :cut]
+            qi = np.repeat(np.arange(nq), cut)
+            ni = part.ravel()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.asarray(q_ids, dtype=object)[qi],
+                    "neighbor_id": ids[ni],
+                    "adc_cos": np.round(cos[qi, ni], 6),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    cand = (
+        pq_encode(embeddings, books, id_col, vec_col)
+        .mapInPandas(
+            adc,
+            schema=(
+                f"query_id {id_type}, neighbor_id {id_type}, "
+                "adc_cos double"
+            ),
+        )
+        # global candidate cut by quantized score before touching any
+        # float vector: refine*k rows per query survive
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("adc_cos"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("arank") <= keep)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    score, schema = _matrix_scorer(q_ids, Q, id_type, topk=k)
+    # candidate set is bounded at |Q| * refine * k id-pairs — broadcast
+    # it so the float-vector table is never shuffled for the re-rank
+    rescored = F.broadcast(cand).join(vecs, "neighbor_id").mapInPandas(
+        score, schema=schema
+    )
+    return _window_topk(rescored, k)

@@ -328,3 +328,34 @@ def stream_extract_warc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream_within_watermark(
+    docs_stream: DataFrame,
+    delay: str = "10 minutes",
+    ts_col: str = "fetched_at",
+    text_col: str = "text",
+) -> DataFrame:
+    """Watermark-bounded streaming exact dedup — the production
+    complement of :func:`stateful_first_seen`.
+
+    ``stateful_first_seen`` keeps EVERY key forever (the crawl
+    visited-set semantics: correct, but state grows with the corpus).
+    This variant keeps the batch engine's exact-dedup fingerprint
+    (``functions.text_quality.fingerprint``, the same normalization as
+    ``dedup_docs.exact_duplicates``) only within the watermark horizon
+    via ``dropDuplicatesWithinWatermark``: duplicates that arrive
+    within ``delay`` of the first copy are dropped, and state for a
+    fingerprint is evicted once the watermark passes it.  At 10^12
+    docs/day this is the only dedup whose state is bounded by the
+    duplication *window* rather than the corpus size — the standard
+    trade for near-real-time feeds where dup bursts are temporally
+    local (re-crawls, retries, mirror storms); a periodic batch
+    ``exact_duplicates`` pass sweeps cross-window dups.
+    """
+    from web_content_extractor_spark.functions.text_quality import fingerprint
+
+    fp = docs_stream.withColumn(
+        "fp", fingerprint(F.col(text_col))
+    ).withWatermark(ts_col, delay)
+    return fp.dropDuplicatesWithinWatermark(["fp"]).drop("fp")
