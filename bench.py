@@ -290,7 +290,7 @@ def main() -> None:
     # flagship first: measured on a fresh JVM (heap/GC state after 39
     # headline queries depressed it ~30% when it ran last; standalone
     # is the representative number and matches the scaling protocol)
-    n_docs, fl_sec, _steal = flagship(spark, sf_dir, replication, passes=2)
+    n_docs, fl_sec, _steal = flagship(spark, sf_dir, replication, passes=3)
 
     for name in HEADLINE:
         # best-of-2 FULL passes: each pass rebuilds the DataFrame (so
