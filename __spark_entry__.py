@@ -1872,6 +1872,18 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN: cell-routed probes + byte-code ADC scan +
+    exact re-rank (approximate by design -> rows-only; recall and the
+    nprobe=all/refine=all ≡ brute-force anchor are pinned in
+    tests/test_dedup_similarity.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, emb.where("vec_id < 5"), k=5, n_centroids=16, nprobe=4,
+        iters=1, m=16, n_codes=32, refine=8,
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join via time-bin equi-join (operators/asof.py::interval_join):
     events counted into every user's first-30-minute window — a genuine
@@ -2003,6 +2015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (already driver-green in CORRECTNESS_r02)
         "pq_topk": q_pq_topk,
         "interval_join": q_interval_join,
+        # position 51+: rows-only composition (pytest-anchored; its
+        # components pq_topk/ivf_topk sit in the checked window)
+        "ivfpq_topk": q_ivfpq_topk,
         # --- driver-certified in round 2 (green rows in CORRECTNESS_r02) ---
         # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
         "extract_spans": q_extract_spans,

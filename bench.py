@@ -76,6 +76,7 @@ HEADLINE = [
     "moving_average",     # trailing ROWS-frame average per key
     "ivf_topk",           # IVF ANN (kmeans index build + probes)
     "pq_topk",            # PQ ANN (byte-code ADC scan + exact re-rank)
+    "ivfpq_topk",         # IVF+PQ composed ANN (cell-routed ADC)
     "embedding_neardup_exact",  # exact batch-vs-corpus near-dup
     "line_dedup",         # boilerplate-line removal (df agg + anti set)
     "chunk_docs",         # token-budget chunking (sequence/explode/slice)

@@ -282,3 +282,47 @@ def test_interval_join_skew_guard_raises(spark):
             events, intervals, bin_seconds=1, max_bins_per_interval=100
         ).collect()
     assert "interval_join" in str(ei.value)
+
+
+def test_interval_join_random_differential(spark):
+    """Seeded random events x intervals: bin equi-join == theta join
+    at awkward bin widths (nothing aligned, overlapping intervals,
+    zero-length intervals, duplicate timestamps)."""
+    import random
+
+    from web_content_extractor_spark.operators.asof import interval_join
+
+    rnd = random.Random(7)
+    t0 = dt.datetime(2026, 1, 1)
+    events = [
+        (i, t0 + dt.timedelta(seconds=rnd.randrange(0, 100_000)))
+        for i in range(300)
+    ]
+    ivs = []
+    for j in range(40):
+        s = rnd.randrange(0, 100_000)
+        ivs.append(
+            (
+                f"iv{j}",
+                t0 + dt.timedelta(seconds=s),
+                t0 + dt.timedelta(seconds=s + rnd.randrange(0, 20_000)),
+            )
+        )
+    edf = spark.createDataFrame(events, "event_id bigint, ts timestamp")
+    idf = spark.createDataFrame(
+        ivs, "iv_id string, w_start timestamp, w_end timestamp"
+    )
+    naive = {
+        (r.event_id, r.iv_id)
+        for r in edf.join(
+            idf,
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")),
+        ).collect()
+    }
+    assert naive  # non-degenerate fixture
+    for bin_s in (777, 3600, 50_000):
+        got = {
+            (r.event_id, r.iv_id)
+            for r in interval_join(edf, idf, bin_seconds=bin_s).collect()
+        }
+        assert got == naive, bin_s

@@ -224,3 +224,39 @@ def test_pq_encode_codes_shape(spark, embeddings):
         assert len(r.codes) == 8
         assert all(0 <= c < 16 for c in r.codes)
         assert r.vnorm > 0.0
+
+
+def test_ivfpq_topk_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    approx = similarity.ivfpq_topk(
+        embeddings, queries, k=5, n_centroids=16, nprobe=4,
+        m=16, n_codes=32, refine=8,
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # routing misses compound with quantization misses: the composed
+    # recall floor sits between the ivf (>=0.5) and pq (>=0.7) floors
+    assert recall >= 0.4, recall
+    # deterministic repeat
+    again = similarity.ivfpq_topk(
+        embeddings, queries, k=5, n_centroids=16, nprobe=4,
+        m=16, n_codes=32, refine=8,
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in again} == approx_set
+
+
+def test_ivfpq_probe_all_refine_all_equals_brute_force(spark, embeddings):
+    # nprobe = all cells AND refine >= corpus/k: both approximations
+    # degenerate, so the composition must equal brute force exactly
+    queries = embeddings.where(F.col("vec_id") < 3)
+    n = embeddings.count()
+    exact = similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    full = similarity.ivfpq_topk(
+        embeddings, queries, k=5, n_centroids=8, nprobe=8,
+        m=8, n_codes=8, refine=(n // 5) + 1,
+    ).collect()
+    assert {(r.query_id, r.neighbor_id, r.cos_sim) for r in full} == {
+        (r.query_id, r.neighbor_id, r.cos_sim) for r in exact
+    }

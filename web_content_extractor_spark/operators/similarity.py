@@ -878,3 +878,156 @@ def pq_topk(
         score, schema=schema
     )
     return _window_topk(rescored, k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    m: int = 16,
+    n_codes: int = 32,
+    pq_iters: int = 5,
+    sample: int = 4096,
+    refine: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composition — the standard billion-scale ANN
+    architecture: IVF routing bounds WHICH rows each query touches
+    (nprobe of n_centroids inverted lists, cell id = the natural
+    Iceberg partition/bucket key at 10^12 docs, so probes are
+    partition-pruned scans), PQ codes bound WHAT a touched row costs
+    (m byte-gathers instead of a dim-float read — the resident index
+    is m bytes + a norm per vector), and the exact re-rank of the
+    refine*k ADC survivors restores true-cosine ordering.
+
+    The corpus index is built in ONE fused narrow pass (cell
+    assignment + PQ encode per Arrow batch); both model artifacts
+    (k x dim centroids, m x n_codes x dim/m codebooks) are tiny and
+    ride in kernel closures.
+    """
+    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    books = pq_train(
+        embeddings, m, n_codes, pq_iters, sample, seed, id_col, vec_col
+    )
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    if not q_ids:
+        return _empty_topk(embeddings, id_col)
+    id_type = dict(embeddings.dtypes)[id_col]
+
+    Cn = _norm_rows(np.asarray(C, dtype=np.float64)).T  # (dim, kc)
+    B = np.asarray(books, dtype=np.float64)
+    mm, ncb, dsub = B.shape
+    Bn2 = (B * B).sum(axis=2)
+
+    def build_index(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cid = np.argmax(_norm_rows(V) @ Cn, axis=1).astype(np.int32)
+            S = V.reshape(len(V), mm, dsub)
+            d2 = Bn2[None, :, :] - 2.0 * np.einsum("nsd,scd->nsc", S, B)
+            codes = np.argmin(d2, axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cid": cid,
+                    "codes": list(codes),
+                    "vnorm": np.linalg.norm(V, axis=1),
+                }
+            )
+
+    index = embeddings.select(id_col, vec_col).mapInPandas(
+        build_index,
+        schema=f"id {id_type}, cid int, codes array<int>, vnorm double",
+    )
+
+    # driver-side probe selection + ADC lookup tables (the ivf_topk /
+    # pq_topk artifacts combined; the probe table joined onto the
+    # corpus is (query_id, cid) rows only)
+    QN = _norm_rows(Q)
+    npb = min(nprobe, n_centroids)
+    order = np.argsort(-(QN @ Cn), axis=1)[:, :npb]
+    probes = embeddings.sparkSession.createDataFrame(
+        [
+            (qid, int(order[i, p]))
+            for i, qid in enumerate(q_ids)
+            for p in range(order.shape[1])
+        ],
+        f"query_id {id_type}, cid int",
+    )
+    LUT = np.einsum(
+        "qsd,scd->qsc", QN.reshape(len(q_ids), mm, dsub), B
+    ).reshape(len(q_ids), -1)
+    offs = (np.arange(mm) * ncb).astype(np.int64)
+    qindex = {qid: i for i, qid in enumerate(q_ids)}
+    keep = refine * k
+
+    def adc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            Cc = np.stack(pdf["codes"].to_numpy()).astype(np.int64) + offs
+            qi = np.fromiter(
+                (qindex[q] for q in pdf["query_id"]),
+                dtype=np.int64,
+                count=n,
+            )
+            vn = pdf["vnorm"].to_numpy()
+            vn = np.where(vn == 0.0, 1.0, vn)
+            cos = LUT[qi[:, None], Cc].sum(axis=1) / vn
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["id"].to_numpy(),
+                    "adc_cos": np.round(cos, 6),
+                }
+            )
+            out = out[out["query_id"] != out["neighbor_id"]]
+            # map-side partial top-k per query within the batch
+            out = (
+                out.sort_values(
+                    ["query_id", "adc_cos", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(keep)
+            )
+            yield out
+
+    cand = (
+        index.join(F.broadcast(probes), "cid")
+        .mapInPandas(
+            adc,
+            schema=(
+                f"query_id {id_type}, neighbor_id {id_type}, "
+                "adc_cos double"
+            ),
+        )
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("adc_cos"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("arank") <= keep)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    score, schema = _matrix_scorer(q_ids, Q, id_type, topk=k)
+    rescored = F.broadcast(cand).join(vecs, "neighbor_id").mapInPandas(
+        score, schema=schema
+    )
+    return _window_topk(rescored, k)
