@@ -66,8 +66,8 @@ HEADLINE = [
     "winnow_fingerprints",  # rolling-hash winnowing fingerprints
     "decontam",  # benchmark decontamination (broadcast contains-join)
     "tfidf_topk",  # tf-idf keywords (broadcast df join + window top-k)
-    "asof_join",
-    "interval_join",      # range join via time-bin equi-join  # as-of event correlation (union + single-shuffle window)
+    "asof_join",          # as-of event correlation (union + single-shuffle window)
+    "interval_join",      # range join via time-bin equi-join
     "rollup_counts",      # grouping-set subtotals
     "value_percentiles",  # exact grouped quartiles
     "json_props",         # semi-structured JSON property extraction

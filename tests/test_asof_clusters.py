@@ -225,6 +225,8 @@ def _iv_tables(spark):
             ("B", at(50), at(70)),      # straddles a bin boundary
             ("C", at(120), at(130)),    # short, mid-bin
             ("D", at(300), at(400)),    # matches nothing
+            ("E", at(100), at(40)),     # inverted: end < start -> empty,
+                                        # never a descending bin fan-out
         ],
         "iv_id string, w_start timestamp, w_end timestamp",
     )

@@ -280,6 +280,10 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
         ("d2", base + datetime.timedelta(minutes=1), "alpha  BETA gamma"),
         ("d3", base + datetime.timedelta(minutes=2), "wholly different"),
         ("d4", base + datetime.timedelta(minutes=3), "alpha beta gamma"),
+        # NULL-text docs must BOTH survive (batch exact_duplicates
+        # never matches NULL fingerprints; the stream must agree)
+        ("d5", base + datetime.timedelta(minutes=4), None),
+        ("d6", base + datetime.timedelta(minutes=5), None),
     ]
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "append"
@@ -296,8 +300,12 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(120)
     out = spark.read.parquet(outp)
-    kept_texts = sorted(r.text.lower().split()[0] for r in out.collect())
-    assert out.count() == 2, out.collect()
+    kept = out.collect()
+    kept_texts = sorted(
+        r.text.lower().split()[0] for r in kept if r.text is not None
+    )
+    assert out.count() == 4, kept
     assert kept_texts == ["alpha", "wholly"]
+    assert {r.doc_id for r in kept if r.text is None} == {"d5", "d6"}
     # fp helper column must not leak into the output schema
     assert "fp" not in out.columns

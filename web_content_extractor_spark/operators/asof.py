@@ -275,9 +275,14 @@ def interval_join(
             )
         ).cast("bigint"),
     ).otherwise(e_bin)
-    iv = intervals.withColumn(
-        "__bin", F.explode(F.sequence(s_bin, guarded))
-    )
+    # inverted interval (end < start) matches nothing under BETWEEN —
+    # emit an empty bin array (a bare sequence(s, e) with s > e would
+    # generate a DESCENDING sequence, silently bypassing the guard and
+    # re-creating the unbounded fan-out it exists to stop)
+    bins = F.when(
+        e_bin < s_bin, F.array().cast("array<bigint>")
+    ).otherwise(F.sequence(s_bin, guarded))
+    iv = intervals.withColumn("__bin", F.explode(bins))
     ev = events.withColumn("__bin", ev_bin)
     return (
         ev.join(iv, "__bin")

@@ -477,10 +477,12 @@ def ivf_topk(
     its probed cells.  Recall is tuned by nprobe; tests measure it
     against brute force.
     """
-    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    # collect the (small) query side FIRST: an empty query set must
+    # not pay the corpus-wide k-means index build
     q_ids, Q = _collect_queries(queries, id_col, vec_col)
     if not q_ids:
         return _empty_topk(embeddings, id_col)
+    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
     assign = _assign_udf(C)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -488,21 +490,12 @@ def ivf_topk(
         assign(F.col(vec_col)).alias("cid"),
     )
     Cn = _norm_rows(np.asarray(C, dtype=np.float64)).T
-    npb = min(nprobe, n_centroids)
-    # probe selection driver-side (the query set is collected anyway for
-    # the scoring matrix — same argsort over the same normalized floats
-    # the former per-row UDF computed); the probe table joined onto the
-    # corpus is (query_id, cid) rows only, never a vector
-    QV = _norm_rows(Q)
-    order = np.argsort(-(QV @ Cn), axis=1)[:, :npb]
     id_type = dict(embeddings.dtypes)[id_col]
-    q = embeddings.sparkSession.createDataFrame(
-        [
-            (qid, int(order[i, p]))
-            for i, qid in enumerate(q_ids)
-            for p in range(order.shape[1])
-        ],
-        f"query_id {id_type}, cid int",
+    # probe selection driver-side (the query set is collected anyway for
+    # the scoring matrix); the probe table joined onto the corpus is
+    # (query_id, cid) rows only, never a vector
+    q = _probe_table(
+        embeddings, q_ids, _norm_rows(Q), Cn, nprobe, n_centroids, id_type
     )
     cand = (
         c.join(F.broadcast(q), "cid")
@@ -511,6 +504,30 @@ def ivf_topk(
     )
     score, schema = _matrix_scorer(q_ids, Q, id_type, topk=k)
     return _window_topk(cand.mapInPandas(score, schema=schema), k)
+
+
+def _probe_table(
+    embeddings: DataFrame,
+    q_ids: list,
+    QN: "np.ndarray",
+    Cn: "np.ndarray",
+    nprobe: int,
+    n_centroids: int,
+    id_type: str,
+) -> DataFrame:
+    """(query_id, cid) rows for each query's nprobe nearest coarse
+    cells — the tiny routing table ivf_topk and ivfpq_topk broadcast
+    onto the cell-keyed corpus."""
+    npb = min(nprobe, n_centroids)
+    order = np.argsort(-(QN @ Cn), axis=1)[:, :npb]
+    return embeddings.sparkSession.createDataFrame(
+        [
+            (qid, int(order[i, p]))
+            for i, qid in enumerate(q_ids)
+            for p in range(order.shape[1])
+        ],
+        f"query_id {id_type}, cid int",
+    )
 
 
 def embedding_near_duplicates(
@@ -777,6 +794,57 @@ def pq_encode(
     )
 
 
+def _adc_lut(QN: "np.ndarray", books: "np.ndarray"):
+    """Flattened ADC lookup tables for a normalized query matrix:
+    LUT[i, s*n_codes + c] = q_i[subspace s] . books[s, c], plus the
+    per-subspace flat offsets — approx_dot(q_i, x) is then m gathers
+    ``LUT[i, codes(x) + offs].sum()`` (never a float-vector read)."""
+    B = np.asarray(books, dtype=np.float64)
+    m, ncb, dsub = B.shape
+    LUT = np.einsum(
+        "qsd,scd->qsc", QN.reshape(len(QN), m, dsub), B
+    ).reshape(len(QN), -1)
+    offs = (np.arange(m) * ncb).astype(np.int64)
+    return LUT, offs
+
+
+def _adc_cut_and_rerank(
+    scored: DataFrame,
+    keep: int,
+    embeddings: DataFrame,
+    q_ids: list,
+    Q: "np.ndarray",
+    id_type: str,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC tail: global quantized-score cut to ``keep``
+    candidates per query, then the exact cosine re-rank.  The
+    candidate set is bounded at |Q| * keep id-pairs — broadcast it so
+    the float-vector table is never shuffled for the re-rank."""
+    cand = (
+        scored.withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("adc_cos"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("arank") <= keep)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    score, schema = _matrix_scorer(q_ids, Q, id_type, topk=k)
+    rescored = F.broadcast(cand).join(vecs, "neighbor_id").mapInPandas(
+        score, schema=schema
+    )
+    return _window_topk(rescored, k)
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -792,7 +860,7 @@ def pq_topk(
 ) -> DataFrame:
     """Approximate top-k by asymmetric-distance PQ scan + exact
     re-rank (the IVF-PQ refinement stage, minus the IVF routing —
-    compose with :func:`ivf_topk`'s cell assignment for both).
+    :func:`ivfpq_topk` composes both).
 
     Scan phase: each query builds an (m x n_codes) lookup table of
     subspace dot products against the codebooks; scoring a corpus
@@ -803,23 +871,18 @@ def pq_topk(
     candidates from their true vectors.  ``refine`` >= corpus/k
     degenerates to brute force — the correctness anchor in tests.
     """
-    books = pq_train(
-        embeddings, m, n_codes, iters, sample, seed, id_col, vec_col
-    )
     q_ids, Q = _collect_queries(queries, id_col, vec_col)
     if not q_ids:
         return _empty_topk(embeddings, id_col)
-    QN = _norm_rows(Q)  # (q, dim)
-    dsub = books.shape[2]
-    # LUT[i, s, c] = q_i[s] . books[s, c]; flattened for one-gather
-    # scoring: approx_dot(q_i, x) = sum_s LUT[i, s, codes[x, s]]
-    LUT = np.einsum(
-        "qsd,scd->qsc", QN.reshape(len(q_ids), m, dsub), books
-    ).reshape(len(q_ids), -1)
-    offs = (np.arange(m) * books.shape[1]).astype(np.int64)
+    books = pq_train(
+        embeddings, m, n_codes, iters, sample, seed, id_col, vec_col
+    )
+    QN = _norm_rows(Q)
+    LUT, offs = _adc_lut(QN, books)
     nq = len(q_ids)
     keep = refine * k
     id_type = dict(embeddings.dtypes)[id_col]
+    q_arr = np.asarray(q_ids, dtype=object)
 
     def adc(batches):
         for pdf in batches:
@@ -831,53 +894,32 @@ def pq_topk(
             vn = np.where(vn == 0.0, 1.0, vn)
             cos = LUT[:, C].sum(axis=2) / vn  # (q, n)
             ids = pdf["id"].to_numpy()
+            # mask self-matches BEFORE the cut so the query's own row
+            # never consumes one of its refine*k candidate slots
+            cos = np.where(ids[None, :] == q_arr[:, None], -np.inf, cos)
             cut = min(keep, n)
             # per-query partial top-k inside the batch (argpartition
             # then exact ordering happens at the re-rank)
             part = np.argpartition(-cos, cut - 1, axis=1)[:, :cut]
             qi = np.repeat(np.arange(nq), cut)
             ni = part.ravel()
-            out = pd.DataFrame(
+            vals = cos[qi, ni]
+            keep_mask = np.isfinite(vals)
+            yield pd.DataFrame(
                 {
-                    "query_id": np.asarray(q_ids, dtype=object)[qi],
-                    "neighbor_id": ids[ni],
-                    "adc_cos": np.round(cos[qi, ni], 6),
+                    "query_id": q_arr[qi][keep_mask],
+                    "neighbor_id": ids[ni][keep_mask],
+                    "adc_cos": np.round(vals[keep_mask], 6),
                 }
             )
-            yield out[out["query_id"] != out["neighbor_id"]]
 
-    cand = (
-        pq_encode(embeddings, books, id_col, vec_col)
-        .mapInPandas(
-            adc,
-            schema=(
-                f"query_id {id_type}, neighbor_id {id_type}, "
-                "adc_cos double"
-            ),
-        )
-        # global candidate cut by quantized score before touching any
-        # float vector: refine*k rows per query survive
-        .withColumn(
-            "arank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("adc_cos"), F.asc("neighbor_id")
-                )
-            ),
-        )
-        .where(F.col("arank") <= keep)
-        .select("query_id", "neighbor_id")
+    scored = pq_encode(embeddings, books, id_col, vec_col).mapInPandas(
+        adc,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, adc_cos double",
     )
-    vecs = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    return _adc_cut_and_rerank(
+        scored, keep, embeddings, q_ids, Q, id_type, k, id_col, vec_col
     )
-    score, schema = _matrix_scorer(q_ids, Q, id_type, topk=k)
-    # candidate set is bounded at |Q| * refine * k id-pairs — broadcast
-    # it so the float-vector table is never shuffled for the re-rank
-    rescored = F.broadcast(cand).join(vecs, "neighbor_id").mapInPandas(
-        score, schema=schema
-    )
-    return _window_topk(rescored, k)
 
 
 def ivfpq_topk(
@@ -910,18 +952,18 @@ def ivfpq_topk(
     (k x dim centroids, m x n_codes x dim/m codebooks) are tiny and
     ride in kernel closures.
     """
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    if not q_ids:
+        return _empty_topk(embeddings, id_col)
     C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
     books = pq_train(
         embeddings, m, n_codes, pq_iters, sample, seed, id_col, vec_col
     )
-    q_ids, Q = _collect_queries(queries, id_col, vec_col)
-    if not q_ids:
-        return _empty_topk(embeddings, id_col)
     id_type = dict(embeddings.dtypes)[id_col]
 
     Cn = _norm_rows(np.asarray(C, dtype=np.float64)).T  # (dim, kc)
     B = np.asarray(books, dtype=np.float64)
-    mm, ncb, dsub = B.shape
+    mm, _, dsub = B.shape
     Bn2 = (B * B).sum(axis=2)
 
     def build_index(batches):
@@ -949,28 +991,18 @@ def ivfpq_topk(
         schema=f"id {id_type}, cid int, codes array<int>, vnorm double",
     )
 
-    # driver-side probe selection + ADC lookup tables (the ivf_topk /
-    # pq_topk artifacts combined; the probe table joined onto the
-    # corpus is (query_id, cid) rows only)
     QN = _norm_rows(Q)
-    npb = min(nprobe, n_centroids)
-    order = np.argsort(-(QN @ Cn), axis=1)[:, :npb]
-    probes = embeddings.sparkSession.createDataFrame(
-        [
-            (qid, int(order[i, p]))
-            for i, qid in enumerate(q_ids)
-            for p in range(order.shape[1])
-        ],
-        f"query_id {id_type}, cid int",
+    probes = _probe_table(
+        embeddings, q_ids, QN, Cn, nprobe, n_centroids, id_type
     )
-    LUT = np.einsum(
-        "qsd,scd->qsc", QN.reshape(len(q_ids), mm, dsub), B
-    ).reshape(len(q_ids), -1)
-    offs = (np.arange(mm) * ncb).astype(np.int64)
+    LUT, offs = _adc_lut(QN, books)
     qindex = {qid: i for i, qid in enumerate(q_ids)}
     keep = refine * k
 
     def adc(batches):
+        # pair-wise form of pq_topk's matrix ADC: after the probe join
+        # each row already carries its query, so the gather is indexed
+        # per row instead of broadcast over all queries
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -991,8 +1023,9 @@ def ivfpq_topk(
                     "adc_cos": np.round(cos, 6),
                 }
             )
+            # self-matches dropped BEFORE the per-batch cut (same slot
+            # rule as pq_topk's mask)
             out = out[out["query_id"] != out["neighbor_id"]]
-            # map-side partial top-k per query within the batch
             out = (
                 out.sort_values(
                     ["query_id", "adc_cos", "neighbor_id"],
@@ -1003,31 +1036,10 @@ def ivfpq_topk(
             )
             yield out
 
-    cand = (
-        index.join(F.broadcast(probes), "cid")
-        .mapInPandas(
-            adc,
-            schema=(
-                f"query_id {id_type}, neighbor_id {id_type}, "
-                "adc_cos double"
-            ),
-        )
-        .withColumn(
-            "arank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("adc_cos"), F.asc("neighbor_id")
-                )
-            ),
-        )
-        .where(F.col("arank") <= keep)
-        .select("query_id", "neighbor_id")
+    scored = index.join(F.broadcast(probes), "cid").mapInPandas(
+        adc,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, adc_cos double",
     )
-    vecs = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    return _adc_cut_and_rerank(
+        scored, keep, embeddings, q_ids, Q, id_type, k, id_col, vec_col
     )
-    score, schema = _matrix_scorer(q_ids, Q, id_type, topk=k)
-    rescored = F.broadcast(cand).join(vecs, "neighbor_id").mapInPandas(
-        score, schema=schema
-    )
-    return _window_topk(rescored, k)

@@ -335,6 +335,7 @@ def dedup_stream_within_watermark(
     delay: str = "10 minutes",
     ts_col: str = "fetched_at",
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Watermark-bounded streaming exact dedup — the production
     complement of :func:`stateful_first_seen`.
@@ -355,7 +356,17 @@ def dedup_stream_within_watermark(
     """
     from web_content_extractor_spark.functions.text_quality import fingerprint
 
+    # NULL-text docs must never dedup against each other (batch
+    # exact_duplicates joins on the fingerprint, and a NULL key never
+    # matches there — but dropDuplicatesWithinWatermark treats NULL
+    # keys as equal), so they get a per-doc surrogate key instead
     fp = docs_stream.withColumn(
-        "fp", fingerprint(F.col(text_col))
+        "fp",
+        F.coalesce(
+            fingerprint(F.col(text_col)),
+            F.concat(
+                F.lit("__null_text__:"), F.col(id_col).cast("string")
+            ),
+        ),
     ).withWatermark(ts_col, delay)
     return fp.dropDuplicatesWithinWatermark(["fp"]).drop("fp")
