@@ -823,6 +823,30 @@ def main() -> int:
         ],
     )
 
+    # ivfpq_topk — the composed index must route via a BROADCAST of the
+    # tiny (query, cid) probe table onto the cell-keyed index (the
+    # partition-pruned scan shape at real scale), with no vector in any
+    # shuffle before the re-rank
+    ivfpq = contract.q_ivfpq_topk(spark, SF_DIR)
+    p = formatted(ivfpq)
+    shuffles = [
+        m.group(0) for m in re.finditer(r"hashpartitioning\([^\)]*\)", p)
+    ]
+    audit(
+        "ivfpq_topk (IVF-routed PQ ADC + exact re-rank)",
+        ivfpq,
+        [
+            ("probe table broadcast onto the index (BroadcastExchange "
+             "present, no sort-merge join)",
+             "BroadcastExchange" in p and "SortMergeJoin" not in p),
+            ("no shuffle carries an embedding vector",
+             all("vec" not in e and "embedding" not in e
+                 for e in shuffles)),
+            ("no interpreted HOF cosine",
+             "zip_with" not in p and "aggregate(" not in p),
+        ],
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "

@@ -169,3 +169,38 @@ def test_corpus_build_with_bpe_training(spark, tmp_path, capsys):
     # NOT guaranteed (merged symbols create new pairs), but every
     # count must be >= 2 (the trainer's cutoff)
     assert all(m.cnt >= 2 for m in merges)
+
+
+def test_ann_job_end_to_end(spark, tmp_path, capsys):
+    """--ann-*: index + search straight from parquet to parquet."""
+    from tests.conftest import SF_DIR
+
+    corpus = f"{SF_DIR}/embeddings.parquet"
+    queries = str(tmp_path / "queries")
+    out = str(tmp_path / "topk")
+    spark.read.parquet(corpus).where("vec_id < 4").write.mode(
+        "overwrite"
+    ).parquet(queries)
+    rc = main([
+        "--ann-corpus", corpus,
+        "--ann-queries", queries,
+        "--ann-output", out,
+        "--ann-method", "ivfpq",
+        "--ann-k", "3",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["ann"]["method"] == "ivfpq"
+    assert summary["ann"]["queries"] == 4
+    assert summary["ann"]["pairs"] == 12  # 4 queries x k=3
+    topk = spark.read.parquet(out)
+    assert set(topk.columns) == {"query_id", "neighbor_id", "cos_sim", "rank"}
+    ranks = {r.rank for r in topk.collect()}
+    assert ranks == {1, 2, 3}
+
+
+def test_ann_job_flag_validation(capsys):
+    rc = main(["--ann-corpus", "/nope"])
+    assert rc == 2
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--ann-queries" in err["error"]

@@ -121,6 +121,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact-cluster-by", default=None,
                    help="optional cluster column: range-clustered "
                         "rewrite instead of the shuffle-free merge")
+    p.add_argument("--ann-corpus", default=None,
+                   help="embeddings parquet (vec_id, embedding) to "
+                        "search (ANN mode)")
+    p.add_argument("--ann-queries", default=None,
+                   help="query embeddings parquet, same schema "
+                        "(small side; collected into the index kernels)")
+    p.add_argument("--ann-output", default=None,
+                   help="write (query_id, neighbor_id, cos_sim, rank) "
+                        "top-k table here (ANN mode)")
+    p.add_argument("--ann-method",
+                   choices=("brute", "lsh", "ivf", "pq", "ivfpq"),
+                   default="ivfpq",
+                   help="search strategy: exact scan, hyperplane LSH, "
+                        "IVF routing, PQ byte-code ADC, or composed "
+                        "IVF+PQ (default)")
+    p.add_argument("--ann-k", type=int, default=10,
+                   help="neighbors per query (ANN mode)")
     return p
 
 
@@ -166,6 +183,13 @@ def main(argv: list[str] | None = None) -> int:
             {"error": "--compact and --compact-output go together"}
         ))
         return 2
+    ann = bool(args.ann_corpus or args.ann_queries or args.ann_output)
+    if ann and not (args.ann_corpus and args.ann_queries and args.ann_output):
+        print(json.dumps(
+            {"error": "--ann-corpus, --ann-queries and --ann-output "
+                      "go together"}
+        ))
+        return 2
     if extracting and not (args.input and args.output):
         print(json.dumps({"error": "--input and --output go together"}))
         return 2
@@ -174,12 +198,14 @@ def main(argv: list[str] | None = None) -> int:
             {"error": "--curate-input and --curate-output go together"}
         ))
         return 2
-    if not extracting and not curating and not corpus and not compacting:
+    if (not extracting and not curating and not corpus and not compacting
+            and not ann):
         print(json.dumps(
             {"error": "nothing to do: pass --input/--output, "
                       "--curate-input/--curate-output, "
-                      "--corpus-input/--corpus-output, and/or "
-                      "--compact/--compact-output"}
+                      "--corpus-input/--corpus-output, "
+                      "--compact/--compact-output, and/or "
+                      "--ann-corpus/--ann-queries/--ann-output"}
         ))
         return 2
     if not extracting:
@@ -444,6 +470,33 @@ def main(argv: list[str] | None = None) -> int:
             "files_after": stats.files_after,
             "bytes_after": stats.bytes_after,
             "output": args.compact_output,
+        }
+
+    if ann:
+        from web_content_extractor_spark.operators import similarity
+
+        corpus_emb = spark.read.parquet(args.ann_corpus)
+        queries_emb = spark.read.parquet(args.ann_queries)
+        search = {
+            "brute": lambda: similarity.brute_force_topk(
+                corpus_emb, queries_emb, k=args.ann_k),
+            "lsh": lambda: similarity.lsh_topk(
+                corpus_emb, queries_emb, k=args.ann_k),
+            "ivf": lambda: similarity.ivf_topk(
+                corpus_emb, queries_emb, k=args.ann_k),
+            "pq": lambda: similarity.pq_topk(
+                corpus_emb, queries_emb, k=args.ann_k),
+            "ivfpq": lambda: similarity.ivfpq_topk(
+                corpus_emb, queries_emb, k=args.ann_k),
+        }[args.ann_method]
+        search().write.mode("overwrite").parquet(args.ann_output)
+        topk = spark.read.parquet(args.ann_output)
+        result["ann"] = {
+            "method": args.ann_method,
+            "k": args.ann_k,
+            "queries": topk.select("query_id").distinct().count(),
+            "pairs": topk.count(),
+            "output": args.ann_output,
         }
 
     print(json.dumps(result))
