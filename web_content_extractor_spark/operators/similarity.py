@@ -845,40 +845,53 @@ def _adc_cut_and_rerank(
     return _window_topk(rescored, k)
 
 
-def pq_topk(
+class ANNIndex:
+    """A built ANN index: the tiny driver-side model artifacts plus the
+    distributed codes table.  Build ONCE (``pq_index`` / ``ivfpq_index``
+    — persist or write ``codes`` to parquet/Iceberg), search MANY
+    (``pq_search`` / ``ivfpq_search``): the production regime, where
+    per-batch search cost excludes training and encoding entirely."""
+
+    def __init__(self, books, codes: DataFrame, centroids=None):
+        self.books = books        # (m, n_codes, dim/m)
+        self.codes = codes        # (id[, cid], codes, vnorm)
+        self.centroids = centroids  # (kc, dim) for IVF routing, or None
+
+
+def pq_index(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     m: int = 8,
     n_codes: int = 16,
     iters: int = 5,
     sample: int = 4096,
-    refine: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k by asymmetric-distance PQ scan + exact
-    re-rank (the IVF-PQ refinement stage, minus the IVF routing —
-    :func:`ivfpq_topk` composes both).
-
-    Scan phase: each query builds an (m x n_codes) lookup table of
-    subspace dot products against the codebooks; scoring a corpus
-    vector is m table gathers + a sum over its byte codes — never a
-    float-vector read.  The scan emits ``refine * k`` candidates per
-    query (map-side partial top-k, so the shuffle is O(batches *
-    refine * k) rows), then the exact cosine re-ranks those few
-    candidates from their true vectors.  ``refine`` >= corpus/k
-    degenerates to brute force — the correctness anchor in tests.
-    """
-    q_ids, Q = _collect_queries(queries, id_col, vec_col)
-    if not q_ids:
-        return _empty_topk(embeddings, id_col)
+) -> ANNIndex:
+    """Train codebooks + encode the corpus: the flat (no-routing) PQ
+    index.  ``codes`` is one narrow pass over the corpus."""
     books = pq_train(
         embeddings, m, n_codes, iters, sample, seed, id_col, vec_col
     )
+    return ANNIndex(books, pq_encode(embeddings, books, id_col, vec_col))
+
+
+def pq_search(
+    index: ANNIndex,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC scan of a built PQ index + exact re-rank (``embeddings`` is
+    read only for the refine*k candidate vectors)."""
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    if not q_ids:
+        return _empty_topk(embeddings, id_col)
     QN = _norm_rows(Q)
-    LUT, offs = _adc_lut(QN, books)
+    LUT, offs = _adc_lut(QN, index.books)
     nq = len(q_ids)
     keep = refine * k
     id_type = dict(embeddings.dtypes)[id_col]
@@ -913,7 +926,174 @@ def pq_topk(
                 }
             )
 
-    scored = pq_encode(embeddings, books, id_col, vec_col).mapInPandas(
+    scored = index.codes.mapInPandas(
+        adc,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, adc_cos double",
+    )
+    return _adc_cut_and_rerank(
+        scored, keep, embeddings, q_ids, Q, id_type, k, id_col, vec_col
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    refine: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric-distance PQ scan + exact
+    re-rank (the IVF-PQ refinement stage, minus the IVF routing —
+    :func:`ivfpq_topk` composes both).
+
+    One-shot convenience: builds the index and searches it once.  For
+    repeated query batches build with :func:`pq_index`, persist
+    ``index.codes``, and call :func:`pq_search` — search cost then
+    excludes training/encoding entirely (the resident-index regime;
+    measured in BENCH.md "ANN crossover").
+
+    Scan phase: each query builds an (m x n_codes) lookup table of
+    subspace dot products against the codebooks; scoring a corpus
+    vector is m table gathers + a sum over its byte codes — never a
+    float-vector read.  The scan emits ``refine * k`` candidates per
+    query (map-side partial top-k, so the shuffle is O(batches *
+    refine * k) rows), then the exact cosine re-ranks those few
+    candidates from their true vectors.  ``refine`` >= corpus/k
+    degenerates to brute force — the correctness anchor in tests.
+    """
+    q_ids, _ = _collect_queries(queries, id_col, vec_col)
+    if not q_ids:
+        return _empty_topk(embeddings, id_col)
+    index = pq_index(
+        embeddings, m, n_codes, iters, sample, seed, id_col, vec_col
+    )
+    return pq_search(index, embeddings, queries, k, refine, id_col, vec_col)
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    m: int = 16,
+    n_codes: int = 32,
+    pq_iters: int = 5,
+    sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ANNIndex:
+    """IVF+PQ index: coarse centroids + codebooks trained, then ONE
+    fused narrow pass encodes every vector to (cid, codes, vnorm).
+    ``cid`` is the partition/bucket key to lay the codes table out by
+    at real scale (probes become partition-pruned scans)."""
+    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    books = pq_train(
+        embeddings, m, n_codes, pq_iters, sample, seed, id_col, vec_col
+    )
+    id_type = dict(embeddings.dtypes)[id_col]
+    Cn = _norm_rows(np.asarray(C, dtype=np.float64)).T  # (dim, kc)
+    B = np.asarray(books, dtype=np.float64)
+    mm, _, dsub = B.shape
+    Bn2 = (B * B).sum(axis=2)
+
+    def build_index(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cid = np.argmax(_norm_rows(V) @ Cn, axis=1).astype(np.int32)
+            S = V.reshape(len(V), mm, dsub)
+            d2 = Bn2[None, :, :] - 2.0 * np.einsum("nsd,scd->nsc", S, B)
+            codes = np.argmin(d2, axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cid": cid,
+                    "codes": list(codes),
+                    "vnorm": np.linalg.norm(V, axis=1),
+                }
+            )
+
+    codes = embeddings.select(id_col, vec_col).mapInPandas(
+        build_index,
+        schema=f"id {id_type}, cid int, codes array<int>, vnorm double",
+    )
+    return ANNIndex(books, codes, centroids=np.asarray(C, dtype=np.float64))
+
+
+def ivfpq_search(
+    index: ANNIndex,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a built IVF+PQ index: broadcast the (query, cid) probe
+    table onto the cell-keyed codes, ADC-score only probed rows, exact
+    re-rank the refine*k survivors."""
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    if not q_ids:
+        return _empty_topk(embeddings, id_col)
+    id_type = dict(embeddings.dtypes)[id_col]
+    n_centroids = len(index.centroids)
+    Cn = _norm_rows(index.centroids).T
+    QN = _norm_rows(Q)
+    probes = _probe_table(
+        embeddings, q_ids, QN, Cn, nprobe, n_centroids, id_type
+    )
+    LUT, offs = _adc_lut(QN, index.books)
+    qindex = {qid: i for i, qid in enumerate(q_ids)}
+    keep = refine * k
+
+    def adc(batches):
+        # pair-wise form of pq_search's matrix ADC: after the probe
+        # join each row already carries its query, so the gather is
+        # indexed per row instead of broadcast over all queries
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            Cc = np.stack(pdf["codes"].to_numpy()).astype(np.int64) + offs
+            qi = np.fromiter(
+                (qindex[q] for q in pdf["query_id"]),
+                dtype=np.int64,
+                count=n,
+            )
+            vn = pdf["vnorm"].to_numpy()
+            vn = np.where(vn == 0.0, 1.0, vn)
+            cos = LUT[qi[:, None], Cc].sum(axis=1) / vn
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["id"].to_numpy(),
+                    "adc_cos": np.round(cos, 6),
+                }
+            )
+            # self-matches dropped BEFORE the per-batch cut (same slot
+            # rule as pq_search's mask)
+            out = out[out["query_id"] != out["neighbor_id"]]
+            out = (
+                out.sort_values(
+                    ["query_id", "adc_cos", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(keep)
+            )
+            yield out
+
+    scored = index.codes.join(F.broadcast(probes), "cid").mapInPandas(
         adc,
         schema=f"query_id {id_type}, neighbor_id {id_type}, adc_cos double",
     )
@@ -947,99 +1127,17 @@ def ivfpq_topk(
     is m bytes + a norm per vector), and the exact re-rank of the
     refine*k ADC survivors restores true-cosine ordering.
 
-    The corpus index is built in ONE fused narrow pass (cell
-    assignment + PQ encode per Arrow batch); both model artifacts
-    (k x dim centroids, m x n_codes x dim/m codebooks) are tiny and
-    ride in kernel closures.
+    One-shot convenience over :func:`ivfpq_index` +
+    :func:`ivfpq_search`; build once / search many for repeated query
+    batches (persist ``index.codes``, ideally partitioned by cid).
     """
-    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    q_ids, _ = _collect_queries(queries, id_col, vec_col)
     if not q_ids:
         return _empty_topk(embeddings, id_col)
-    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
-    books = pq_train(
-        embeddings, m, n_codes, pq_iters, sample, seed, id_col, vec_col
+    index = ivfpq_index(
+        embeddings, n_centroids, iters, m, n_codes, pq_iters, sample,
+        seed, id_col, vec_col,
     )
-    id_type = dict(embeddings.dtypes)[id_col]
-
-    Cn = _norm_rows(np.asarray(C, dtype=np.float64)).T  # (dim, kc)
-    B = np.asarray(books, dtype=np.float64)
-    mm, _, dsub = B.shape
-    Bn2 = (B * B).sum(axis=2)
-
-    def build_index(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            cid = np.argmax(_norm_rows(V) @ Cn, axis=1).astype(np.int32)
-            S = V.reshape(len(V), mm, dsub)
-            d2 = Bn2[None, :, :] - 2.0 * np.einsum("nsd,scd->nsc", S, B)
-            codes = np.argmin(d2, axis=2).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(),
-                    "cid": cid,
-                    "codes": list(codes),
-                    "vnorm": np.linalg.norm(V, axis=1),
-                }
-            )
-
-    index = embeddings.select(id_col, vec_col).mapInPandas(
-        build_index,
-        schema=f"id {id_type}, cid int, codes array<int>, vnorm double",
-    )
-
-    QN = _norm_rows(Q)
-    probes = _probe_table(
-        embeddings, q_ids, QN, Cn, nprobe, n_centroids, id_type
-    )
-    LUT, offs = _adc_lut(QN, books)
-    qindex = {qid: i for i, qid in enumerate(q_ids)}
-    keep = refine * k
-
-    def adc(batches):
-        # pair-wise form of pq_topk's matrix ADC: after the probe join
-        # each row already carries its query, so the gather is indexed
-        # per row instead of broadcast over all queries
-        for pdf in batches:
-            n = len(pdf)
-            if not n:
-                continue
-            Cc = np.stack(pdf["codes"].to_numpy()).astype(np.int64) + offs
-            qi = np.fromiter(
-                (qindex[q] for q in pdf["query_id"]),
-                dtype=np.int64,
-                count=n,
-            )
-            vn = pdf["vnorm"].to_numpy()
-            vn = np.where(vn == 0.0, 1.0, vn)
-            cos = LUT[qi[:, None], Cc].sum(axis=1) / vn
-            out = pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["id"].to_numpy(),
-                    "adc_cos": np.round(cos, 6),
-                }
-            )
-            # self-matches dropped BEFORE the per-batch cut (same slot
-            # rule as pq_topk's mask)
-            out = out[out["query_id"] != out["neighbor_id"]]
-            out = (
-                out.sort_values(
-                    ["query_id", "adc_cos", "neighbor_id"],
-                    ascending=[True, False, True],
-                )
-                .groupby("query_id", sort=False)
-                .head(keep)
-            )
-            yield out
-
-    scored = index.join(F.broadcast(probes), "cid").mapInPandas(
-        adc,
-        schema=f"query_id {id_type}, neighbor_id {id_type}, adc_cos double",
-    )
-    return _adc_cut_and_rerank(
-        scored, keep, embeddings, q_ids, Q, id_type, k, id_col, vec_col
+    return ivfpq_search(
+        index, embeddings, queries, k, nprobe, refine, id_col, vec_col
     )
