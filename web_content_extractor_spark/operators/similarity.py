@@ -890,6 +890,21 @@ def pq_search(
     q_ids, Q = _collect_queries(queries, id_col, vec_col)
     if not q_ids:
         return _empty_topk(embeddings, id_col)
+    return _pq_search_collected(
+        index, embeddings, q_ids, Q, k, refine, id_col, vec_col
+    )
+
+
+def _pq_search_collected(
+    index: ANNIndex,
+    embeddings: DataFrame,
+    q_ids: list,
+    Q: "np.ndarray",
+    k: int,
+    refine: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     QN = _norm_rows(Q)
     LUT, offs = _adc_lut(QN, index.books)
     nq = len(q_ids)
@@ -967,13 +982,15 @@ def pq_topk(
     candidates from their true vectors.  ``refine`` >= corpus/k
     degenerates to brute force — the correctness anchor in tests.
     """
-    q_ids, _ = _collect_queries(queries, id_col, vec_col)
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
     if not q_ids:
         return _empty_topk(embeddings, id_col)
     index = pq_index(
         embeddings, m, n_codes, iters, sample, seed, id_col, vec_col
     )
-    return pq_search(index, embeddings, queries, k, refine, id_col, vec_col)
+    return _pq_search_collected(
+        index, embeddings, q_ids, Q, k, refine, id_col, vec_col
+    )
 
 
 def ivfpq_index(
@@ -1045,6 +1062,22 @@ def ivfpq_search(
     q_ids, Q = _collect_queries(queries, id_col, vec_col)
     if not q_ids:
         return _empty_topk(embeddings, id_col)
+    return _ivfpq_search_collected(
+        index, embeddings, q_ids, Q, k, nprobe, refine, id_col, vec_col
+    )
+
+
+def _ivfpq_search_collected(
+    index: ANNIndex,
+    embeddings: DataFrame,
+    q_ids: list,
+    Q: "np.ndarray",
+    k: int,
+    nprobe: int,
+    refine: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     id_type = dict(embeddings.dtypes)[id_col]
     n_centroids = len(index.centroids)
     Cn = _norm_rows(index.centroids).T
@@ -1131,13 +1164,13 @@ def ivfpq_topk(
     :func:`ivfpq_search`; build once / search many for repeated query
     batches (persist ``index.codes``, ideally partitioned by cid).
     """
-    q_ids, _ = _collect_queries(queries, id_col, vec_col)
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
     if not q_ids:
         return _empty_topk(embeddings, id_col)
     index = ivfpq_index(
         embeddings, n_centroids, iters, m, n_codes, pq_iters, sample,
         seed, id_col, vec_col,
     )
-    return ivfpq_search(
-        index, embeddings, queries, k, nprobe, refine, id_col, vec_col
+    return _ivfpq_search_collected(
+        index, embeddings, q_ids, Q, k, nprobe, refine, id_col, vec_col
     )
