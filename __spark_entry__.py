@@ -1123,6 +1123,22 @@ def q_dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring REMOVAL (the Lee et al. transform, not
+    just the detector): cut every maximal duplicated span out of each
+    document, emit the cleaned text plus removal accounting for every
+    doc.  Runs the hash-keyed scale path; the oracle recomputes the
+    spans from exact gram strings and rebuilds the cleaned text with a
+    positional anti-join, so both the hash/string equivalence and the
+    cut itself are oracle-checked."""
+    from web_content_extractor_spark.operators.substrings import (
+        remove_duplicate_spans,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, k=8, min_count=2, hash_keys=True)
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native dynamic-gap sessionization (F.session_window, the
     streaming-capable operator) checked against the first-principles
@@ -1995,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "snapshot_diff": q_snapshot_diff,
         "dup_substring_stats": q_dup_substring_stats,
+        "dup_remove": q_dup_remove,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
@@ -2005,18 +2022,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "similarity_topk": q_similarity_topk,
         "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
-        # round-3 additions (new ops: PQ-ANN, range join) — in the
-        # front-50 window; extract_spans/extract_metrics slide to 51-52
-        # (already driver-green in CORRECTNESS_r02)
+        # round-3 additions (new ops: PQ-ANN, range join, substring
+        # removal) — in the front-50 window; the displaced rows-only
+        # entries slide just past 50 (they keep bench.py + pytest
+        # differential evidence; oracled newcomers take the slots)
         "pq_topk": q_pq_topk,
         "interval_join": q_interval_join,
-        # position 51+: rows-only composition (pytest-anchored; its
-        # components pq_topk/ivf_topk sit in the checked window)
+        # position 51+: rows-only queries displaced from the checked
+        # window by oracled round-3 newcomers (simhash is pinned by a
+        # numpy differential; ivfpq composes the checked pq/ivf paths)
+        "simhash": q_simhash,
         "ivfpq_topk": q_ivfpq_topk,
         # --- driver-certified in round 2 (green rows in CORRECTNESS_r02) ---
         # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
@@ -3572,6 +3591,74 @@ def oracle_sql() -> dict[str, str]:
                           THEN coalesce(per.dup_tokens, 0)::DOUBLE / len(t.w)
                           ELSE 0.0 END, 6) AS dup_fraction
         FROM t LEFT JOIN per USING (doc_id)
+        """,
+        # Removal transform over the same spans: rebuild the cleaned
+        # text by anti-joining token positions against the span ranges
+        # and re-joining in position order.  A doc whose every token is
+        # removed aggregates to no row -> coalesce to '' (Spark's
+        # array_join of an empty array).
+        "dup_remove": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, i AS start,
+                 array_to_string(w[i+1:i+8], ' ') AS gram
+          FROM t, UNNEST(range(0, greatest(len(w) - 7, 0))) AS u(i)
+        ),
+        c AS (
+          SELECT doc_id, start,
+                 count(*) OVER (PARTITION BY gram) AS cnt
+          FROM g
+        ),
+        d AS (SELECT doc_id, start FROM c WHERE cnt >= 2),
+        m AS (
+          SELECT doc_id, start,
+                 CASE WHEN lag(start) OVER win IS NULL
+                        OR start > lag(start) OVER win + 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM d WINDOW win AS (PARTITION BY doc_id ORDER BY start)
+        ),
+        i AS (
+          SELECT doc_id, start,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY start)
+                   AS island
+          FROM m
+        ),
+        sp AS (
+          SELECT doc_id, min(start) AS span_start,
+                 max(start) + 8 AS span_end,
+                 max(start) + 8 - min(start) AS span_tokens
+          FROM i GROUP BY doc_id, island
+        ),
+        tok AS (
+          SELECT doc_id, w[pos+1] AS tok, pos
+          FROM t, UNNEST(range(0, len(w))) AS u(pos)
+        ),
+        kept AS (
+          SELECT tok.doc_id, tok.tok, tok.pos
+          FROM tok
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sp
+            WHERE sp.doc_id = tok.doc_id
+              AND sp.span_start <= tok.pos AND tok.pos < sp.span_end
+          )
+        ),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id
+        ),
+        rem AS (
+          SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS removed_tokens
+          FROM sp GROUP BY doc_id
+        )
+        SELECT t.doc_id, len(t.w) AS n_tokens,
+               coalesce(rem.removed_tokens, 0) AS removed_tokens,
+               coalesce(agg.clean_text, '') AS clean_text
+        FROM t
+        LEFT JOIN agg USING (doc_id)
+        LEFT JOIN rem USING (doc_id)
         """,
         "decontam": """
         WITH n AS (

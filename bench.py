@@ -87,6 +87,7 @@ HEADLINE = [
     "host_pagerank",      # iterative fixpoint (5 rounds, per-round agg)
     "audio_features",     # real WAV decode + signal features (Arrow UDF)
     "dup_substring_stats",  # exact substring-dup coverage (hash-keyed)
+    "dup_remove",           # exact substring-dup removal transform
     "semantic_dedup",     # SemDeDup: kmeans + within-cluster pruning
     "heavy_hitters",      # CMS screen + exact recount hot-key finder
     "anchor_index",       # inbound anchor-text top-k index

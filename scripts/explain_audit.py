@@ -359,6 +359,27 @@ def main() -> int:
         ],
     )
 
+    # duplicate-substring REMOVAL — the detector's two key shuffles,
+    # the cut itself pure Column algebra, span arrays broadcast back
+    dr = contract.q_dup_remove(spark, SF_DIR)
+    p = formatted(dr)
+    audit(
+        "dup_remove (duplicate-substring removal transform)",
+        dr,
+        [
+            ("key shuffles are exactly {gram_key, doc_id}",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             == {"gram_key", "doc_id"}),
+            ("no Python stage (span cut is native Column algebra)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p
+             and "ArrowEvalPython" not in p),
+            ("per-doc span arrays join back via broadcast",
+             "BroadcastHashJoin" in p),
+            ("no cartesian/BNL join", "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+        ],
+    )
+
     # SemDeDup — the pairwise work shuffles ONCE, on cid
     sd = contract.q_semantic_dedup(spark, SF_DIR)
     p = formatted(sd)

@@ -5,6 +5,7 @@ from __future__ import annotations
 from web_content_extractor_spark.operators.substrings import (
     duplicate_spans,
     kgram_positions,
+    remove_duplicate_spans,
     substring_dup_stats,
 )
 
@@ -109,6 +110,60 @@ def test_stats_cover_every_doc_and_union_length(spark):
     assert stats[2].dup_tokens == 10 and abs(stats[2].dup_fraction - 1.0) < 1e-9
     assert stats[3].dup_tokens == 0 and stats[3].dup_fraction == 0.0
     assert stats[4].n_tokens <= 1 and stats[4].dup_tokens == 0
+
+
+def test_remove_cuts_spans_and_passes_through_clean_docs(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [
+            (1, f"pre {shared} post"),
+            (2, f"{shared}"),
+            (3, "totally unique words only here nothing repeats at all"),
+            (4, ""),
+        ],
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].clean_text == "pre post" and out[1].removed_tokens == 10
+    assert out[2].clean_text == "" and out[2].removed_tokens == 10
+    assert out[3].clean_text == (
+        "totally unique words only here nothing repeats at all"
+    ) and out[3].removed_tokens == 0
+    assert out[4].removed_tokens == 0
+
+
+def test_remove_differential_vs_python_reference(spark):
+    """Randomized corpora: the cleaned text must equal tokens minus the
+    reference span set, joined on single spaces."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"v{i}" for i in range(5)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    k = 3
+    got = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            _docs(spark, rows), k=k, min_count=2, hash_keys=True
+        ).collect()
+    }
+    spans = {}
+    for r in duplicate_spans(_docs(spark, rows), k=k, min_count=2).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for i, text in rows:
+        ws = text.split()
+        keep = [
+            w
+            for p, w in enumerate(ws)
+            if not any(a <= p < b for a, b in spans.get(i, []))
+        ]
+        removed = sum(b - a for a, b in spans.get(i, []))
+        assert got[i].clean_text == " ".join(keep), i
+        assert got[i].removed_tokens == removed, i
 
 
 def test_differential_vs_python_reference(spark):

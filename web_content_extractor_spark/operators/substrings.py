@@ -106,6 +106,59 @@ def duplicate_spans(
     ).drop("island")
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """Cut the maximal duplicated substrings out of each document —
+    the actual Lee et al. (ACL 2022) dedup *transform*, where
+    :func:`duplicate_spans` is the detector.
+
+    Returns (doc_id, n_tokens, removed_tokens, clean_text) for EVERY
+    document.  ``clean_text`` is the whitespace-normalised join of the
+    surviving tokens (original runs of whitespace collapse to one
+    space, matching the token algebra of the detector); documents with
+    no duplicated span pass through with all tokens kept.
+
+    Scale shape: the detector's one gram-key shuffle plus one doc_id
+    shuffle for the span aggregate; the cut itself is per-row Column
+    algebra — the spans array per doc is tiny (merged maximal spans,
+    typically 0-3), so the exists() probe per token is O(tokens *
+    spans) with a small constant and never shuffles.
+    """
+    spans = duplicate_spans(docs, text_col, k, min_count, hash_keys)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("spans"),
+        F.sum("span_tokens").alias("removed_tokens"),
+    )
+    toks = _tokens(F.col(text_col))
+    spans_or_empty = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.exists(
+            spans_or_empty,
+            lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
+        ),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
 def substring_dup_stats(
     docs: DataFrame,
     text_col: str = "text",
