@@ -88,6 +88,8 @@ HEADLINE = [
     "audio_features",     # real WAV decode + signal features (Arrow UDF)
     "dup_substring_stats",  # exact substring-dup coverage (hash-keyed)
     "dup_remove",           # exact substring-dup removal transform
+    "hamming_neardup",    # Manku pigeonhole band join (parity fp)
+    "image_neardup",      # BMP decode -> aHash -> Hamming band join
     "semantic_dedup",     # SemDeDup: kmeans + within-cluster pruning
     "heavy_hitters",      # CMS screen + exact recount hot-key finder
     "anchor_index",       # inbound anchor-text top-k index

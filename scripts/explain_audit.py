@@ -380,6 +380,30 @@ def main() -> int:
         ],
     )
 
+    # Hamming band join — equi-join candidates, codegen popcount,
+    # fingerprints (not text) on the banding shuffle
+    hn = contract.q_hamming_neardup(spark, SF_DIR)
+    p = formatted(hn)
+    audit(
+        "hamming_neardup (Manku pigeonhole band join)",
+        hn,
+        [
+            ("banding is an equi-join (no cartesian/BNL)",
+             "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+            ("popcount filter is native (no Python stage)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p
+             and "ArrowEvalPython" not in p),
+            ("no shuffle carries document text",
+             not any(
+                 "text" in m
+                 for m in re.findall(r"hashpartitioning\(([^)]*)\)", p)
+             )),
+            ("column-pruned scan (doc_id + text only)",
+             "struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+
     # SemDeDup — the pairwise work shuffles ONCE, on cid
     sd = contract.q_semantic_dedup(spark, SF_DIR)
     p = formatted(sd)

@@ -13,8 +13,9 @@ Four tiers, all designed around their shuffle profile at 100 TB:
                  wide signature arrays never ride the banding shuffle.
 - simhash      — tokenize + 64-bit hash + per-bit segment-reduce in
                  one Arrow kernel; near-dup candidates pair up via
-                 identical simhash (Hamming-0 buckets) or rotated-band
-                 buckets.
+                 identical simhash (Hamming-0 buckets) or the Manku
+                 et al. pigeonhole band join (Hamming <= k without an
+                 all-pairs comparison, `hamming_near_duplicates`).
 - ngram_jaccard — exact verification metric; the self-join is gated by
                  a document-frequency cap on join keys (hot shingles
                  are dropped before the join — the classic skew guard).
@@ -409,6 +410,112 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         "canonical_id",
         (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_distance: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """All pairs within Hamming distance ``max_distance`` of a
+    ``bits``-bit integer fingerprint — the pigeonhole band join of
+    Manku, Jain & Das Sarma (WWW 2007, "Detecting Near-Duplicates for
+    Web Crawling"), the operator that turns SimHash from an exact-
+    bucket dedup into a real near-dup detector.
+
+    Split the fingerprint into ``max_distance + 1`` disjoint bit
+    bands; a pair differing in at most ``max_distance`` bits is
+    bit-identical in at least one band (pigeonhole), so candidate
+    generation is an equi-join on (band_idx, band_value) — never an
+    all-pairs comparison.  Candidates are deduped (a pair can agree on
+    several bands) and filtered by one codegen popcount:
+    ``bit_count(fp_a ^ fp_b) <= max_distance``.
+
+    Returns (id_a, id_b, hamming) with ``id_a < id_b``.
+
+    Scale shape: the banding shuffle carries four fixed-width values
+    per row (id, fp, band_idx, band_val) — no text, no arrays — and
+    fans each fingerprint to ``max_distance + 1`` rows.  Band values
+    concentrate only where fingerprints genuinely agree on a band;
+    run exact dedup first (collapse identical fingerprints to one
+    representative) so distance-0 cliques don't quadratically expand
+    the join, and let AQE's skew-join split handle residual hot
+    bands.  The popcount filter is a single whole-stage-codegen
+    expression, not a Python stage.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    n_bands = max_distance + 1
+    if bits < n_bands:
+        raise ValueError("need at least one bit per band")
+    w = bits // n_bands
+    specs = []  # (band_idx, low_bit, width); last band takes remainder
+    for i in range(n_bands):
+        lo = i * w
+        width = (bits - lo) if i == n_bands - 1 else w
+        specs.append((i, lo, width))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (
+                    F.col("__fp")
+                    if (lo == 0 and width >= 64)
+                    else F.shiftrightunsigned(F.col("__fp"), lo).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                ).alias("val"),
+            )
+            for i, lo, width in specs
+        ]
+    )
+    e = (
+        df.select(
+            F.col(id_col).alias("__id"), F.col(hash_col).alias("__fp")
+        )
+        .select("__id", "__fp", F.explode(bands).alias("b"))
+        .select("__id", "__fp", "b.band", "b.val")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__fp").alias("__fp_a"),
+            F.col("b.__fp").alias("__fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__fp_a").bitwiseXOR(F.col("__fp_b"))),
+        )
+        .where(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, text_col: str = "text", max_distance: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: the Arrow simhash kernel feeding the
+    Manku pigeonhole band join.  (doc_id_a, doc_id_b, hamming) with
+    hamming <= max_distance."""
+    sh = simhash(docs, text_col)
+    return hamming_near_duplicates(
+        sh, id_col="doc_id", hash_col="simhash", max_distance=max_distance
+    ).select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        "hamming",
     )
 
 

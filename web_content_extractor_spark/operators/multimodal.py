@@ -487,6 +487,128 @@ def extract_image_features(
     return media.mapInPandas(run, schema=IMAGE_FEATURES)
 
 
+IMAGE_HASH = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), nullable=False),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _average_hash_bits(img, hash_size: int = 8) -> int:
+    """64-bit average hash (aHash) of a decoded (h, w, c) uint8 image:
+    luma -> block-mean downsample to hash_size x hash_size -> one bit
+    per cell (above/below the grid mean), LSB-first packing.  Python
+    int result; caller views it as int64 two's complement."""
+    import numpy as np
+
+    lum = img.astype(np.float64)
+    lum = lum[:, :, :3].mean(axis=2) if lum.shape[2] >= 3 else lum[:, :, 0]
+
+    def shrink(m, axis):
+        n = m.shape[axis]
+        if n >= hash_size:
+            starts = (np.arange(hash_size) * n) // hash_size
+            sums = np.add.reduceat(m, starts, axis=axis)
+            counts = np.diff(np.append(starts, n))
+            shape = [1, 1]
+            shape[axis] = hash_size
+            return sums / counts.reshape(shape)
+        # image narrower than the grid: nearest-neighbor upsample
+        return np.take(m, (np.arange(hash_size) * n) // hash_size, axis)
+
+    grid = shrink(shrink(lum, 0), 1)
+    bits = (grid > grid.mean()).ravel()
+    packed = (
+        bits.astype(np.uint64) << np.arange(bits.size, dtype=np.uint64)
+    ).sum(dtype=np.uint64)
+    return int(packed.view(np.int64))  # two's-complement into bigint
+
+
+def average_hash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual image fingerprints for corpus-scale image dedup:
+    one Arrow-batched decode + aHash stage, no shuffle.
+
+    Output (media_id, doc_id, phash bigint, decoded boolean) feeds
+    straight into ``dedup_docs.hamming_near_duplicates`` — the same
+    pigeonhole band join that serves SimHash text near-dup, so image
+    near-dup costs one banding shuffle over 8-byte fingerprints no
+    matter how large the payloads were.  Undecodable payloads get a
+    deterministic full-dispersion 64-bit content hash (decoded=false):
+    they still dedup exactly (identical bytes -> identical hash) but
+    never land near genuine images by accident.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_HASH.fields]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for media_id, doc_id, payload in zip(
+                pdf["media_id"], pdf["doc_id"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    img = _decode_image(payload)
+                except Exception:
+                    img = None  # drop-not-fail
+                if img is not None and img.size:
+                    phash = _average_hash_bits(img, hash_size)
+                    decoded = True
+                else:
+                    digest = hashlib.blake2b(
+                        payload, digest_size=8
+                    ).digest()
+                    phash = int(
+                        np.frombuffer(digest, dtype=np.int64)[0]
+                    )
+                    decoded = False
+                out["media_id"].append(media_id)
+                out["doc_id"].append(doc_id)
+                out["phash"].append(phash)
+                out["decoded"].append(decoded)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(run, schema=IMAGE_HASH)
+
+
+def synth_bmp(seed: int, w: int = 16, h: int = 16, flip_pixels: int = 0) -> bytes:
+    """Deterministic 24-bit BMP payload from a seed — the test-scale
+    stand-in for real crawled images (the container has no codecs to
+    re-encode anything real).  ``flip_pixels`` inverts the first n
+    pixels of the seed's base image, planting a perceptual near-twin:
+    same seed + small flip -> small aHash Hamming distance.  Pure
+    stdlib; decodable by ``_decode_bmp``."""
+    import struct
+
+    n = w * h * 3
+    stream = bytearray()
+    counter = 0
+    while len(stream) < n:
+        stream += hashlib.blake2b(
+            b"%d:%d" % (seed, counter), digest_size=64
+        ).digest()
+        counter += 1
+    px = bytearray(stream[:n])
+    for p in range(min(flip_pixels, w * h)):
+        for ch in range(3):
+            px[p * 3 + ch] ^= 0xFF
+    pad = (-(w * 3)) % 4
+    rows = b"".join(
+        bytes(px[y * w * 3 : (y + 1) * w * 3]) + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+    data_off = 14 + 40
+    size = data_off + len(rows)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0
+    )
+    return hdr + info + rows
+
+
 PDF_LAYOUT = T.StructType(
     [
         T.StructField("media_id", T.StringType(), nullable=False),
