@@ -1349,6 +1349,59 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_rules(robots, user_agent="*")
 
 
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch scheduling: robots Crawl-delay parsing
+    (same group semantics as robots_rules) composed with the per-host
+    slot scheduler.  Bodies are synthesized per host: a googlebot
+    group whose Crawl-delay: 60 must NOT apply, and a '*' group whose
+    delay is hid%7+1 seconds — except every 5th host omits the line
+    and must fall back to the 1.0 s default.  The oracle recomputes
+    the whole schedule in closed form from the hid arithmetic
+    (independent of the robots parse), so group selection, try_cast,
+    the max-collapse, slot numbering, AND the fetch-time arithmetic
+    are all checked end to end."""
+    from web_content_extractor_spark.operators.crawl import (
+        crawl_delays,
+        politeness_schedule,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    hid = (F.col("doc_id") % 50).cast("string")
+    host = F.concat(F.lit("h"), hid, F.lit(".example.com"))
+    frontier = d.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 10).cast("int").alias("priority"),
+    )
+    hosts = d.select((F.col("doc_id") % 50).alias("hid")).distinct()
+    body = F.concat(
+        F.lit("User-agent: googlebot\nCrawl-delay: 60\nDisallow: /g\n\n"),
+        F.lit("User-agent: *\nDisallow: /tmp\n"),
+        F.when(F.col("hid") % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("Crawl-delay: "),
+                (F.col("hid") % 7 + 1).cast("string"),
+                F.lit("\n"),
+            )
+        ),
+    )
+    robots = hosts.select(
+        F.concat(
+            F.lit("h"), F.col("hid").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        body.alias("robots"),
+    )
+    return politeness_schedule(
+        frontier,
+        crawl_delays(robots, user_agent="*"),
+        default_delay_s=1.0,
+        priority_col="priority",
+    )
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sitemap.xml URL-inventory extraction (the crawl seed source):
     per-host urlset bodies synthesized natively — 3 <loc> entries with
@@ -2080,7 +2133,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "vocab_topk": q_vocab_topk,
         "bpe_pairs": q_bpe_pairs,
-        "bpe_encode": q_bpe_encode,
         "zorder_keys": q_zorder_keys,
         "corpus_split": q_corpus_split,
         "bigram_nll": q_bigram_nll,
@@ -2090,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "sitemap_urls": q_sitemap_urls,
         "crawl_seeds": q_crawl_seeds,
+        "crawl_schedule": q_crawl_schedule,
         "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
         "temperature_mixture": q_temperature_mixture,
@@ -2126,11 +2179,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_neardup": q_hamming_neardup,
         # position 51+: rows-only queries displaced from the checked
         # window by oracled round-3 newcomers (simhash is pinned by a
-        # numpy differential; lsh_topk's banding logic is the oracled
-        # hamming/minhash shape; ivfpq composes the checked pq/ivf
-        # paths; image_neardup composes the oracled band join with the
-        # test-pinned aHash kernel)
+        # numpy differential; bpe_encode anchors to the oracled
+        # bpe_pairs + an independent python differential; lsh_topk's
+        # banding logic is the oracled hamming/minhash shape; ivfpq
+        # composes the checked pq/ivf paths; image_neardup composes
+        # the oracled band join with the test-pinned aHash kernel)
         "simhash": q_simhash,
+        "bpe_encode": q_bpe_encode,
         "lsh_topk": q_lsh_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "image_neardup": q_image_neardup,
@@ -3294,6 +3349,32 @@ def oracle_sql() -> dict[str, str]:
           FROM m
         )
         SELECT DISTINCT host, url, is_index FROM u WHERE length(url) > 0
+        """,
+        # Closed-form politeness schedule: delay from hid arithmetic
+        # (every 5th host falls back to the 1.0 s default), slots from
+        # a priority-desc/url-asc window — fully independent of the
+        # Spark side's robots parse + scheduler composition.
+        "crawl_schedule": """
+        WITH f AS (
+          SELECT doc_id % 50 AS hid,
+                 'h' || (doc_id % 50) || '.example.com' AS host,
+                 'https://h' || (doc_id % 50) || '.example.com/p/'
+                   || doc_id AS url,
+                 doc_id % 10 AS priority
+          FROM documents
+        ),
+        s AS (
+          SELECT host, url,
+                 row_number() OVER (
+                   PARTITION BY host ORDER BY priority DESC, url ASC
+                 ) - 1 AS slot,
+                 CASE WHEN hid % 5 = 0 THEN 1.0
+                      ELSE CAST(hid % 7 + 1 AS DOUBLE) END AS delay_s
+          FROM f
+        )
+        SELECT host, url, CAST(slot AS INT) AS slot, delay_s,
+               round(slot * delay_s, 6) AS fetch_at_s
+        FROM s
         """,
         "crawl_seeds": """
         WITH hid AS (SELECT DISTINCT doc_id % 40 AS hid FROM documents),

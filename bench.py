@@ -109,6 +109,7 @@ HEADLINE = [
     "dsir_weights",       # DSIR hashed-bigram importance log-weights
     "warc_roundtrip",     # WARC build + record-walk parse round-trip
     "crawl_seeds",        # sitemap ∘ robots ∘ blocklist composition
+    "crawl_schedule",     # Crawl-delay parse + per-host slot scheduling
 ]
 
 

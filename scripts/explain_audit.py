@@ -380,6 +380,26 @@ def main() -> int:
         ],
     )
 
+    # politeness scheduler — host-keyed slot window, broadcast delays
+    cs = contract.q_crawl_schedule(spark, SF_DIR)
+    p = formatted(cs)
+    audit(
+        "crawl_schedule (Crawl-delay parse + per-host slot scheduler)",
+        cs,
+        [
+            ("all key shuffles are host-keyed (slot window + robots"
+             " group windows)",
+             set(re.findall(r"hashpartitioning\((\w+)", p)) <= {"host", "hid"}),
+            ("delay table joins back via broadcast",
+             "BroadcastHashJoin" in p),
+            ("no Python stage (parse + schedule are native windows)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p
+             and "ArrowEvalPython" not in p),
+            ("no cartesian/BNL join", "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+        ],
+    )
+
     # Hamming band join — equi-join candidates, codegen popcount,
     # fingerprints (not text) on the banding shuffle
     hn = contract.q_hamming_neardup(spark, SF_DIR)

@@ -253,3 +253,108 @@ class TestRobotsAgentFallback:
             for r in robots_rules(robots, user_agent="mybot").collect()
         }
         assert got == {"/mine"}
+
+
+class TestCrawlDelaysAndPoliteness:
+    def _robots(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, robots string")
+
+    def test_crawl_delay_group_semantics(self, spark):
+        from web_content_extractor_spark.operators.crawl import crawl_delays
+
+        robots = self._robots(
+            spark,
+            [
+                # '*' group delay applies; googlebot group's does not
+                ("a.com", "User-agent: googlebot\nCrawl-delay: 60\n\n"
+                          "User-agent: *\nCrawl-delay: 2.5\n"),
+                # two applicable values -> conservative max
+                ("b.com", "User-agent: *\nCrawl-delay: 1\n\n"
+                          "User-agent: *\nCrawl-delay: 4\n"),
+                # no delay line at all -> no row
+                ("c.com", "User-agent: *\nDisallow: /x\n"),
+                # non-numeric -> dropped -> no row
+                ("d.com", "User-agent: *\nCrawl-delay: soon\n"),
+            ],
+        )
+        got = {r.host: r.delay_s for r in crawl_delays(robots).collect()}
+        assert got == {"a.com": 2.5, "b.com": 4.0}
+
+    def test_crawl_delay_specific_agent(self, spark):
+        from web_content_extractor_spark.operators.crawl import crawl_delays
+
+        robots = self._robots(
+            spark,
+            [("a.com", "User-agent: mybot\nCrawl-delay: 7\n\n"
+                       "User-agent: *\nCrawl-delay: 1\n")],
+        )
+        got = {r.host: r.delay_s
+               for r in crawl_delays(robots, user_agent="mybot").collect()}
+        assert got == {"a.com": 7.0}
+
+    def _frontier(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "host string, url string, priority int"
+        )
+
+    def test_schedule_slots_delays_and_default(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            politeness_schedule,
+        )
+
+        frontier = self._frontier(
+            spark,
+            [("a.com", f"https://a.com/{i}", i) for i in range(4)]
+            + [("b.com", "https://b.com/x", 0), ("b.com", "https://b.com/y", 0)],
+        )
+        delays = spark.createDataFrame(
+            [("a.com", 2.5)], "host string, delay_s double"
+        )
+        out = {
+            (r.host, r.url): r
+            for r in politeness_schedule(
+                frontier, delays, default_delay_s=1.0, priority_col="priority"
+            ).collect()
+        }
+        # a.com: priority desc -> /3 first at t=0, /0 last at slot 3
+        assert out[("a.com", "https://a.com/3")].slot == 0
+        assert out[("a.com", "https://a.com/0")].slot == 3
+        assert out[("a.com", "https://a.com/0")].fetch_at_s == 7.5
+        assert all(out[("a.com", u)].delay_s == 2.5 for u in
+                   [f"https://a.com/{i}" for i in range(4)])
+        # b.com missing from delays -> default 1.0; url tie-break
+        assert out[("b.com", "https://b.com/x")].slot == 0
+        assert out[("b.com", "https://b.com/y")].fetch_at_s == 1.0
+
+    def test_schedule_without_delay_table_and_determinism(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            politeness_schedule,
+        )
+
+        frontier = self._frontier(
+            spark, [("a.com", f"https://a.com/{c}", 0) for c in "dcba"]
+        )
+        a = politeness_schedule(frontier, default_delay_s=0.5).collect()
+        b = politeness_schedule(frontier, default_delay_s=0.5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        by_url = {r.url: r for r in a}
+        assert by_url["https://a.com/a"].slot == 0
+        assert by_url["https://a.com/d"].fetch_at_s == 1.5
+
+    def test_schedule_composes_with_robots_delays(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            crawl_delays,
+            politeness_schedule,
+        )
+
+        robots = self._robots(
+            spark, [("a.com", "User-agent: *\nCrawl-delay: 10\n")]
+        )
+        frontier = self._frontier(
+            spark,
+            [("a.com", "https://a.com/1", 0), ("a.com", "https://a.com/2", 0)],
+        )
+        out = {r.url: r for r in politeness_schedule(
+            frontier, crawl_delays(robots)
+        ).collect()}
+        assert out["https://a.com/2"].fetch_at_s == 10.0

@@ -307,6 +307,30 @@ def robots_rules(
     shuffle of KB-sized groups; the rule table out is exactly what
     ``blocklist_filter`` broadcasts.
     """
+    grouped, applies = _robots_groups(robots, user_agent, host_col, body_col)
+    rules = grouped.where(
+        (F.col("field") == "disallow") & (F.length("value") > 0)
+    )
+    return (
+        rules.join(applies, [host_col, "group_id"])
+        .select(F.col(host_col).alias("host"),
+                F.col("value").alias("path_prefix"))
+        .distinct()
+    )
+
+
+def _robots_groups(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared robots.txt group machinery: parse bodies into tagged
+    (host, group_id, field, value) lines plus the (host, group_id) set
+    applicable to ``user_agent`` under the spec's group-tier rule
+    (specific groups win, '*' groups are the fallback).  Used by
+    :func:`robots_rules` (Disallow) and :func:`crawl_delays`
+    (Crawl-delay)."""
     from pyspark.sql import Window
 
     lines = robots.select(
@@ -366,14 +390,88 @@ def robots_rules(
         )
         .select(host_col, "group_id")
     )
-    rules = grouped.where(
-        (F.col("field") == "disallow") & (F.length("value") > 0)
+    return grouped, applies
+
+
+def crawl_delays(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (seconds, double) for ``user_agent``,
+    using the same applicable-group semantics as :func:`robots_rules`.
+    Hosts whose applicable groups carry no parsable Crawl-delay emit
+    no row (callers coalesce to their default); multiple applicable
+    values collapse to the max — the conservative schedule, the one
+    that violates no stated delay."""
+    grouped, applies = _robots_groups(robots, user_agent, host_col, body_col)
+    delays = grouped.where(F.col("field") == "crawl-delay").select(
+        host_col,
+        "group_id",
+        # try_cast: malformed delays drop, not fail (ANSI-safe)
+        F.col("value").try_cast("double").alias("delay_s"),
     )
     return (
-        rules.join(applies, [host_col, "group_id"])
-        .select(F.col(host_col).alias("host"),
-                F.col("value").alias("path_prefix"))
-        .distinct()
+        delays.join(applies, [host_col, "group_id"])
+        .where(F.col("delay_s").isNotNull())
+        .groupBy(F.col(host_col).alias("host"))
+        .agg(F.max("delay_s").alias("delay_s"))
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_s: float = 1.0,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Politeness-aware fetch scheduling: assign every frontier URL a
+    per-host slot and a relative fetch time that honors the host's
+    crawl delay — the piece that turns a prioritized frontier into a
+    dispatchable plan without hammering any single origin.
+
+    Per host, URLs are ordered by ``priority_col`` descending (when
+    given; ties and the no-priority case fall back to ``url_col``
+    ascending, so the schedule is deterministic), numbered into slots
+    0,1,2,..., and scheduled at ``slot * delay_s`` seconds where
+    ``delay_s`` comes from ``delays`` (e.g. :func:`crawl_delays`)
+    with ``default_delay_s`` as the fallback.  Callers add their epoch
+    to ``fetch_at_s``.
+
+    Returns (host, url, slot, delay_s, fetch_at_s).
+
+    Scale shape: ONE host-keyed window shuffle for the slot numbering
+    (the same key the fetcher partitions by, so the shuffle is reused
+    downstream); the delay table is host-cardinality and broadcasts.
+    A pathological single-host frontier serializes inside one
+    partition by design — that host's schedule IS sequential.
+    """
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(priority_col).desc(), F.col(url_col).asc()]
+        if priority_col
+        else [F.col(url_col).asc()]
+    )
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = frontier.withColumn("slot", F.row_number().over(w) - 1)
+    if delays is not None:
+        d = delays
+        if host_col != "host":
+            d = d.withColumnRenamed("host", host_col)
+        out = out.join(F.broadcast(d), host_col, "left")
+    else:
+        out = out.withColumn("delay_s", F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s)))
+    return out.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col("slot").cast("int").alias("slot"),
+        delay.alias("delay_s"),
+        F.round(F.col("slot") * delay, 6).alias("fetch_at_s"),
     )
 
 
