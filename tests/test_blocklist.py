@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from web_content_extractor_spark.operators.crawl import blocklist_filter
 
 
@@ -358,3 +360,39 @@ class TestCrawlDelaysAndPoliteness:
             frontier, crawl_delays(robots)
         ).collect()}
         assert out["https://a.com/2"].fetch_at_s == 10.0
+
+    def test_crawl_delay_drops_nan_inf_negative(self, spark):
+        from web_content_extractor_spark.operators.crawl import crawl_delays
+
+        robots = self._robots(
+            spark,
+            [
+                # NaN must not win the conservative max
+                ("a.com", "User-agent: *\nCrawl-delay: NaN\n\n"
+                          "User-agent: *\nCrawl-delay: 2\n"),
+                ("b.com", "User-agent: *\nCrawl-delay: Infinity\n"),
+                ("c.com", "User-agent: *\nCrawl-delay: -5\n"),
+            ],
+        )
+        got = {r.host: r.delay_s for r in crawl_delays(robots).collect()}
+        assert got == {"a.com": 2.0}
+
+    def test_schedule_reschedules_its_own_output(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            politeness_schedule,
+        )
+
+        frontier = self._frontier(
+            spark,
+            [("a.com", "https://a.com/1", 0), ("a.com", "https://a.com/2", 0)],
+        )
+        delays = spark.createDataFrame(
+            [("a.com", 3.0)], "host string, delay_s double"
+        )
+        first = politeness_schedule(frontier, delays)
+        # feeding the output back in (crawl-loop pattern) must not
+        # raise AMBIGUOUS_REFERENCE on the carried delay_s column
+        again = {r.url: r for r in politeness_schedule(
+            first, delays.withColumn("delay_s", F.lit(5.0))
+        ).collect()}
+        assert again["https://a.com/2"].fetch_at_s == 5.0

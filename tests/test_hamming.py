@@ -169,3 +169,12 @@ def test_image_neardup_planted_twins_recall(spark):
     assert want <= got  # every planted twin found
     extras = got - want
     assert not any(int(a) >= 40 or int(b) >= 40 for a, b in extras)
+
+
+def test_average_hash_rejects_oversized_grid(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        average_hash(_media(spark, [(0, synth_bmp(1))]), hash_size=16)
+    with _pytest.raises(ValueError):
+        _average_hash_bits(None, hash_size=9)

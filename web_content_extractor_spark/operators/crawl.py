@@ -414,7 +414,16 @@ def crawl_delays(
     )
     return (
         delays.join(applies, [host_col, "group_id"])
-        .where(F.col("delay_s").isNotNull())
+        # drop unusable values, not just unparsable ones: try_cast
+        # turns 'NaN'/'Infinity' into real doubles (NaN would win the
+        # max and poison the host's schedule) and negative delays
+        # would schedule fetches in the past
+        .where(
+            F.col("delay_s").isNotNull()
+            & ~F.isnan("delay_s")
+            & (F.col("delay_s") >= 0)
+            & (F.col("delay_s") < F.lit(float("inf")))
+        )
         .groupBy(F.col(host_col).alias("host"))
         .agg(F.max("delay_s").alias("delay_s"))
     )
@@ -457,7 +466,12 @@ def politeness_schedule(
         else [F.col(url_col).asc()]
     )
     w = Window.partitionBy(host_col).orderBy(*order)
-    out = frontier.withColumn("slot", F.row_number().over(w) - 1)
+    # the delays table + default are authoritative: a pre-existing
+    # delay_s on the frontier (e.g. re-scheduling this function's own
+    # output) would make the coalesce ambiguous — drop it
+    out = frontier.drop("delay_s").withColumn(
+        "slot", F.row_number().over(w) - 1
+    )
     if delays is not None:
         d = delays
         if host_col != "host":

@@ -490,16 +490,16 @@ def hamming_near_duplicates(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__fp").alias("__fp_a"),
-            F.col("b.__fp").alias("__fp_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("__fp_a").bitwiseXOR(F.col("__fp_b"))),
+            # popcount BEFORE the pair-dedup shuffle: hamming is a pure
+            # function of the pair, so filtering first is equivalent
+            # and the distinct carries only true near-pairs, not every
+            # chance band collision
+            F.bit_count(
+                F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_distance)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

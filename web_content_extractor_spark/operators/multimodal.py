@@ -501,8 +501,14 @@ def _average_hash_bits(img, hash_size: int = 8) -> int:
     """64-bit average hash (aHash) of a decoded (h, w, c) uint8 image:
     luma -> block-mean downsample to hash_size x hash_size -> one bit
     per cell (above/below the grid mean), LSB-first packing.  Python
-    int result; caller views it as int64 two's complement."""
+    int result; caller views it as int64 two's complement.  hash_size
+    is capped at 8: the hash is hash_size^2 bits and must fit the
+    64-bit fingerprint (uint64 shifts >= 64 would silently zero the
+    upper cells)."""
     import numpy as np
+
+    if hash_size > 8:
+        raise ValueError("hash_size > 8 overflows the 64-bit fingerprint")
 
     lum = img.astype(np.float64)
     lum = lum[:, :, :3].mean(axis=2) if lum.shape[2] >= 3 else lum[:, :, 0]
@@ -541,6 +547,9 @@ def average_hash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     never land near genuine images by accident.
     """
     import numpy as np
+
+    if hash_size > 8:  # fail at plan time, not per executor task
+        raise ValueError("hash_size > 8 overflows the 64-bit fingerprint")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in IMAGE_HASH.fields]
