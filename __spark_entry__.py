@@ -1042,6 +1042,54 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal sequence packing: documents become
+    ordered text+media span streams (closed-form synthesis: a 100-char
+    head text span, a media span for every 3rd doc, a tail text span
+    when text runs past 100 chars), media spans cost a fixed 64
+    patch-token budget, text spans their whitespace token count, and
+    the stream is cut into 256-token training sequences per shard.
+    The oracle replays the same synthesis + cost model + cumulative
+    cut in SQL, so the kind-aware accounting and the straddle
+    semantics are both gate-checked."""
+    from web_content_extractor_spark.operators.corpus import (
+        pack_interleaved,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    head = d.select(
+        "doc_id",
+        F.lit(0).alias("span_idx"),
+        F.lit("text").alias("kind"),
+        F.substring(t, 1, 100).alias("text"),
+    )
+    media = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.lit(1).alias("span_idx"),
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    tail = d.where(F.length(t) > 100).select(
+        "doc_id",
+        F.lit(2).alias("span_idx"),
+        F.lit("text").alias("kind"),
+        F.substring(t, 101, 1000000).alias("text"),
+    )
+    spans = (
+        head.unionByName(media)
+        .unionByName(tail)
+        .withColumn("shard", (F.col("doc_id") % 8).cast("int"))
+    )
+    return pack_interleaved(
+        spans, budget=256, media_tokens=64,
+        order_cols=("doc_id", "span_idx"),
+    ).select(
+        "doc_id", "span_idx", "kind", "shard",
+        "n_tokens", "pack_id", "pack_offset",
+    )
+
+
 # constant 44-byte RIFF/WAVE header: PCM16 mono 8 kHz, 64 data bytes
 # (32 samples) — so payloads are buildable in pure Column algebra and
 # the oracle can recompute the samples from md5 hex math.
@@ -2124,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
+        "pack_interleaved": q_pack_interleaved,
         "host_pagerank": q_host_pagerank,
         "audio_features": q_audio_features,
         "dup_substrings": q_dup_substrings,
@@ -2146,7 +2195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
         "temperature_mixture": q_temperature_mixture,
-        "quality_classifier": q_quality_classifier,
         "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "dsir_weights": q_dsir_weights,
@@ -2180,12 +2228,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position 51+: rows-only queries displaced from the checked
         # window by oracled round-3 newcomers (simhash is pinned by a
         # numpy differential; bpe_encode anchors to the oracled
-        # bpe_pairs + an independent python differential; lsh_topk's
+        # bpe_pairs + an independent python differential;
+        # quality_classifier carries its own numpy differential at
+        # 1e-9; lsh_topk's
         # banding logic is the oracled hamming/minhash shape; ivfpq
         # composes the checked pq/ivf paths; image_neardup composes
         # the oracled band join with the test-pinned aHash kernel)
         "simhash": q_simhash,
         "bpe_encode": q_bpe_encode,
+        "quality_classifier": q_quality_classifier,
         "lsh_topk": q_lsh_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "image_neardup": q_image_neardup,
@@ -3009,6 +3060,46 @@ def oracle_sql() -> dict[str, str]:
         WHERE (((d.doc_id + 1) * 2654435761) % 2147483647 * 48271)
                 % 2147483647 % 1000000
               < (r.rate * 1000000)::BIGINT
+        """,
+        # Interleaved multimodal packing: replay the span synthesis,
+        # the kind-aware cost model (media = 64 patch tokens, text =
+        # whitespace token count) and the per-shard cumulative cut.
+        "pack_interleaved": """
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS t FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, 0 AS span_idx, 'text' AS kind,
+                 substr(t, 1, 100) AS text
+          FROM base
+          UNION ALL
+          SELECT doc_id, 1, 'media', NULL FROM base WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, 2, 'text', substr(t, 101, 1000000)
+          FROM base WHERE length(t) > 100
+        ),
+        cost AS (
+          SELECT doc_id, span_idx, kind,
+                 CAST(doc_id % 8 AS INT) AS shard,
+                 CAST(CASE
+                   WHEN kind = 'media' THEN 64
+                   WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS BIGINT) AS n_tokens
+          FROM spans
+        ),
+        packed AS (
+          SELECT *,
+                 sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id, span_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tokens AS bef
+          FROM cost
+        )
+        SELECT doc_id, span_idx, kind, shard, n_tokens,
+               CAST(floor(bef / 256.0) AS BIGINT) AS pack_id,
+               CAST(bef % 256 AS BIGINT) AS pack_offset
+        FROM packed
         """,
         "pack_chunks": """
         WITH t AS (

@@ -84,6 +84,7 @@ HEADLINE = [
     "shard_corpus",       # deterministic shard shuffle (portable hash)
     "mixture_sample",     # broadcast-rates Bernoulli mixture filter
     "pack_chunks",        # token-stream packing (per-shard cumsum)
+    "pack_interleaved",   # text+media span packing (kind-aware cost)
     "host_pagerank",      # iterative fixpoint (5 rounds, per-round agg)
     "audio_features",     # real WAV decode + signal features (Arrow UDF)
     "dup_substring_stats",  # exact substring-dup coverage (hash-keyed)

@@ -329,3 +329,60 @@ def test_token_budget_and_split_string_ids(spark):
     by_split = Counter(r.split for r in splits)
     assert by_split["train"] > by_split["val"] > 0
     assert by_split["test"] > 0
+
+
+class TestPackInterleaved:
+    def _spans(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, span_idx int, kind string, text string, "
+                  "shard int"
+        )
+
+    def test_kind_aware_costs_and_straddle(self, spark):
+        from web_content_extractor_spark.operators.corpus import (
+            pack_interleaved,
+        )
+
+        spans = self._spans(
+            spark,
+            [
+                (1, 0, "text", "a b c d", 0),        # 4 tokens
+                (1, 1, "media", None, 0),             # 64 tokens
+                (1, 2, "text", "e f", 0),             # 2 tokens
+                (2, 0, "media", "ignored words", 0),  # media cost wins: 64
+                (3, 0, "text", "", 0),                # empty -> 0
+                (3, 1, "text", "   ", 0),             # whitespace -> 0
+            ],
+        )
+        out = {
+            (r.doc_id, r.span_idx): r
+            for r in pack_interleaved(spans, budget=64).collect()
+        }
+        assert out[(1, 0)].n_tokens == 4
+        assert out[(1, 1)].n_tokens == 64
+        assert out[(2, 0)].n_tokens == 64  # text on a media span ignored
+        assert out[(3, 0)].n_tokens == 0 and out[(3, 1)].n_tokens == 0
+        # doc 1's media span starts at token 4 -> straddles pack 0/1,
+        # assigned to the pack its FIRST token lands in
+        assert (out[(1, 1)].pack_id, out[(1, 1)].pack_offset) == (0, 4)
+        assert (out[(1, 2)].pack_id, out[(1, 2)].pack_offset) == (1, 4)
+
+    def test_shards_pack_independently(self, spark):
+        from web_content_extractor_spark.operators.corpus import (
+            pack_interleaved,
+        )
+
+        spans = self._spans(
+            spark,
+            [(i, 0, "media", None, i % 2) for i in range(6)],
+        )
+        out = pack_interleaved(spans, budget=128, media_tokens=64).collect()
+        per_shard = {}
+        for r in out:
+            per_shard.setdefault(r.shard, []).append(
+                (r.doc_id, r.pack_id, r.pack_offset)
+            )
+        for shard, rows in per_shard.items():
+            rows.sort()
+            # 3 media spans x 64 tokens into 128-token packs per shard
+            assert [(p, o) for _, p, o in rows] == [(0, 0), (0, 64), (1, 0)]

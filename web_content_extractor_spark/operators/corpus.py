@@ -160,6 +160,53 @@ def pack_token_stream(
     ).withColumn("pack_offset", (before % budget).cast("bigint"))
 
 
+def pack_interleaved(
+    spans: DataFrame,
+    budget: int = 2048,
+    media_tokens: int = 64,
+    group_col: str = "shard",
+    order_cols: tuple[str, ...] = ("doc_id", "span_idx"),
+    kind_col: str = "kind",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interleaved multimodal sequence packing: the modern
+    vision-language pretraining step where a document is an ordered
+    mix of text and media spans and every training sequence is cut to
+    a fixed token capacity.
+
+    Text spans cost their whitespace token count; media spans cost a
+    fixed ``media_tokens`` budget (the patch-token count the image
+    occupies after the vision encoder — the standard accounting, since
+    the raw bytes never enter the token stream).  The kind-aware cost
+    column then feeds :func:`pack_token_stream`'s per-shard cumulative
+    cut, so spans keep document order inside a shard and may straddle
+    a cut exactly like text-only packing.
+
+    Output: input columns + (n_tokens, pack_id, pack_offset).
+
+    Scale shape: identical to ``pack_token_stream`` — ONE per-shard
+    ROWS window (sequential within the shard, the unit read
+    sequentially at train time; embarrassingly parallel across
+    shards); the cost model is pure Column algebra, and media payloads
+    contribute a constant, so no byte column ever rides the shuffle.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_text = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+    cost = (
+        F.when(F.col(kind_col) == "media", F.lit(media_tokens))
+        .otherwise(n_text)
+        .cast("bigint")
+    )
+    return pack_token_stream(
+        spans.withColumn("n_tokens", cost),
+        budget=budget,
+        group_col=group_col,
+        order_cols=order_cols,
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budgets: DataFrame,
