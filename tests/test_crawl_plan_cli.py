@@ -1,0 +1,58 @@
+"""Crawl-plan CLI mode: robots ∘ blocklist ∘ politeness schedule."""
+
+from __future__ import annotations
+
+import json
+
+from web_content_extractor_spark.jobs import main
+
+
+def _write_inputs(spark, fdir, rdir):
+    frontier = [
+        ("a.com", f"https://a.com/p/{i}", i) for i in range(4)
+    ] + [
+        ("a.com", "https://a.com/private/x", 9),  # robots-disallowed
+        ("b.com", "https://b.com/1", 0),
+        ("b.com", "https://b.com/2", 0),
+    ]
+    spark.createDataFrame(
+        frontier, "host string, url string, priority int"
+    ).write.mode("overwrite").parquet(fdir)
+    robots = [
+        ("a.com", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+        # b.com has no robots row -> default delay
+    ]
+    spark.createDataFrame(
+        robots, "host string, robots string"
+    ).write.mode("overwrite").parquet(rdir)
+
+
+def test_crawl_plan_end_to_end(spark, tmp_path, capsys):
+    fdir, rdir = str(tmp_path / "frontier"), str(tmp_path / "robots")
+    out = str(tmp_path / "plan")
+    _write_inputs(spark, fdir, rdir)
+    rc = main([
+        "--plan-frontier", fdir,
+        "--plan-robots", rdir,
+        "--plan-output", out,
+        "--plan-default-delay", "0.5",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["crawl_plan"]["urls"] == 6  # disallowed URL dropped
+    assert summary["crawl_plan"]["hosts"] == 2
+    assert summary["crawl_plan"]["horizon_s"] == 6.0  # slot 3 x 2 s
+    rows = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert "https://a.com/private/x" not in rows
+    # a.com: priority desc -> /p/3 first; Crawl-delay 2 s
+    assert rows["https://a.com/p/3"].slot == 0
+    assert rows["https://a.com/p/0"].fetch_at_s == 6.0
+    # b.com: no robots row -> default 0.5 s
+    assert rows["https://b.com/2"].fetch_at_s == 0.5
+
+
+def test_plan_flag_validation(spark, capsys):
+    assert main(["--plan-frontier", "/nope"]) == 2
+    assert "--plan-output" in capsys.readouterr().out
+    assert main(["--plan-robots", "/nope"]) == 2
+    assert "crawl-plan mode" in capsys.readouterr().out

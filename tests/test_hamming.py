@@ -178,3 +178,43 @@ def test_average_hash_rejects_oversized_grid(spark):
         average_hash(_media(spark, [(0, synth_bmp(1))]), hash_size=16)
     with _pytest.raises(ValueError):
         _average_hash_bits(None, hash_size=9)
+
+
+def test_simhash_pipeline_pairs_to_clusters_to_resolution(spark):
+    """The full SimHash dedup pipeline composed end to end: Arrow
+    simhash -> Manku band join -> connected components -> canonical
+    resolution.  Docs 1/2/3 chain through near-dup pairs into ONE
+    cluster whose longest member survives; doc 4 stands alone."""
+    from pyspark.sql import functions as F
+
+    from web_content_extractor_spark.operators.dedup_docs import (
+        duplicate_clusters,
+        resolve_clusters,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(150))
+    v2 = base.replace("tok10", "x10")               # near 1
+    v3 = base.replace("tok10", "x10").replace("tok20", "x20") + " extra"
+    docs = spark.createDataFrame(
+        [(1, base), (2, v2), (3, v3),
+         (4, " ".join(f"other{i}" for i in range(150)))],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    # measured simhash distances on this corpus: 1-2=9, 2-3=5, 1-3=12,
+    # unrelated >=32 — threshold 10 chains the cluster TRANSITIVELY
+    # (1-3 connect only through 2, exercising the components step)
+    pairs = simhash_near_duplicates(docs, max_distance=10).select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+    )
+    clusters = duplicate_clusters(docs, pairs=pairs)
+    resolved = {
+        r.doc_id: r for r in resolve_clusters(docs, clusters).collect()
+    }
+    assert {resolved[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert resolved[4].cluster_id == 4 and resolved[4].is_canonical
+    # str.replace('tok10', 'x10') also hits tok100-109, so the variants
+    # shrink by ~22 chars and doc 1 (the unmodified base) is the
+    # longest member — the quality rule keeps it, drops the variants
+    assert resolved[1].is_canonical
+    assert not resolved[2].is_canonical and not resolved[3].is_canonical
+    assert resolved[1].cluster_size == 3

@@ -138,6 +138,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "IVF+PQ (default)")
     p.add_argument("--ann-k", type=int, default=10,
                    help="neighbors per query (ANN mode)")
+    p.add_argument("--plan-frontier", default=None,
+                   help="frontier parquet (host, url[, priority]) to "
+                        "schedule (crawl-plan mode)")
+    p.add_argument("--plan-robots", default=None,
+                   help="optional robots parquet (host, robots body): "
+                        "disallowed URLs drop, Crawl-delay drives the "
+                        "per-host schedule")
+    p.add_argument("--plan-output", default=None,
+                   help="write (host, url, slot, delay_s, fetch_at_s) "
+                        "fetch plan here (crawl-plan mode)")
+    p.add_argument("--plan-default-delay", type=float, default=1.0,
+                   help="seconds between fetches for hosts without a "
+                        "Crawl-delay (crawl-plan mode)")
     return p
 
 
@@ -190,6 +203,18 @@ def main(argv: list[str] | None = None) -> int:
                       "go together"}
         ))
         return 2
+    plan = bool(args.plan_frontier or args.plan_output)
+    if plan and not (args.plan_frontier and args.plan_output):
+        print(json.dumps(
+            {"error": "--plan-frontier and --plan-output go together"}
+        ))
+        return 2
+    if args.plan_robots and not plan:
+        print(json.dumps(
+            {"error": "--plan-robots requires --plan-frontier/"
+                      "--plan-output (crawl-plan mode)"}
+        ))
+        return 2
     if extracting and not (args.input and args.output):
         print(json.dumps({"error": "--input and --output go together"}))
         return 2
@@ -199,13 +224,14 @@ def main(argv: list[str] | None = None) -> int:
         ))
         return 2
     if (not extracting and not curating and not corpus and not compacting
-            and not ann):
+            and not ann and not plan):
         print(json.dumps(
             {"error": "nothing to do: pass --input/--output, "
                       "--curate-input/--curate-output, "
                       "--corpus-input/--corpus-output, "
-                      "--compact/--compact-output, and/or "
-                      "--ann-corpus/--ann-queries/--ann-output"}
+                      "--compact/--compact-output, "
+                      "--ann-corpus/--ann-queries/--ann-output, and/or "
+                      "--plan-frontier/--plan-output"}
         ))
         return 2
     if not extracting:
@@ -497,6 +523,47 @@ def main(argv: list[str] | None = None) -> int:
             "queries": topk.select("query_id").distinct().count(),
             "pairs": topk.count(),
             "output": args.ann_output,
+        }
+
+    if plan:
+        from pyspark.sql import functions as F
+
+        from web_content_extractor_spark.operators.crawl import (
+            blocklist_filter,
+            crawl_delays,
+            politeness_schedule,
+            robots_rules,
+        )
+
+        frontier = spark.read.parquet(args.plan_frontier)
+        delays = None
+        if args.plan_robots:
+            robots = spark.read.parquet(args.plan_robots)
+            frontier = blocklist_filter(frontier, robots_rules(robots))
+            delays = crawl_delays(robots)
+        plan_df = politeness_schedule(
+            frontier,
+            delays,
+            default_delay_s=args.plan_default_delay,
+            priority_col=(
+                "priority" if "priority" in frontier.columns else None
+            ),
+        )
+        # fetchers read a host's slots sequentially: cluster the plan
+        # by host, slot order within files
+        (
+            plan_df.repartitionByRange("host")
+            .sortWithinPartitions("host", "slot")
+            .write.mode("overwrite")
+            .parquet(args.plan_output)
+        )
+        written = spark.read.parquet(args.plan_output)
+        horizon = written.agg(F.max("fetch_at_s")).first()[0]
+        result["crawl_plan"] = {
+            "urls": written.count(),
+            "hosts": written.select("host").distinct().count(),
+            "horizon_s": float(horizon) if horizon is not None else 0.0,
+            "output": args.plan_output,
         }
 
     print(json.dumps(result))
