@@ -380,6 +380,24 @@ def main() -> int:
         ],
     )
 
+    # interleaved packing — the only key shuffle is the shard window;
+    # the kind-aware cost model is pure Column algebra
+    pi = contract.q_pack_interleaved(spark, SF_DIR)
+    p = formatted(pi)
+    audit(
+        "pack_interleaved (multimodal span packing)",
+        pi,
+        [
+            ("only key shuffle is the shard window",
+             set(re.findall(r"hashpartitioning\((\w+)", p)) == {"shard"}),
+            ("no Python stage (cost model is Column algebra)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p
+             and "ArrowEvalPython" not in p),
+            ("no cartesian/BNL join", "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+        ],
+    )
+
     # politeness scheduler — host-keyed slot window, broadcast delays
     cs = contract.q_crawl_schedule(spark, SF_DIR)
     p = formatted(cs)
