@@ -1960,6 +1960,55 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_docs.simhash_duplicates(_read(spark, sf_dir, "documents"))
 
 
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-Column URL canonicalization for corpus-scale URL dedup:
+    scheme/host lowercase, default-port strip (non-default kept),
+    empty path -> '/', fragment drop, tracking-param strip, param
+    sort.  URLs are synthesized in closed form to exercise every rule
+    (mixed-case scheme/host, default vs :8080 ports, empty paths,
+    tracking-only / unsorted / empty queries, fragments); the oracle
+    recomputes the EXPECTED canonical directly from the synthesis
+    parts — fully independent of the parse+rebuild under test."""
+    from web_content_extractor_spark.functions.urlnorm import (
+        canonical_url,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+    host = F.concat(
+        F.lit("H"), (i % 20).cast("string"), F.lit(".Example.COM")
+    )
+    port = (
+        F.when(
+            i % 3 == 0,
+            F.when(i % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(i % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(i % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/A/"), i.cast("string"))
+    )
+    qraw = (
+        F.when(i % 4 == 0, F.lit("b=2&utm_source=x&a=1"))
+        .when(i % 4 == 1, F.lit("utm_campaign=y"))
+        .when(i % 4 == 2, F.lit("z=9"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 2 == 1, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), host, port, path,
+        F.when(qraw == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qraw)
+        ),
+        frag,
+    )
+    return d.select(
+        "doc_id", url.alias("url"), canonical_url(url).alias("canon")
+    )
+
+
 def q_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming near-dup pairs via the Manku et al. (WWW 2007)
     pigeonhole band join, on a 26-bit fingerprint both engines can
@@ -2214,7 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "similarity_topk": q_similarity_topk,
         "minhash_pairs": q_minhash_pairs,
-        "ivf_topk": q_ivf_topk,
+        "canonical_urls": q_canonical_urls,
         "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         # round-3 additions (new ops: PQ-ANN, range join, substring
@@ -2237,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
+        "ivf_topk": q_ivf_topk,
         "lsh_topk": q_lsh_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "image_neardup": q_image_neardup,
@@ -3936,6 +3986,43 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         LEFT JOIN agg USING (doc_id)
         LEFT JOIN rem USING (doc_id)
+        """,
+        # Independent closed form: the expected canonical is rebuilt
+        # directly from the synthesis parts, never by parsing the URL.
+        "canonical_urls": """
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END
+                   AS scheme_raw,
+                 CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+                   AS scheme,
+                 'H' || (doc_id % 20) || '.Example.COM' AS host_raw,
+                 'h' || (doc_id % 20) || '.example.com' AS host,
+                 CASE WHEN doc_id % 3 = 0 THEN
+                        CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+                      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+                   AS port_raw,
+                 CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+                   AS port_canon,
+                 CASE WHEN doc_id % 5 = 0 THEN ''
+                      ELSE '/A/' || doc_id END AS path_raw,
+                 CASE WHEN doc_id % 5 = 0 THEN '/'
+                      ELSE '/A/' || doc_id END AS path_canon,
+                 CASE doc_id % 4 WHEN 0 THEN 'b=2&utm_source=x&a=1'
+                                 WHEN 1 THEN 'utm_campaign=y'
+                                 WHEN 2 THEN 'z=9' ELSE '' END AS q_raw,
+                 CASE doc_id % 4 WHEN 0 THEN '?a=1&b=2'
+                                 WHEN 2 THEN '?z=9' ELSE '' END AS q_canon,
+                 CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END AS frag
+          FROM documents
+        )
+        SELECT doc_id,
+               scheme_raw || '://' || host_raw || port_raw || path_raw
+                 || CASE WHEN q_raw = '' THEN '' ELSE '?' || q_raw END
+                 || frag AS url,
+               scheme || '://' || host || port_canon || path_canon
+                 || q_canon AS canon
+        FROM p
         """,
         # Brute-force all-pairs popcount over the same parity
         # fingerprint — the completeness check for the Spark side's

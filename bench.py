@@ -111,6 +111,7 @@ HEADLINE = [
     "warc_roundtrip",     # WARC build + record-walk parse round-trip
     "crawl_seeds",        # sitemap ∘ robots ∘ blocklist composition
     "crawl_schedule",     # Crawl-delay parse + per-host slot scheduling
+    "canonical_urls",     # codegen URL canonicalization (dedup key)
 ]
 
 

@@ -103,3 +103,66 @@ def normalize(url: str) -> str | None:
 def resolve_and_normalize(base_url: str, href: str) -> str | None:
     """Join + canonicalize; None when the result is not a valid http URL."""
     return normalize(resolve(base_url, href))
+
+
+# --- native Column-algebra canonicalization (corpus-scale URL dedup) ---
+#
+# The pure-Python helpers above run INSIDE the Arrow tokenizer kernel;
+# canonical_url instead serves the post-extraction side — deduping URL
+# tables at corpus scale — so it is whole-stage-codegen Column algebra
+# over Spark's parse_url parts (no Python worker anywhere).
+
+# query parameters that identify a click, not a resource — the standard
+# crawl-dedup strip list
+TRACKING_PARAM_ALTS = (
+    "utm_[a-z]+", "gclid", "fbclid", "msclkid", "mc_eid", "igshid",
+)
+
+
+def canonical_url(url, drop_params: tuple[str, ...] = TRACKING_PARAM_ALTS):
+    """Canonical form of an http(s) URL as a native Column expression:
+    scheme/host lowercased, userinfo dropped, default port stripped
+    (non-default ports kept), empty path -> "/", fragment dropped,
+    tracking params removed and the surviving query params sorted.
+
+    Two URLs that differ only in click-tracking noise, param order,
+    case of scheme/host, a default port, or a fragment canonicalize
+    equal — feed the result to exact dedup / `dedup_first_wins`.
+    Non-http(s) or unparsable input canonicalizes to NULL
+    (drop-not-fail, the tokenizer's policy).
+
+    The per-URL query array is tiny (a handful of params), so the
+    filter/sort higher-order expressions stay off the hot-loop HOF
+    concern documented for minhash (arrays of thousands).
+    """
+    from pyspark.sql import functions as F
+
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    auth = F.coalesce(F.try_parse_url(url, F.lit("AUTHORITY")), F.lit(""))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    default_port = (
+        F.when(scheme == "http", F.lit("80"))
+        .when(scheme == "https", F.lit("443"))
+        .otherwise(F.lit(""))
+    )
+    port_sfx = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    pattern = "(?i)^(" + "|".join(drop_params) + ")="
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(pattern),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host, port_sfx, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(
+        scheme.isin("http", "https") & host.isNotNull() & (host != ""),
+        rebuilt,
+    )
