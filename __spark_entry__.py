@@ -1450,6 +1450,54 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full REP allow/disallow with longest-match-wins (Allow re-opens
+    a sub-path inside a disallowed prefix; RFC 9309 evaluation order)
+    — the semantics the Disallow-only robots_rules list can't express.
+    Bodies: a googlebot Disallow-everything group that must NOT apply,
+    and a '*' group with Disallow /a, Allow /a/b, Disallow /tmp, plus
+    Allow /tmp/pub on every 4th host.  URL paths cycle through the
+    five decision shapes.  The oracle states the EXPECTED decision per
+    (doc_id%5, hid%4) in closed form — independent of the parse and
+    the longest-match evaluation under test."""
+    from web_content_extractor_spark.operators.crawl import (
+        robots_decisions,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    hid = (i % 30).cast("string")
+    host = F.concat(F.lit("h"), hid, F.lit(".example.com"))
+    hosts = d.select((i % 30).alias("hid")).distinct()
+    body = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\nDisallow: /a\nAllow: /a/b\nDisallow: /tmp\n"),
+        F.when(F.col("hid") % 4 == 0, F.lit("Allow: /tmp/pub\n"))
+        .otherwise(F.lit("")),
+    )
+    robots = hosts.select(
+        F.concat(
+            F.lit("h"), F.col("hid").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        body.alias("robots"),
+    )
+    path = (
+        F.when(i % 5 == 0, F.concat(F.lit("/a/x"), i.cast("string")))
+        .when(i % 5 == 1, F.concat(F.lit("/a/b/"), i.cast("string")))
+        .when(i % 5 == 2, F.concat(F.lit("/tmp/"), i.cast("string")))
+        .when(i % 5 == 3, F.concat(F.lit("/tmp/pub/"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/free/"), i.cast("string")))
+    )
+    urls = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    return robots_decisions(robots, urls).select(
+        "doc_id", "url", "allowed", "matched_prefix"
+    )
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sitemap.xml URL-inventory extraction (the crawl seed source):
     per-host urlset bodies synthesized natively — 3 <loc> entries with
@@ -2241,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "crawl_seeds": q_crawl_seeds,
         "crawl_schedule": q_crawl_schedule,
+        "robots_decisions": q_robots_decisions,
         "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
         "temperature_mixture": q_temperature_mixture,
@@ -2267,11 +2316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         # round-3 additions (new ops: PQ-ANN, range join, substring
-        # removal, Hamming band join) — in the front-50 window; the
-        # displaced rows-only entries slide just past 50 (they keep
-        # bench.py + pytest differential evidence; oracled newcomers
-        # take the slots)
-        "pq_topk": q_pq_topk,
+        # removal, Hamming band join, REP decisions, URL canon) — in
+        # the front-50 window; the displaced rows-only entries slide
+        # just past 50 (they keep bench.py + pytest differential
+        # evidence; oracled newcomers take the slots)
         "interval_join": q_interval_join,
         "hamming_neardup": q_hamming_neardup,
         # position 51+: rows-only queries displaced from the checked
@@ -2287,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "lsh_topk": q_lsh_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "image_neardup": q_image_neardup,
@@ -3516,6 +3565,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, url, CAST(slot AS INT) AS slot, delay_s,
                round(slot * delay_s, 6) AS fetch_at_s
         FROM s
+        """,
+        # Closed-form REP decisions: expected allow/disallow and the
+        # winning prefix stated directly from the (doc_id%5, hid%4)
+        # synthesis arithmetic — independent of the robots parse and
+        # the longest-match evaluation.
+        "robots_decisions": """
+        WITH u AS (
+          SELECT doc_id, doc_id % 30 AS hid,
+                 'h' || (doc_id % 30) || '.example.com' AS host,
+                 CASE doc_id % 5
+                   WHEN 0 THEN '/a/x' || doc_id
+                   WHEN 1 THEN '/a/b/' || doc_id
+                   WHEN 2 THEN '/tmp/' || doc_id
+                   WHEN 3 THEN '/tmp/pub/' || doc_id
+                   ELSE '/free/' || doc_id END AS path
+          FROM documents
+        )
+        SELECT doc_id, 'https://' || host || path AS url,
+               CASE doc_id % 5
+                 WHEN 0 THEN FALSE
+                 WHEN 1 THEN TRUE
+                 WHEN 2 THEN FALSE
+                 WHEN 3 THEN (hid % 4 = 0)
+                 ELSE TRUE END AS allowed,
+               CASE doc_id % 5
+                 WHEN 0 THEN '/a'
+                 WHEN 1 THEN '/a/b'
+                 WHEN 2 THEN '/tmp'
+                 WHEN 3 THEN CASE WHEN hid % 4 = 0 THEN '/tmp/pub'
+                                  ELSE '/tmp' END
+                 ELSE NULL END AS matched_prefix
+        FROM u
         """,
         "crawl_seeds": """
         WITH hid AS (SELECT DISTINCT doc_id % 40 AS hid FROM documents),

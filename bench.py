@@ -112,6 +112,7 @@ HEADLINE = [
     "crawl_seeds",        # sitemap ∘ robots ∘ blocklist composition
     "crawl_schedule",     # Crawl-delay parse + per-host slot scheduling
     "canonical_urls",     # codegen URL canonicalization (dedup key)
+    "robots_decisions",   # REP longest-match allow/disallow decisions
 ]
 
 

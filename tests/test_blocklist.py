@@ -396,3 +396,96 @@ class TestCrawlDelaysAndPoliteness:
             first, delays.withColumn("delay_s", F.lit(5.0))
         ).collect()}
         assert again["https://a.com/2"].fetch_at_s == 5.0
+
+
+class TestRobotsDecisions:
+    def _robots(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, robots string")
+
+    def _urls(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, url string")
+
+    def test_allow_reopens_subpath_longest_match_wins(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark,
+            [("a.com", "User-agent: *\nDisallow: /a\nAllow: /a/b\n")],
+        )
+        urls = self._urls(
+            spark,
+            [
+                ("a.com", "https://a.com/a/x"),      # /a disallows
+                ("a.com", "https://a.com/a/b/c"),    # /a/b re-allows
+                ("a.com", "https://a.com/free"),     # no rule -> allowed
+                ("b.com", "https://b.com/a/x"),      # no robots -> allowed
+            ],
+        )
+        got = {
+            r.url: (r.allowed, r.matched_prefix)
+            for r in robots_decisions(robots, urls).collect()
+        }
+        assert got["https://a.com/a/x"] == (False, "/a")
+        assert got["https://a.com/a/b/c"] == (True, "/a/b")
+        assert got["https://a.com/free"] == (True, None)
+        assert got["https://b.com/a/x"] == (True, None)
+
+    def test_allow_wins_length_tie(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark,
+            [("a.com", "User-agent: *\nDisallow: /p/\nAllow: /q/\n")],
+        )
+        # construct a genuine tie: same-length allow+disallow matching
+        robots_tie = self._robots(
+            spark,
+            [("a.com", "User-agent: *\nDisallow: /dir\nAllow: /dir\n")],
+        )
+        urls = self._urls(spark, [("a.com", "https://a.com/dir/page")])
+        got = robots_decisions(robots_tie, urls).collect()[0]
+        assert got.allowed and got.matched_prefix == "/dir"
+        got2 = {
+            r.url: r.allowed
+            for r in robots_decisions(
+                robots,
+                self._urls(
+                    spark,
+                    [("a.com", "https://a.com/p/1"),
+                     ("a.com", "https://a.com/q/1")],
+                ),
+            ).collect()
+        }
+        assert got2 == {
+            "https://a.com/p/1": False, "https://a.com/q/1": True
+        }
+
+    def test_specific_agent_group_selected(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark,
+            [("a.com", "User-agent: mybot\nDisallow: /mine\n\n"
+                       "User-agent: *\nDisallow: /all\n")],
+        )
+        urls = self._urls(
+            spark,
+            [("a.com", "https://a.com/mine/x"),
+             ("a.com", "https://a.com/all/x")],
+        )
+        got = {
+            r.url: r.allowed
+            for r in robots_decisions(
+                robots, urls, user_agent="mybot"
+            ).collect()
+        }
+        # mybot's group applies; the '*' group is suppressed
+        assert got == {
+            "https://a.com/mine/x": False, "https://a.com/all/x": True
+        }

@@ -393,6 +393,86 @@ def _robots_groups(
     return grouped, applies
 
 
+def robots_decisions(
+    robots: DataFrame,
+    urls: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots",
+    url_col: str = "url",
+) -> DataFrame:
+    """Full REP allow/disallow decisions with longest-match-wins:
+    the semantics :func:`robots_rules` (Disallow-only prefix list)
+    cannot express — an ``Allow:`` rule re-opens a sub-path inside a
+    disallowed prefix, and among all matching rules the LONGEST path
+    prefix decides, allow winning length ties (Google REP,
+    draft-koster-rep / RFC 9309 evaluation order).  Prefixes are
+    literal (no ``*``/``$`` wildcards — same documented subset as
+    ``blocklist_filter``); a URL matching no rule is allowed.
+
+    Returns ``urls``' columns + (allowed boolean, matched_prefix —
+    null when no rule matched).
+
+    Scale shape: applicable allow/disallow rules collapse to ONE tiny
+    array per host (robots bodies are KB-sized), the per-host rule
+    arrays broadcast onto the URL table, and the longest-match
+    evaluation is per-row array algebra over a handful of rules —
+    the URL corpus NEVER shuffles.
+    """
+    grouped, applies = _robots_groups(robots, user_agent, host_col, body_col)
+    rules = (
+        grouped.where(
+            F.col("field").isin("allow", "disallow")
+            & (F.length("value") > 0)
+        )
+        .join(applies, [host_col, "group_id"])
+        .select(
+            F.col(host_col).alias("host"),
+            F.col("value").alias("prefix"),
+            (F.col("field") == "allow").alias("is_allow"),
+        )
+        .distinct()
+        .groupBy("host")
+        .agg(
+            F.collect_list(F.struct("prefix", "is_allow")).alias("__rules")
+        )
+    )
+    path = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
+    )
+    matched = F.filter(
+        F.col("__rules"),
+        lambda r: F.col("__path").startswith(r["prefix"]),
+    )
+    # longest prefix decides; allow wins a length tie -> take the
+    # lexicographic max of (prefix_len, is_allow)
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("len"),
+                r["is_allow"].alias("is_allow"),
+                r["prefix"].alias("prefix"),
+            ),
+        )
+    )
+    joined = urls.join(
+        F.broadcast(rules),
+        urls[host_col] == rules["host"],
+        "left",
+    ).drop(rules["host"])
+    return (
+        joined.withColumn("__path", path)
+        .withColumn("__best", best)
+        .withColumn(
+            "allowed",
+            F.coalesce(F.col("__best.is_allow"), F.lit(True)),
+        )
+        .withColumn("matched_prefix", F.col("__best.prefix"))
+        .drop("__rules", "__path", "__best")
+    )
+
+
 def crawl_delays(
     robots: DataFrame,
     user_agent: str = "*",
