@@ -380,6 +380,44 @@ def main() -> int:
         ],
     )
 
+    # URL canonicalization — pure codegen Column algebra: no shuffle,
+    # no Python, single scan
+    cu = contract.q_canonical_urls(spark, SF_DIR)
+    p = formatted(cu)
+    audit(
+        "canonical_urls (codegen URL canonicalization)",
+        cu,
+        [
+            ("no key shuffle (per-row rewrite)",
+             "hashpartitioning(" not in p),
+            ("no Python stage", "MapInPandas" not in p
+             and "BatchEvalPython" not in p
+             and "ArrowEvalPython" not in p),
+            ("column-pruned scan (doc_id only)",
+             "struct<doc_id:bigint>" in p),
+        ],
+    )
+
+    # REP decisions — rule arrays broadcast; URL side never shuffles
+    rd = contract.q_robots_decisions(spark, SF_DIR)
+    p = formatted(rd)
+    audit(
+        "robots_decisions (REP longest-match evaluation)",
+        rd,
+        [
+            ("per-host rule arrays broadcast onto the URL side",
+             "BroadcastHashJoin" in p),
+            ("URL side never key-shuffles (rule-side hid/host aggs only)",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             <= {"hid", "host"}),
+            ("no Python stage (parse + evaluation are native)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p
+             and "ArrowEvalPython" not in p),
+            ("no cartesian/BNL join", "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+        ],
+    )
+
     # interleaved packing — the only key shuffle is the shard window;
     # the kind-aware cost model is pure Column algebra
     pi = contract.q_pack_interleaved(spark, SF_DIR)
