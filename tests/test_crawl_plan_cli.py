@@ -56,3 +56,53 @@ def test_plan_flag_validation(spark, capsys):
     assert "--plan-output" in capsys.readouterr().out
     assert main(["--plan-robots", "/nope"]) == 2
     assert "crawl-plan mode" in capsys.readouterr().out
+
+
+def _dup_docs(spark, path):
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base),                              # exact dup of 1
+        (3, base.replace("w30", "changed")),    # near dup of 1/2
+        (4, " ".join(f"u{i}" for i in range(60))),  # unique
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_dedup_mode_simhash(spark, tmp_path, capsys):
+    src, out = str(tmp_path / "docs"), str(tmp_path / "manifest")
+    _dup_docs(spark, src)
+    rc = main([
+        "--dedup-input", src, "--dedup-output", out,
+        "--dedup-method", "simhash", "--dedup-hamming", "10",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["dedup"]["docs"] == 4
+    assert summary["dedup"]["kept"] == 2       # one survivor per cluster
+    assert summary["dedup"]["dropped"] == 2
+    assert summary["dedup"]["in_dup_clusters"] == 3
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[4].is_canonical and rows[4].cluster_size == 1
+    assert {rows[i].cluster_id for i in (1, 2, 3)} == {1}
+
+
+def test_dedup_mode_exact(spark, tmp_path, capsys):
+    src, out = str(tmp_path / "docs"), str(tmp_path / "manifest")
+    _dup_docs(spark, src)
+    rc = main([
+        "--dedup-input", src, "--dedup-output", out,
+        "--dedup-method", "exact",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # exact: only 1/2 collapse; 3 and 4 stand alone
+    assert summary["dedup"]["kept"] == 3
+    assert summary["dedup"]["in_dup_clusters"] == 2
+
+
+def test_dedup_flag_validation(spark, capsys):
+    assert main(["--dedup-input", "/nope"]) == 2
+    assert "--dedup-output" in capsys.readouterr().out

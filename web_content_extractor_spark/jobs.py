@@ -151,6 +151,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plan-default-delay", type=float, default=1.0,
                    help="seconds between fetches for hosts without a "
                         "Crawl-delay (crawl-plan mode)")
+    p.add_argument("--dedup-input", default=None,
+                   help="docs parquet (doc_id, text) to deduplicate "
+                        "(dedup mode)")
+    p.add_argument("--dedup-output", default=None,
+                   help="write the resolution manifest (doc_id, "
+                        "cluster_id, cluster_size, is_canonical) here")
+    p.add_argument("--dedup-method",
+                   choices=("exact", "minhash", "simhash"),
+                   default="minhash",
+                   help="exact content-hash groups, MinHash-LSH "
+                        "near-dup (default), or SimHash + Hamming "
+                        "band join")
+    p.add_argument("--dedup-threshold", type=float, default=0.8,
+                   help="minimum estimated jaccard for a minhash pair")
+    p.add_argument("--dedup-hamming", type=int, default=3,
+                   help="maximum SimHash Hamming distance for a pair")
     return p
 
 
@@ -215,6 +231,12 @@ def main(argv: list[str] | None = None) -> int:
                       "--plan-output (crawl-plan mode)"}
         ))
         return 2
+    dedup = bool(args.dedup_input or args.dedup_output)
+    if dedup and not (args.dedup_input and args.dedup_output):
+        print(json.dumps(
+            {"error": "--dedup-input and --dedup-output go together"}
+        ))
+        return 2
     if extracting and not (args.input and args.output):
         print(json.dumps({"error": "--input and --output go together"}))
         return 2
@@ -224,14 +246,15 @@ def main(argv: list[str] | None = None) -> int:
         ))
         return 2
     if (not extracting and not curating and not corpus and not compacting
-            and not ann and not plan):
+            and not ann and not plan and not dedup):
         print(json.dumps(
             {"error": "nothing to do: pass --input/--output, "
                       "--curate-input/--curate-output, "
                       "--corpus-input/--corpus-output, "
                       "--compact/--compact-output, "
-                      "--ann-corpus/--ann-queries/--ann-output, and/or "
-                      "--plan-frontier/--plan-output"}
+                      "--ann-corpus/--ann-queries/--ann-output, "
+                      "--plan-frontier/--plan-output, and/or "
+                      "--dedup-input/--dedup-output"}
         ))
         return 2
     if not extracting:
@@ -564,6 +587,58 @@ def main(argv: list[str] | None = None) -> int:
             "hosts": written.select("host").distinct().count(),
             "horizon_s": float(horizon) if horizon is not None else 0.0,
             "output": args.plan_output,
+        }
+
+    if dedup:
+        from pyspark.sql import functions as F
+
+        from web_content_extractor_spark.operators.dedup_docs import (
+            duplicate_clusters,
+            exact_duplicates,
+            minhash_lsh_pairs,
+            resolve_clusters,
+            simhash_near_duplicates,
+        )
+
+        docs = spark.read.parquet(args.dedup_input)
+        if "n_chars" not in docs.columns:
+            docs = docs.withColumn(
+                "n_chars", F.length(F.coalesce("text", F.lit("")))
+            )
+        if args.dedup_method == "exact":
+            clusters = exact_duplicates(docs).select(
+                "doc_id", F.col("canonical_id").alias("cluster_id")
+            )
+        else:
+            if args.dedup_method == "minhash":
+                pairs = minhash_lsh_pairs(
+                    docs, min_jaccard=args.dedup_threshold
+                ).select("doc_a", "doc_b")
+            else:
+                pairs = simhash_near_duplicates(
+                    docs, max_distance=args.dedup_hamming
+                ).select(
+                    F.col("doc_id_a").alias("doc_a"),
+                    F.col("doc_id_b").alias("doc_b"),
+                )
+            clusters = duplicate_clusters(docs, pairs=pairs)
+        resolved = resolve_clusters(docs, clusters)
+        resolved.write.mode("overwrite").parquet(args.dedup_output)
+        written = spark.read.parquet(args.dedup_output)
+        stats = written.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("is_canonical").cast("int")).alias("kept"),
+            F.sum((F.col("cluster_size") > 1).cast("int")).alias(
+                "in_dup_clusters"
+            ),
+        ).collect()[0]
+        result["dedup"] = {
+            "method": args.dedup_method,
+            "docs": stats.docs,
+            "kept": stats.kept,
+            "dropped": stats.docs - stats.kept,
+            "in_dup_clusters": stats.in_dup_clusters,
+            "output": args.dedup_output,
         }
 
     print(json.dumps(result))
