@@ -489,3 +489,30 @@ class TestRobotsDecisions:
         assert got == {
             "https://a.com/mine/x": False, "https://a.com/all/x": True
         }
+
+    def test_empty_path_evaluates_as_root(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark, [("a.com", "User-agent: *\nDisallow: /\n")]
+        )
+        urls = self._urls(
+            spark,
+            [("a.com", "https://a.com"), ("a.com", "https://a.com?x=1")],
+        )
+        got = [r.allowed for r in robots_decisions(robots, urls).collect()]
+        assert got == [False, False]
+
+    def test_host_join_normalizes_case_and_www(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark, [("WWW.A.com", "User-agent: *\nDisallow: /x\n")]
+        )
+        urls = self._urls(spark, [("a.com", "https://a.com/x/1")])
+        got = robots_decisions(robots, urls).collect()[0]
+        assert not got.allowed and got.matched_prefix == "/x"

@@ -106,3 +106,55 @@ def test_dedup_mode_exact(spark, tmp_path, capsys):
 def test_dedup_flag_validation(spark, capsys):
     assert main(["--dedup-input", "/nope"]) == 2
     assert "--dedup-output" in capsys.readouterr().out
+
+
+def test_plan_honors_allow_reopened_subtree(spark, tmp_path, capsys):
+    fdir, rdir = str(tmp_path / "f"), str(tmp_path / "r")
+    out = str(tmp_path / "plan")
+    spark.createDataFrame(
+        [("a.com", "https://a.com/a/b/c", 0),
+         ("a.com", "https://a.com/a/x", 0)],
+        "host string, url string, priority int",
+    ).write.mode("overwrite").parquet(fdir)
+    spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /a\nAllow: /a/b\n")],
+        "host string, robots string",
+    ).write.mode("overwrite").parquet(rdir)
+    rc = main(["--plan-frontier", fdir, "--plan-robots", rdir,
+               "--plan-output", out])
+    assert rc == 0
+    urls = {r.url for r in spark.read.parquet(out).collect()}
+    # RFC 9309: Allow /a/b re-opens the subtree the Disallow-only
+    # prefix filter would have dropped
+    assert urls == {"https://a.com/a/b/c"}
+
+
+def test_dedup_exact_keeps_null_text_docs(spark, tmp_path, capsys):
+    src, out = str(tmp_path / "docs"), str(tmp_path / "manifest")
+    spark.createDataFrame(
+        [(1, "same words"), (2, "same words"), (3, None)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    rc = main(["--dedup-input", src, "--dedup-output", out,
+               "--dedup-method", "exact"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["dedup"]["docs"] == 3   # NULL-text doc not lost
+    assert summary["dedup"]["kept"] == 2
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[3].is_canonical and rows[3].cluster_size == 1
+
+
+def test_dedup_empty_input_zero_summary(spark, tmp_path, capsys):
+    src, out = str(tmp_path / "docs"), str(tmp_path / "manifest")
+    spark.createDataFrame([], "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    rc = main(["--dedup-input", src, "--dedup-output", out,
+               "--dedup-method", "exact"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["dedup"] == {
+        "method": "exact", "docs": 0, "kept": 0, "dropped": 0,
+        "in_dup_clusters": 0, "output": out,
+    }

@@ -552,17 +552,23 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from web_content_extractor_spark.operators.crawl import (
-            blocklist_filter,
             crawl_delays,
             politeness_schedule,
-            robots_rules,
+            robots_decisions,
         )
 
         frontier = spark.read.parquet(args.plan_frontier)
         delays = None
         if args.plan_robots:
             robots = spark.read.parquet(args.plan_robots)
-            frontier = blocklist_filter(frontier, robots_rules(robots))
+            # full REP evaluation — an Allow rule re-opens sub-paths
+            # inside a disallowed prefix, which the Disallow-only
+            # robots_rules list would silently under-crawl
+            frontier = (
+                robots_decisions(robots, frontier)
+                .where("allowed")
+                .drop("allowed", "matched_prefix")
+            )
             delays = crawl_delays(robots)
         plan_df = politeness_schedule(
             frontier,
@@ -581,11 +587,16 @@ def main(argv: list[str] | None = None) -> int:
             .parquet(args.plan_output)
         )
         written = spark.read.parquet(args.plan_output)
-        horizon = written.agg(F.max("fetch_at_s")).first()[0]
+        pstats = written.agg(
+            F.count("*").alias("urls"),
+            F.countDistinct("host").alias("hosts"),
+            F.max("fetch_at_s").alias("horizon"),
+        ).collect()[0]
         result["crawl_plan"] = {
-            "urls": written.count(),
-            "hosts": written.select("host").distinct().count(),
-            "horizon_s": float(horizon) if horizon is not None else 0.0,
+            "urls": pstats.urls,
+            "hosts": pstats.hosts,
+            "horizon_s": float(pstats.horizon)
+            if pstats.horizon is not None else 0.0,
             "output": args.plan_output,
         }
 
@@ -608,6 +619,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.dedup_method == "exact":
             clusters = exact_duplicates(docs).select(
                 "doc_id", F.col("canonical_id").alias("cluster_id")
+            )
+            # NULL-text docs get a NULL fingerprint and never match the
+            # canonical equi-join — re-seed them as their own singleton
+            # clusters so all three methods agree on corpus membership
+            clusters = (
+                docs.select("doc_id")
+                .join(clusters, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+                )
             )
         else:
             if args.dedup_method == "minhash":
@@ -632,12 +654,13 @@ def main(argv: list[str] | None = None) -> int:
                 "in_dup_clusters"
             ),
         ).collect()[0]
+        kept = int(stats.kept or 0)  # sums are NULL on empty input
         result["dedup"] = {
             "method": args.dedup_method,
             "docs": stats.docs,
-            "kept": stats.kept,
-            "dropped": stats.docs - stats.kept,
-            "in_dup_clusters": stats.in_dup_clusters,
+            "kept": kept,
+            "dropped": stats.docs - kept,
+            "in_dup_clusters": int(stats.in_dup_clusters or 0),
             "output": args.dedup_output,
         }
 

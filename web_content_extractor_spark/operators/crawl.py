@@ -408,7 +408,11 @@ def robots_decisions(
     prefix decides, allow winning length ties (Google REP,
     draft-koster-rep / RFC 9309 evaluation order).  Prefixes are
     literal (no ``*``/``$`` wildcards — same documented subset as
-    ``blocklist_filter``); a URL matching no rule is allowed.
+    ``blocklist_filter``); a URL matching no rule is allowed.  An
+    empty URL path evaluates as "/" (the REP rule that makes
+    ``Disallow: /`` block the site root), and hosts join
+    case-insensitively with the ``www.`` prefix stripped on both
+    sides, same normalization as ``blocklist_filter``.
 
     Returns ``urls``' columns + (allowed boolean, matched_prefix —
     null when no rule matched).
@@ -437,9 +441,12 @@ def robots_decisions(
             F.collect_list(F.struct("prefix", "is_allow")).alias("__rules")
         )
     )
-    path = F.coalesce(
+    # REP evaluates an empty path as "/" — without this, even
+    # "Disallow: /" would fail to block the site root
+    raw_path = F.coalesce(
         F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
     )
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     matched = F.filter(
         F.col("__rules"),
         lambda r: F.col("__path").startswith(r["prefix"]),
@@ -456,11 +463,18 @@ def robots_decisions(
             ),
         )
     )
-    joined = urls.join(
+
+    # normalize the join key the way blocklist_filter does — real
+    # robots tables mix host case and www. forms
+    def _hkey(c):
+        return F.regexp_replace(F.lower(c), r"^www\.", "")
+
+    rules = rules.withColumn("__hkey", _hkey(F.col("host"))).drop("host")
+    joined = urls.withColumn("__ukey", _hkey(F.col(host_col))).join(
         F.broadcast(rules),
-        urls[host_col] == rules["host"],
+        F.col("__ukey") == rules["__hkey"],
         "left",
-    ).drop(rules["host"])
+    ).drop("__hkey", "__ukey")
     return (
         joined.withColumn("__path", path)
         .withColumn("__best", best)
