@@ -516,3 +516,69 @@ class TestRobotsDecisions:
         urls = self._urls(spark, [("a.com", "https://a.com/x/1")])
         got = robots_decisions(robots, urls).collect()[0]
         assert not got.allowed and got.matched_prefix == "/x"
+
+    def test_rep_wildcards_star_and_anchor(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark,
+            [("a.com",
+              "User-agent: *\n"
+              "Disallow: /*.pdf$\n"        # any path ending .pdf
+              "Disallow: /private*/data\n"  # mid-pattern star
+              "Allow: /private-ok/data\n")],
+        )
+        urls = self._urls(
+            spark,
+            [
+                ("a.com", "https://a.com/docs/x.pdf"),       # anchored hit
+                ("a.com", "https://a.com/docs/x.pdf.html"),  # NOT anchored
+                ("a.com", "https://a.com/private123/data"),  # star hit
+                # allow (16 chars) beats the star disallow (15 chars)
+                ("a.com", "https://a.com/private-ok/data"),
+                ("a.com", "https://a.com/else"),
+            ],
+        )
+        got = {
+            r.url: (r.allowed, r.matched_prefix)
+            for r in robots_decisions(robots, urls).collect()
+        }
+        assert got["https://a.com/docs/x.pdf"] == (False, "/*.pdf$")
+        assert got["https://a.com/docs/x.pdf.html"] == (True, None)
+        assert got["https://a.com/private123/data"] == (
+            False, "/private*/data"
+        )
+        assert got["https://a.com/private-ok/data"] == (
+            True, "/private-ok/data"
+        )
+        assert got["https://a.com/else"] == (True, None)
+
+    def test_rep_regex_metachars_are_literal(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark,
+            [("a.com", "User-agent: *\nDisallow: /a+(b)/c.d\n"
+                       "Disallow: /x$y\n")],
+        )
+        urls = self._urls(
+            spark,
+            [
+                ("a.com", "https://a.com/a+(b)/c.d"),   # literal hit
+                ("a.com", "https://a.com/aa(b)/cXd"),   # regex semantics would hit
+                ("a.com", "https://a.com/x$y/z"),       # mid-pattern $ literal
+            ],
+        )
+        got = {
+            r.url: r.allowed
+            for r in robots_decisions(robots, urls).collect()
+        }
+        assert got == {
+            "https://a.com/a+(b)/c.d": False,
+            "https://a.com/aa(b)/cXd": True,
+            "https://a.com/x$y/z": False,
+        }

@@ -404,26 +404,44 @@ def robots_decisions(
     """Full REP allow/disallow decisions with longest-match-wins:
     the semantics :func:`robots_rules` (Disallow-only prefix list)
     cannot express — an ``Allow:`` rule re-opens a sub-path inside a
-    disallowed prefix, and among all matching rules the LONGEST path
-    prefix decides, allow winning length ties (Google REP,
-    draft-koster-rep / RFC 9309 evaluation order).  Prefixes are
-    literal (no ``*``/``$`` wildcards — same documented subset as
-    ``blocklist_filter``); a URL matching no rule is allowed.  An
+    disallowed prefix, and among all matching rules the MOST SPECIFIC
+    (longest pattern) decides, allow winning length ties (Google REP,
+    draft-koster-rep / RFC 9309 evaluation order).  Patterns support
+    the full REP wildcards: ``*`` matches any character run and a
+    TRAILING ``$`` anchors the match at the end of the path ('$'
+    anywhere else is literal); specificity is the raw pattern's octet
+    length, the RFC's rule.  A URL matching no rule is allowed.  An
     empty URL path evaluates as "/" (the REP rule that makes
     ``Disallow: /`` block the site root), and hosts join
     case-insensitively with the ``www.`` prefix stripped on both
     sides, same normalization as ``blocklist_filter``.
 
     Returns ``urls``' columns + (allowed boolean, matched_prefix —
-    null when no rule matched).
+    the raw winning pattern, null when no rule matched).
 
     Scale shape: applicable allow/disallow rules collapse to ONE tiny
-    array per host (robots bodies are KB-sized), the per-host rule
-    arrays broadcast onto the URL table, and the longest-match
-    evaluation is per-row array algebra over a handful of rules —
-    the URL corpus NEVER shuffles.
+    array per host (robots bodies are KB-sized) with their regex
+    translations precomputed ONCE per rule on that tiny table; the
+    per-host rule arrays broadcast onto the URL table, and the
+    longest-match evaluation is per-row array algebra over a handful
+    of rules — the URL corpus NEVER shuffles.  The per-candidate
+    regexp uses a non-foldable pattern (recompiled per pair), which
+    is fine at rules-per-host cardinality.
     """
     grouped, applies = _robots_groups(robots, user_agent, host_col, body_col)
+    # translate each REP pattern to a Java regex ONCE, on the tiny
+    # rule table: strip a trailing '$' (the only anchoring position),
+    # escape regex metacharacters EXCEPT '*', then '*' -> '.*'
+    anchored = F.col("value").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(value, 1, length(value) - 1)")
+    ).otherwise(F.col("value"))
+    esc = F.regexp_replace(body, r"([.\[\]{}()+?^$\\|])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
     rules = (
         grouped.where(
             F.col("field").isin("allow", "disallow")
@@ -433,12 +451,15 @@ def robots_decisions(
         .select(
             F.col(host_col).alias("host"),
             F.col("value").alias("prefix"),
+            rx.alias("rx"),
             (F.col("field") == "allow").alias("is_allow"),
         )
         .distinct()
         .groupBy("host")
         .agg(
-            F.collect_list(F.struct("prefix", "is_allow")).alias("__rules")
+            F.collect_list(
+                F.struct("prefix", "rx", "is_allow")
+            ).alias("__rules")
         )
     )
     # REP evaluates an empty path as "/" — without this, even
@@ -449,10 +470,10 @@ def robots_decisions(
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     matched = F.filter(
         F.col("__rules"),
-        lambda r: F.col("__path").startswith(r["prefix"]),
+        lambda r: F.regexp_like(F.col("__path"), r["rx"]),
     )
-    # longest prefix decides; allow wins a length tie -> take the
-    # lexicographic max of (prefix_len, is_allow)
+    # most specific pattern decides (raw octet length, the RFC rule);
+    # allow wins a length tie -> lexicographic max of (len, is_allow)
     best = F.array_max(
         F.transform(
             matched,
