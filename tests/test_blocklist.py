@@ -582,3 +582,105 @@ class TestRobotsDecisions:
             "https://a.com/aa(b)/cXd": True,
             "https://a.com/x$y/z": False,
         }
+
+    # ---- seeded differential fuzz vs an independent REP matcher ----
+    #
+    # The engine translates REP patterns to Java regexes; the reference
+    # matcher below uses *-split segment search (no regex at all), so a
+    # translation bug (escaping, anchoring, greediness) diverges.
+
+    @staticmethod
+    def _rep_match(pattern: str, path: str) -> bool:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        segs = body.split("*")
+        if len(segs) == 1:
+            return path == segs[0] if anchored else path.startswith(segs[0])
+        if not path.startswith(segs[0]):
+            return False
+        i = len(segs[0])
+        last = segs[-1]
+        for s in segs[1:-1]:
+            j = path.find(s, i)
+            if j < 0:
+                return False
+            i = j + len(s)
+        if anchored:
+            return len(path) - len(last) >= i and path.endswith(last)
+        j = path.find(last, i)
+        return j >= 0
+
+    @classmethod
+    def _rep_decide(cls, rules, path):
+        # rules: [(pattern, is_allow)], deduped; REP pick = most
+        # specific (octet length) wins, allow wins ties — mirrors the
+        # documented tie-break incl. the lexicographic prefix fallback
+        hits = [
+            (len(p), a, p) for (p, a) in set(rules) if cls._rep_match(p, path)
+        ]
+        if not hits:
+            return True, None
+        ln, a, p = max(hits)
+        return a, p
+
+    def test_rep_differential_fuzz(self, spark):
+        import random
+
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        rng = random.Random(42)
+        seg_alpha = "abc123.+()"
+        hosts, robot_rows, url_rows, expected = [], [], [], {}
+
+        def rand_path():
+            parts = [
+                "".join(rng.choices(seg_alpha, k=rng.randint(1, 4)))
+                for _ in range(rng.randint(1, 3))
+            ]
+            return "/" + "/".join(parts)
+
+        def rand_pattern(paths):
+            # mutate a real path (high hit density) or invent one
+            p = rng.choice(paths) if rng.random() < 0.7 else rand_path()
+            chars = list(p)
+            for _ in range(rng.randint(0, 2)):
+                pos = rng.randint(1, len(chars))
+                chars.insert(pos, "*")
+            pat = "".join(chars)
+            if rng.random() < 0.3:
+                pat = pat[: rng.randint(1, len(pat))] or "/"
+            if rng.random() < 0.25:
+                pat += "$"
+            return pat
+
+        for h in range(40):
+            host = f"h{h}.example.com"
+            paths = [rand_path() for _ in range(6)]
+            rules = [
+                (rand_pattern(paths), rng.random() < 0.5)
+                for _ in range(rng.randint(1, 6))
+            ]
+            body = "User-agent: *\n" + "".join(
+                f"{'Allow' if a else 'Disallow'}: {p}\n" for p, a in rules
+            )
+            robot_rows.append((host, body))
+            for path in rng.sample(paths, 4) + [rand_path()]:
+                url = f"https://{host}{path}"
+                url_rows.append((host, url))
+                expected[url] = self._rep_decide(rules, path)
+
+        robots = self._robots(spark, robot_rows)
+        urls = self._urls(spark, url_rows)
+        got = {
+            r.url: (r.allowed, r.matched_prefix)
+            for r in robots_decisions(robots, urls).collect()
+        }
+        assert len(got) == len(expected)
+        diverged = {
+            u: (got[u], expected[u])
+            for u in expected
+            if got[u] != expected[u]
+        }
+        assert not diverged, f"{len(diverged)} divergences: {diverged}"
