@@ -424,23 +424,43 @@ def robots_decisions(
     translations precomputed ONCE per rule on that tiny table; the
     per-host rule arrays broadcast onto the URL table, and the
     longest-match evaluation is per-row array algebra over a handful
-    of rules — the URL corpus NEVER shuffles.  The per-candidate
-    regexp uses a non-foldable pattern (recompiled per pair), which
-    is fine at rules-per-host cardinality.
+    of rules — the URL corpus NEVER shuffles.  Literal rules (no
+    wildcard — the common case) evaluate via codegen
+    startswith/equality; only wildcard rules pay the non-foldable
+    regexp (recompiled per (row, rule) pair — acceptable as the
+    minority path, ruinous as the only one at 10^12 URLs).
     """
     grouped, applies = _robots_groups(robots, user_agent, host_col, body_col)
-    # translate each REP pattern to a Java regex ONCE, on the tiny
-    # rule table: strip a trailing '$' (the only anchoring position),
-    # escape regex metacharacters EXCEPT '*', then '*' -> '.*'
+    # translate each REP pattern ONCE, on the tiny rule table: strip a
+    # trailing '$' (the only anchoring position), and build a Java
+    # regex (metachars escaped EXCEPT '*', then '*' -> '.*') ONLY for
+    # patterns that actually contain a wildcard.  Literal patterns —
+    # the overwhelming majority in real robots files — keep their raw
+    # body and match via codegen startswith/equality at evaluation
+    # time: Spark recompiles a non-foldable regexp per (row, rule)
+    # pair, so routing literals around the regex path is what keeps
+    # this evaluable over a 10^12-row URL table.
     anchored = F.col("value").endswith("$")
     body = F.when(
         anchored, F.expr("substring(value, 1, length(value) - 1)")
     ).otherwise(F.col("value"))
+    has_wild = F.col("value").contains("*")
     esc = F.regexp_replace(body, r"([.\[\]{}()+?^$\\|])", r"\\$1")
-    rx = F.concat(
-        F.lit("^"),
-        F.regexp_replace(esc, r"\*", ".*"),
-        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    rx = F.when(
+        has_wild,
+        F.concat(
+            F.lit("^"),
+            F.regexp_replace(esc, r"\*", ".*"),
+            F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+        ),
+    )
+    # literal kinds: 0 = prefix (startswith), 1 = exact (anchored
+    # equality); 2 = wildcard (regex)
+    kind = (
+        F.when(has_wild, F.lit(2))
+        .when(anchored, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
     )
     rules = (
         grouped.where(
@@ -451,14 +471,16 @@ def robots_decisions(
         .select(
             F.col(host_col).alias("host"),
             F.col("value").alias("prefix"),
+            body.alias("body"),
             rx.alias("rx"),
+            kind.alias("kind"),
             (F.col("field") == "allow").alias("is_allow"),
         )
         .distinct()
         .groupBy("host")
         .agg(
             F.collect_list(
-                F.struct("prefix", "rx", "is_allow")
+                F.struct("prefix", "body", "rx", "kind", "is_allow")
             ).alias("__rules")
         )
     )
@@ -470,7 +492,11 @@ def robots_decisions(
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     matched = F.filter(
         F.col("__rules"),
-        lambda r: F.regexp_like(F.col("__path"), r["rx"]),
+        lambda r: (
+            F.when(r["kind"] == 0, F.col("__path").startswith(r["body"]))
+            .when(r["kind"] == 1, F.col("__path") == r["body"])
+            .otherwise(F.regexp_like(F.col("__path"), r["rx"]))
+        ),
     )
     # most specific pattern decides (raw octet length, the RFC rule);
     # allow wins a length tie -> lexicographic max of (len, is_allow)
