@@ -583,6 +583,88 @@ class TestRobotsDecisions:
             "https://a.com/x$y/z": False,
         }
 
+    def test_rep_matches_query_string(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark,
+            [("a.com",
+              "User-agent: *\n"
+              "Disallow: /*?sessionid=\n"   # query-targeting wildcard
+              "Disallow: /a$\n")],          # anchored: query breaks it
+        )
+        urls = self._urls(
+            spark,
+            [
+                ("a.com", "https://a.com/page?sessionid=abc"),
+                # '&sessionid=' is NOT '?sessionid=': no match
+                ("a.com", "https://a.com/page?x=1&sessionid=abc"),
+                ("a.com", "https://a.com/page"),
+                ("a.com", "https://a.com/a"),        # exact hit
+                ("a.com", "https://a.com/a?x=1"),    # '$' must NOT match
+            ],
+        )
+        got = {
+            r.url: r.allowed
+            for r in robots_decisions(robots, urls).collect()
+        }
+        assert got == {
+            "https://a.com/page?sessionid=abc": False,
+            "https://a.com/page?x=1&sessionid=abc": True,
+            "https://a.com/page": True,
+            "https://a.com/a": False,
+            "https://a.com/a?x=1": True,
+        }
+
+    def test_rep_mixed_host_forms_single_decision_row(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        # both host forms in the rule table -> ONE rule array per
+        # normalized host (union of rules), never duplicate rows
+        robots = self._robots(
+            spark,
+            [
+                ("www.a.com", "User-agent: *\nDisallow: /x\n"),
+                ("a.com", "User-agent: *\nAllow: /x/ok\n"),
+            ],
+        )
+        urls = self._urls(
+            spark,
+            [
+                ("a.com", "https://a.com/x/1"),
+                ("a.com", "https://a.com/x/ok/1"),
+            ],
+        )
+        rows = robots_decisions(robots, urls).collect()
+        assert len(rows) == 2  # no join fan-out
+        got = {r.url: r.allowed for r in rows}
+        assert got == {
+            "https://a.com/x/1": False,     # www-form Disallow applies
+            "https://a.com/x/ok/1": True,   # bare-form Allow re-opens
+        }
+
+    def test_rep_specificity_is_octets_not_chars(self, spark):
+        from web_content_extractor_spark.operators.crawl import (
+            robots_decisions,
+        )
+
+        # '/café' = 5 chars / 6 UTF-8 octets; '/caf*x' = 6 chars /
+        # 6 octets.  Both match '/caféx'.  Char-length ranking picks
+        # the disallow (6 > 5); the RFC's octet rule is a 6 = 6 tie,
+        # which allow wins.
+        robots = self._robots(
+            spark,
+            [("a.com",
+              "User-agent: *\nAllow: /café\nDisallow: /caf*x\n")],
+        )
+        urls = self._urls(spark, [("a.com", "https://a.com/caféx")])
+        got = robots_decisions(robots, urls).collect()[0]
+        assert got.allowed and got.matched_prefix == "/café"
+
     # ---- seeded differential fuzz vs an independent REP matcher ----
     #
     # The engine translates REP patterns to Java regexes; the reference
@@ -611,12 +693,15 @@ class TestRobotsDecisions:
         return j >= 0
 
     @classmethod
-    def _rep_decide(cls, rules, path):
+    def _rep_decide(cls, rules, target):
         # rules: [(pattern, is_allow)], deduped; REP pick = most
-        # specific (octet length) wins, allow wins ties — mirrors the
-        # documented tie-break incl. the lexicographic prefix fallback
+        # specific (OCTET length, UTF-8 bytes) wins, allow wins ties —
+        # mirrors the documented tie-break incl. the lexicographic
+        # prefix fallback; target = path [+ '?' + query]
         hits = [
-            (len(p), a, p) for (p, a) in set(rules) if cls._rep_match(p, path)
+            (len(p.encode("utf-8")), a, p)
+            for (p, a) in set(rules)
+            if cls._rep_match(p, target)
         ]
         if not hits:
             return True, None
@@ -639,7 +724,12 @@ class TestRobotsDecisions:
                 "".join(rng.choices(seg_alpha, k=rng.randint(1, 4)))
                 for _ in range(rng.randint(1, 3))
             ]
-            return "/" + "/".join(parts)
+            p = "/" + "/".join(parts)
+            if rng.random() < 0.3:  # query-bearing targets (REP
+                p += "?" + "".join(  # matches path PLUS query)
+                    rng.choices("abc123", k=rng.randint(1, 3))
+                ) + "=" + "".join(rng.choices("xyz9", k=rng.randint(1, 3)))
+            return p
 
         def rand_pattern(paths):
             # mutate a real path (high hit density) or invent one

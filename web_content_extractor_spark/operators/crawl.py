@@ -408,13 +408,19 @@ def robots_decisions(
     (longest pattern) decides, allow winning length ties (Google REP,
     draft-koster-rep / RFC 9309 evaluation order).  Patterns support
     the full REP wildcards: ``*`` matches any character run and a
-    TRAILING ``$`` anchors the match at the end of the path ('$'
-    anywhere else is literal); specificity is the raw pattern's octet
-    length, the RFC's rule.  A URL matching no rule is allowed.  An
-    empty URL path evaluates as "/" (the REP rule that makes
-    ``Disallow: /`` block the site root), and hosts join
-    case-insensitively with the ``www.`` prefix stripped on both
-    sides, same normalization as ``blocklist_filter``.
+    TRAILING ``$`` anchors the match at the end of the target ('$'
+    anywhere else is literal); specificity is the raw pattern's OCTET
+    length (UTF-8 bytes, the RFC's "most octets" rule).  Rules match
+    against the URL's path PLUS the query string (``/p?q=…``) — the
+    dominant real use of wildcards is query-targeting rules like
+    ``Disallow: /*?sessionid=`` — per RFC 9309 / Google's matcher.  A
+    URL matching no rule is allowed.  An empty URL path evaluates as
+    "/" (the REP rule that makes ``Disallow: /`` block the site
+    root), and hosts join case-insensitively with the ``www.`` prefix
+    stripped on both sides, same normalization as
+    ``blocklist_filter`` — rule tables carrying BOTH host forms
+    collapse to one rule array per normalized host (union of rules),
+    never duplicate decision rows.
 
     Returns ``urls``' columns + (allowed boolean, matched_prefix —
     the raw winning pattern, null when no rule matched).
@@ -462,6 +468,14 @@ def robots_decisions(
         .otherwise(F.lit(0))
         .cast("int")
     )
+    # normalize the rule-table host BEFORE grouping (the join key the
+    # way blocklist_filter does — real robots tables mix host case and
+    # www. forms): grouping on the raw host would emit one rule-array
+    # row per host FORM under the same join key, fanning every URL row
+    # out into duplicate (and possibly contradictory) decisions
+    def _hkey(c):
+        return F.regexp_replace(F.lower(c), r"^www\.", "")
+
     rules = (
         grouped.where(
             F.col("field").isin("allow", "disallow")
@@ -469,7 +483,7 @@ def robots_decisions(
         )
         .join(applies, [host_col, "group_id"])
         .select(
-            F.col(host_col).alias("host"),
+            _hkey(F.col(host_col)).alias("__hkey"),
             F.col("value").alias("prefix"),
             body.alias("body"),
             rx.alias("rx"),
@@ -477,19 +491,27 @@ def robots_decisions(
             (F.col("field") == "allow").alias("is_allow"),
         )
         .distinct()
-        .groupBy("host")
+        .groupBy("__hkey")
         .agg(
             F.collect_list(
                 F.struct("prefix", "body", "rx", "kind", "is_allow")
             ).alias("__rules")
         )
     )
-    # REP evaluates an empty path as "/" — without this, even
-    # "Disallow: /" would fail to block the site root
+    # REP matches against the path PLUS the query string ('?q=…') —
+    # the dominant real use of wildcards is query-targeting rules like
+    # 'Disallow: /*?sessionid=' — and evaluates an empty path as "/"
+    # (without this even "Disallow: /" would fail to block the root)
     raw_path = F.coalesce(
         F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
     )
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    query = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("QUERY")), F.lit("")
+    )
+    target = F.when(query == "", path).otherwise(
+        F.concat(path, F.lit("?"), query)
+    )
     matched = F.filter(
         F.col("__rules"),
         lambda r: (
@@ -498,32 +520,27 @@ def robots_decisions(
             .otherwise(F.regexp_like(F.col("__path"), r["rx"]))
         ),
     )
-    # most specific pattern decides (raw octet length, the RFC rule);
-    # allow wins a length tie -> lexicographic max of (len, is_allow)
+    # most specific pattern decides (raw pattern OCTET length, the
+    # RFC's "most octets" rule — multi-byte UTF-8 patterns count per
+    # byte); allow wins a length tie -> lexicographic max
     best = F.array_max(
         F.transform(
             matched,
             lambda r: F.struct(
-                F.length(r["prefix"]).alias("len"),
+                F.octet_length(r["prefix"]).alias("len"),
                 r["is_allow"].alias("is_allow"),
                 r["prefix"].alias("prefix"),
             ),
         )
     )
 
-    # normalize the join key the way blocklist_filter does — real
-    # robots tables mix host case and www. forms
-    def _hkey(c):
-        return F.regexp_replace(F.lower(c), r"^www\.", "")
-
-    rules = rules.withColumn("__hkey", _hkey(F.col("host"))).drop("host")
     joined = urls.withColumn("__ukey", _hkey(F.col(host_col))).join(
         F.broadcast(rules),
         F.col("__ukey") == rules["__hkey"],
         "left",
     ).drop("__hkey", "__ukey")
     return (
-        joined.withColumn("__path", path)
+        joined.withColumn("__path", target)
         .withColumn("__best", best)
         .withColumn(
             "allowed",
