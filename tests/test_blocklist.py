@@ -536,7 +536,7 @@ class TestRobotsDecisions:
                 ("a.com", "https://a.com/docs/x.pdf"),       # anchored hit
                 ("a.com", "https://a.com/docs/x.pdf.html"),  # NOT anchored
                 ("a.com", "https://a.com/private123/data"),  # star hit
-                # allow (16 chars) beats the star disallow (15 chars)
+                # allow (16 octets) beats the star disallow (14)
                 ("a.com", "https://a.com/private-ok/data"),
                 ("a.com", "https://a.com/else"),
             ],
