@@ -407,9 +407,10 @@ def main() -> int:
         [
             ("per-host rule arrays broadcast onto the URL side",
              "BroadcastHashJoin" in p),
-            ("URL side never key-shuffles (rule-side hid/host aggs only)",
-             set(re.findall(r"hashpartitioning\((\w+)", p))
-             <= {"hid", "host"}),
+            ("URL side never key-shuffles (every exchange keys on "
+             "rule-side columns, never doc_id/url)",
+             not set(re.findall(r"hashpartitioning\((\w+)", p))
+             & {"doc_id", "url"}),
             ("no Python stage (parse + evaluation are native)",
              "MapInPandas" not in p and "BatchEvalPython" not in p
              and "ArrowEvalPython" not in p),
