@@ -256,6 +256,101 @@ class TestRobotsAgentFallback:
         }
         assert got == {"/mine"}
 
+    # ---- seeded differential fuzz of the shared group machinery ----
+    #
+    # _robots_groups (windows: lag + cumsum + running max) backs
+    # robots_rules, crawl_delays AND robots_decisions; the reference
+    # below re-implements the documented group semantics with a plain
+    # line loop, so any window-machinery bug (group splits, rule
+    # attachment, tier selection) diverges.
+
+    @staticmethod
+    def _ref_disallows(body: str, ua: str) -> set:
+        import re as _re
+
+        groups = []  # (agent_values, rules)
+        prev_agent = False
+        for line in body.split("\n"):
+            line = _re.sub(r"#.*$", "", line).strip()
+            m = _re.match(r"^([A-Za-z-]+)\s*:\s*(.*)$", line)
+            if not m:
+                # comment/blank/junk lines are invisible to grouping
+                # (RFC 9309: only rule lines end a user-agent run)
+                continue
+            f, v = m.group(1).lower(), m.group(2).strip()
+            if f == "user-agent":
+                if not prev_agent:
+                    groups.append(([], []))
+                groups[-1][0].append(v)
+                prev_agent = True
+            else:
+                if groups:
+                    groups[-1][1].append((f, v))
+                prev_agent = False
+        ua_l = ua.lower()
+
+        def tok(v):
+            return v.split("/", 1)[0].lower()
+
+        if ua_l == "*":
+            spec = []
+        else:
+            spec = [
+                g for g in groups
+                if any(tok(a) != "*" and tok(a) in ua_l for a in g[0])
+            ]
+        star = [
+            g for g in groups if any(a.lower() == "*" for a in g[0])
+        ]
+        chosen = spec if spec else star
+        return {
+            v for g in chosen for (f, v) in g[1] if f == "disallow" and v
+        }
+
+    def test_group_machinery_differential_fuzz(self, spark):
+        import random
+
+        from web_content_extractor_spark.operators.crawl import robots_rules
+
+        rng = random.Random(7)
+        agents = ["*", "googlebot", "mybot", "my", "otherbot",
+                  "MyBot/2.1", "bot"]
+        uas = ["*", "mybot", "googlebot-news", "MyBot/1.0"]
+        hosts, bodies = [], {}
+        for h in range(30):
+            host = f"h{h}.com"
+            lines = []
+            for _ in range(rng.randint(1, 4)):  # groups
+                for _ in range(rng.randint(1, 3)):  # agent run
+                    lines.append(f"User-agent: {rng.choice(agents)}")
+                for _ in range(rng.randint(0, 3)):  # rule run
+                    f = rng.choice(
+                        ["Disallow", "Disallow", "Allow", "Crawl-delay"]
+                    )
+                    v = (
+                        "3" if f == "Crawl-delay"
+                        else rng.choice(["/a", "/b/c", "/tmp", "", "/x#c"])
+                    )
+                    lines.append(f"{f}: {v}")
+                if rng.random() < 0.4:
+                    lines.append(rng.choice(["", "# comment", "junk line"]))
+            body = "\n".join(lines) + "\n"
+            hosts.append((host, body))
+            bodies[host] = body
+        robots = self._robots_many(spark, hosts)
+        for ua in uas:
+            got = {}
+            for r in robots_rules(robots, user_agent=ua).collect():
+                got.setdefault(r.host, set()).add(r.path_prefix)
+            exp = {
+                h: self._ref_disallows(b, ua) for h, b in bodies.items()
+            }
+            exp = {h: v for h, v in exp.items() if v}
+            assert got == exp, f"ua={ua}"
+
+    def _robots_many(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, robots string")
+
 
 class TestCrawlDelaysAndPoliteness:
     def _robots(self, spark, rows):
