@@ -191,6 +191,101 @@ class TestSitemapUrls:
         )
         assert sitemap_urls(maps).count() == 1
 
+    def test_entities_cdata_and_comments(self, spark):
+        from web_content_extractor_spark.operators.crawl import sitemap_urls
+
+        # the sitemap spec REQUIRES entity-escaped URLs: &amp; in a
+        # <loc> is a literal & in the URL; CDATA wraps verbatim URLs;
+        # commented-out entries are not entries
+        body = (
+            "<urlset>"
+            "<url><loc>https://a.com/?a=1&amp;b=2</loc></url>"
+            "<url><loc><![CDATA[https://a.com/raw?x=1&y=2]]></loc></url>"
+            "<url><loc>https://a.com/esc&amp;lt;</loc></url>"
+            "<!-- <url><loc>https://a.com/commented</loc></url> -->"
+            "</urlset>"
+        )
+        maps = spark.createDataFrame(
+            [("a.com", body)], "host string, sitemap string"
+        )
+        got = {r.url for r in sitemap_urls(maps).collect()}
+        assert got == {
+            "https://a.com/?a=1&b=2",
+            "https://a.com/raw?x=1&y=2",
+            "https://a.com/esc&lt;",   # &amp;lt; is the ESCAPED '&lt;'
+        }
+
+    def test_commented_sitemapindex_not_an_index(self, spark):
+        from web_content_extractor_spark.operators.crawl import sitemap_urls
+
+        body = (
+            "<!-- was a <sitemapindex> once -->"
+            "<urlset><url><loc>https://a.com/x</loc></url></urlset>"
+        )
+        maps = spark.createDataFrame(
+            [("a.com", body)], "host string, sitemap string"
+        )
+        rows = sitemap_urls(maps).collect()
+        assert [(r.url, r.is_index) for r in rows] == [
+            ("https://a.com/x", False)
+        ]
+
+    def test_differential_vs_elementtree(self, spark):
+        """Seeded fuzz: generated sitemaps (entities, CDATA, comments,
+        whitespace, lastmod distractors, index variants) parsed by
+        xml.etree as the independent reference."""
+        import random
+        import xml.etree.ElementTree as ET
+
+        from web_content_extractor_spark.operators.crawl import sitemap_urls
+
+        rng = random.Random(11)
+        rows, expected = [], {}
+        for h in range(25):
+            host = f"h{h}.com"
+            is_index = rng.random() < 0.3
+            tag, child = (
+                ("sitemapindex", "sitemap") if is_index
+                else ("urlset", "url")
+            )
+            entries, parts = [], []
+            for i in range(rng.randint(1, 5)):
+                q = rng.choice(["", "?a=1&b=2", "?x=<y>", ""])
+                url = f"https://{host}/p{i}{q}"
+                esc = (
+                    url.replace("&", "&amp;")
+                    .replace("<", "&lt;").replace(">", "&gt;")
+                )
+                loc = (
+                    f"<![CDATA[{url}]]>" if rng.random() < 0.3 else esc
+                )
+                ws = rng.choice(["", " ", "\n  "])
+                parts.append(
+                    f"<{child}><loc>{ws}{loc}{ws}</loc>"
+                    f"<lastmod>2026-01-0{i+1}</lastmod></{child}>"
+                )
+                entries.append(url)
+            if rng.random() < 0.4:
+                parts.insert(
+                    rng.randint(0, len(parts)),
+                    f"<!-- <{child}><loc>https://{host}/dead</loc>"
+                    f"</{child}> -->",
+                )
+            body = f"<{tag}>" + "".join(parts) + f"</{tag}>"
+            # independent reference: real XML parse
+            root = ET.fromstring(body)
+            ref = {
+                e.text.strip() for e in root.iter("loc") if e.text
+            }
+            assert ref == set(entries)  # the generator is itself sound
+            rows.append((host, body))
+            expected[host] = {(u, is_index) for u in ref}
+        maps = spark.createDataFrame(rows, "host string, sitemap string")
+        got = {}
+        for r in sitemap_urls(maps).collect():
+            got.setdefault(r.host, set()).add((r.url, r.is_index))
+        assert got == expected
+
 
 class TestBlocklistNormalization:
     def test_www_prefixed_blocklist_entries_match(self, spark):

@@ -661,14 +661,38 @@ def sitemap_urls(
     Handles both plain urlsets and sitemapindex files by taking every
     ``<loc>`` element (an index's locs are child sitemap URLs — the
     caller fetches and re-parses those; ``is_index`` flags them).
-    Pure codegen: one regexp_extract_all + explode per body, no
-    Python, no shuffle beyond the input's own layout.
+    Real-sitemap XML handling without a Python parser: XML comments
+    are stripped FIRST (a commented-out ``<loc>`` is not an entry and
+    a ``<sitemapindex`` inside a comment is not an index), a
+    ``<![CDATA[…]]>`` wrapper around the URL is unwrapped, and the
+    five named XML entities are decoded — the sitemap spec REQUIRES
+    entity-escaped URLs, so ``&amp;`` in a loc is a literal ``&`` in
+    the URL (``&amp;`` decodes LAST so ``&amp;lt;`` correctly yields
+    ``&lt;``; numeric character references are out of the documented
+    subset).  Pure codegen: regexp_replace chains +
+    one regexp_extract_all + explode per body, no Python, no shuffle
+    beyond the input's own layout.
     """
-    locs = F.expr(
-        f"regexp_extract_all({body_col}, '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)"
+    stripped = F.regexp_replace(
+        F.col(body_col), r"(?s)<!--.*?-->", ""
     )
+    locs = F.regexp_extract_all(
+        stripped, F.lit(r"<loc>\s*(.*?)\s*</loc>"), F.lit(1)
+    )
+
+    def _clean(u):
+        u = F.regexp_replace(u, r"^<!\[CDATA\[\s*", "")
+        u = F.regexp_replace(u, r"\s*\]\]>?$", "")
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&apos;", "'"),
+            ("&amp;", "&"),  # last: &amp;lt; must yield &lt;
+        ):
+            u = F.replace(u, F.lit(ent), F.lit(ch))
+        return u
+
     return sitemaps.select(
         F.col(host_col).alias("host"),
-        F.explode(locs).alias("url"),
-        F.col(body_col).rlike("<sitemapindex").alias("is_index"),
+        F.explode(F.transform(locs, _clean)).alias("url"),
+        stripped.rlike("<sitemapindex").alias("is_index"),
     ).where(F.length("url") > 0).distinct()
