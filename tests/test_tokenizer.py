@@ -175,6 +175,52 @@ def test_fast_scanner_differential_pinned():
         _assert_same(html)
 
 
+def test_fast_scanner_idle_jump_hazards():
+    # shapes targeting the idle jump-scan's exactness proof: constructs
+    # whose stdlib extent could swallow an interesting opener if the
+    # scan skipped them ('<' is a legal tagfind NAME char; unquoted
+    # attr values and tolerant attr names may contain '<'; junk end
+    # tags consume to the first '>'; NUL splits a tag into data+text)
+    cases = [
+        "<x<a href=http://e.com/y>hidden</a>",
+        "<x<title>Hello</title>",
+        "<x<script>var a=1</script><a href=http://e.com/z>real</a>",
+        "<x<a>",
+        "<x<iframe>",
+        "<div <a href=http://e.com/n>t</a>>",
+        "<div <a hidden>",
+        "<div x=<a href=http://e.com/m>>tail</a>",
+        "</div <a href=http://e.com/j>>after",
+        "</div junk <a href=http://e.com/k>>",
+        '<div\x00class="<a href=http://e.com/q>">in</a>',
+        "<div\x00<a href=http://e.com/r>txt</a>",
+        '<h2"<a>text</h2><a href=http://e.com/s>ok</a>',
+        '<img alt="<a href=hidden>">',
+        "<img alt='<iframe src=h>'>",
+        'He said "hi" to <a href=http://e.com/t>her</a>',
+        "It's x=y < 5 <a href=http://e.com/u>v</a>",
+        "< a href=http://e.com/w>not a tag",
+        "<a\x0bhref=http://e.com/v>weird</a>",
+        "<x=y<a href=http://e.com/eq>e</a>",
+        "<em x><a href=http://e.com/em>m</a>",
+        '<p>quote " inside text</p><div q="<a href=http://e.com/hid>">z',
+        "<?pi <a href=http://e.com/pi>?><a href=http://e.com/after>y</a>",
+        "<<double<a href=http://e.com/d>dd</a>",
+        "<div",
+        "<a href=http://e.com/eof",
+        # fuzz-found: quote-terminated NAME run + NUL satisfies
+        # attrfind's ['"\s/] lookbehind, so the tag extent continues
+        # past the NUL and swallows the inner opener
+        '<d"\x00<a href=http://e.com/nul>',
+        # fuzz-found: stdlib's junk-start-tag path emits its chunk RAW
+        # (no charref unescape) — observable via an open title/anchor
+        "<title><embedX&amp;\x00rest</title>",
+        "<a href=http://e.com/r>pre<embedX&amp;\x00post</a>",
+    ]
+    for html in cases:
+        _assert_same(html)
+
+
 def test_fast_scanner_differential_fixtures():
     from web_content_extractor_spark.datagen import FIXTURES
 
@@ -263,6 +309,12 @@ def test_fast_scanner_adversarial_alphabet():
         '<h2 title="a>b">', "mailto:x", "<<", ">>",
         '<div data-x="<a href=q>w</a>">', "<!doctype html>",
         "<![CDATA[x]]>",
+        # idle-jump hazard shapes: '<'-bearing tag names, tolerant
+        # attr names/values containing openers, junk end tags, NUL
+        # splits, name-char quotes
+        "<x<a href=h>", "<x<title>", "<div <a hidden>", "<div x=<a href=h>",
+        "</div junk <a href=h>>", "<div\x00<a href=h>", '<h2"<a>',
+        "<em x>", "<hr >", "\x00", "< stray", '<div/q="<a href=h>">',
     ]
     for _ in range(4000):
         s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 50)))

@@ -54,6 +54,49 @@ _PLAIN_DOCTYPE = re.compile(r"<!doctype[^>\[]*>", re.IGNORECASE)
 _INTERESTING_TAGS = frozenset(
     ("a", "iframe", "object", "embed", "title", "script", "style")
 )
+# Idle jump-scan: when no anchor is open and we're not inside <title>,
+# every construct NOT matched below is provably unobservable, so one
+# C-level search replaces per-tag Python iterations.  The scan must
+# stop at (left-to-right, so the OUTERMOST construct wins):
+#   <[!?]      comments / doctypes / PIs (may contain tag-like text);
+#   </junk     malformed end tags (endtagfind fails) swallow input up
+#              to the first '>' and could eat a real opener — only a
+#              WELL-FORMED </name\s*> is skipped (its extent cannot
+#              contain '<', quotes, or '=' by its grammar);
+#   <a|iframe|object|embed|title|script|style  (name-boundary checked:
+#              tagfind's name chars are [^\t\n\r\f />\x00], so a name
+#              is "done" only before those or EOF);
+#   <name(ws|/|NUL) any start tag with whitespace/attrs — its attr
+#              values (quoted OR unquoted) and tolerant attr NAMES may
+#              contain '<', so its extent must be parsed exactly.  NUL
+#              is included because attrfind's name lookbehind ['"\s/]
+#              lets an attribute start right after a quote-terminated
+#              NAME run (`<d"\x00<a href=x>` is ONE tag named `d"`
+#              with attrs `\x00<a` and `href` — fuzz-found);
+#   <name<     a start tag whose name run hits another '<' ('<' is a
+#              legal tagfind name char, so `<x<title>` is ONE boring
+#              tag named "x<title" — jumping to the inner `<title`
+#              would wrongly enter title mode).
+# What remains skipped: text runs, stray '<' chars, attributeless
+# '<'-free `<name>` tags (their extent is exactly name chars + '>' —
+# no '<' inside, so no room for an opener), and well-formed end tags
+# (their name grammar excludes '<'/quotes).  All are event-free while
+# idle.  Quotes and '=' need no handling: an attribute VALUE can only
+# exist inside a start tag whose name run ends in whitespace or '/'
+# (or hits '<'), and those all stop the scan above — a quote anywhere
+# else is inert text or part of a tag NAME, neither of which can
+# extend an extent past a later '<'.
+_IDLE_JUMP = re.compile(
+    r"""<(?:"""
+    r"""[!?]"""
+    r"""|/(?![a-zA-Z][-.a-zA-Z0-9:_]*\s*>)"""
+    r"""|(?:a|iframe|object|embed|title|script|style)"""
+    r"""(?=[\t\n\r\f />]|$)"""
+    r"""|[a-zA-Z][^\t\n\r\f />\x00]*(?=[\t\n\r\f /\x00])"""
+    r"""|[a-zA-Z][^<\t\n\r\f />\x00]*(?=<)"""
+    r""")""",
+    re.IGNORECASE,
+)
 
 
 class _LinkTokenizer(HTMLParser):
@@ -208,18 +251,24 @@ def _fast_feed(tok: _LinkTokenizer, rawdata: str) -> None:
 
         # "idle" = no open anchor, not inside <title>: data events are
         # dropped by the consumer and non-interesting tags produce no
-        # observable event, so both can skip event dispatch entirely
-        # (tag EXTENTS are still parsed with the stdlib regexes, so
-        # quoted '>'/'<' inside attributes can never derail the scan)
+        # observable event.  One _IDLE_JUMP search (see its contract
+        # above) replaces per-tag iteration over text runs, '<'-free
+        # attributeless tags, and well-formed end tags; every stop
+        # position is parsed exactly with the stdlib regexes, so
+        # quoted '>'/'<' inside attributes can never derail the scan.
         idle = tok._open_anchor is None and not tok._in_title
-        lt = rawdata.find("<", i)
-        if lt < 0:
-            if not idle:
+        if idle:
+            jm = _IDLE_JUMP.search(rawdata, i)
+            if jm is None:
+                break  # only text/boring extents remain; idle drops them
+            i = jm.start()
+        else:
+            lt = rawdata.find("<", i)
+            if lt < 0:
                 data(rawdata[i:])
-            break
-        if not idle:
+                break
             data(rawdata[i:lt])
-        i = lt
+            i = lt
         nxt = rawdata[i + 1 : i + 2]
         if nxt and nxt.isascii() and nxt.isalpha():
             # start tag; mirror parse_starttag + check_for_whole_start_tag
@@ -270,7 +319,9 @@ def _fast_feed(tok: _LinkTokenizer, rawdata: str) -> None:
                 k = am.end()
             end = rawdata[k:endpos].strip()
             if end not in (">", "/>"):
-                data(rawdata[i:endpos])
+                # stdlib parse_starttag's junk path emits this chunk
+                # RAW (no charref unescape), unlike goahead text
+                tok.handle_data(rawdata[i:endpos])
                 i = endpos
                 continue
             if end.endswith("/>"):
