@@ -747,6 +747,34 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tq.quality_score(F.col("text")).alias("q"))
 
 
+def q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation (RefinedWeb-style): per-domain quality
+    rollup + keep verdict, joined back onto every document so both
+    verdict arms are oracle-checked.  Domains are synthesized
+    deterministically (doc_id % 37) — the operator itself takes any
+    domain column (e.g. the registered domain of a crawl URL).
+
+    Plan: one domain-keyed shuffle with partial aggs for the 37-row
+    stats table, then a broadcast join back onto the corpus — the
+    dropped set is never corpus-sized (operators/domains.py scale
+    notes)."""
+    from web_content_extractor_spark.operators.domains import domain_stats
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.org"),
+        ).alias("domain"),
+        tq.quality_score(F.col("text")).alias("q"),
+    )
+    stats = domain_stats(d, min_docs=10, min_mean_quality=33.5)
+    return d.join(F.broadcast(stats), "domain").select(
+        "doc_id", "domain", "q", "n_docs", "mean_q", "low_frac",
+        "keep_domain",
+    )
+
+
 def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style filter battery: per-doc signals + keep/drop
     verdict (pure Column algebra, no UDF)."""
@@ -2318,7 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "minhash_pairs": q_minhash_pairs,
         "canonical_urls": q_canonical_urls,
-        "semantic_dedup": q_semantic_dedup,
+        "domain_curation": q_domain_curation,
         "media_features": q_media_features,
         # round-3 additions (new ops: PQ-ANN, range join, substring
         # removal, Hamming band join, REP decisions, URL canon) — in
@@ -2335,7 +2363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 1e-9; lsh_topk's
         # banding logic is the oracled hamming/minhash shape; ivfpq
         # composes the checked pq/ivf paths; image_neardup composes
-        # the oracled band join with the test-pinned aHash kernel)
+        # the oracled band join with the test-pinned aHash kernel;
+        # semantic_dedup is pinned by soundness/completeness pytests
+        # and ceded its slot to the oracled domain_curation)
+        "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
@@ -2890,6 +2921,25 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": f"""
         WITH t AS ({_TOKS_CTE})
         SELECT doc_id, {quality_expr} AS q FROM t
+        """,
+        "domain_curation": f"""
+        WITH t AS ({_TOKS_CTE}),
+        d AS (
+          SELECT doc_id,
+                 'host' || (doc_id % 37) || '.example.org' AS domain,
+                 {quality_expr} AS q
+          FROM t
+        ),
+        g AS (
+          SELECT domain, count(*) AS n_docs,
+                 round(avg(q), 6) AS mean_q,
+                 round(avg(CASE WHEN q < 25.0 THEN 1.0 ELSE 0.0 END), 6)
+                   AS low_frac
+          FROM d GROUP BY domain
+        )
+        SELECT d.doc_id, d.domain, d.q, g.n_docs, g.mean_q, g.low_frac,
+               (g.n_docs < 10 OR g.mean_q >= 33.5) AS keep_domain
+        FROM d JOIN g USING (domain)
         """,
         "quality_filters": f"""
         WITH {_QUALITY_CTE}

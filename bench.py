@@ -113,6 +113,7 @@ HEADLINE = [
     "crawl_schedule",     # Crawl-delay parse + per-host slot scheduling
     "canonical_urls",     # codegen URL canonicalization (dedup key)
     "robots_decisions",   # REP longest-match allow/disallow decisions
+    "domain_curation",    # domain-level quality rollup + keep verdict
 ]
 
 

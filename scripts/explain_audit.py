@@ -419,6 +419,27 @@ def main() -> int:
         ],
     )
 
+    # domain curation — one domain-keyed shuffle for the stats rollup,
+    # partial (map-side) aggregation, tiny verdict table broadcast back
+    dc = contract.q_domain_curation(spark, SF_DIR)
+    p = formatted(dc)
+    audit(
+        "domain_curation (domain-level quality rollup + verdict)",
+        dc,
+        [
+            ("partial aggregation before the exchange (map-side "
+             "combine: count/sum partials)", "partial_count" in p
+             or "partial_avg" in p),
+            ("the only key shuffle is the domain rollup",
+             set(re.findall(r"hashpartitioning\((\w+)", p)) <= {"domain"}),
+            ("stats table broadcast back onto the corpus (never a "
+             "corpus-sized broadcast)", "BroadcastHashJoin" in p),
+            ("no Python stage (quality score + verdict are native)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p
+             and "ArrowEvalPython" not in p),
+        ],
+    )
+
     # interleaved packing — the only key shuffle is the shard window;
     # the kind-aware cost model is pure Column algebra
     pi = contract.q_pack_interleaved(spark, SF_DIR)
