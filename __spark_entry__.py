@@ -1955,6 +1955,17 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.contaminated_pairs(d, decontam.benchmark_snippets(d))
 
 
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative contamination (GPT-3 appx. C shape): per-document
+    fraction of distinct word 8-grams colliding with the benchmark
+    gram set; dirty verdict on the rounded fraction.  Benchmark grams
+    broadcast; hit counts broadcast back — no corpus-sized shuffle."""
+    d = _read(spark, sf_dir, "documents")
+    return decontam.contamination_scores(
+        d, decontam.benchmark_snippets(d), n=8, tau=0.01
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by smoothed tf-idf (broadcast df join,
     no second shuffle of the tf table)."""
@@ -2344,7 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "similarity_topk": q_similarity_topk,
-        "minhash_pairs": q_minhash_pairs,
+        "contamination_score": q_contamination_score,
         "canonical_urls": q_canonical_urls,
         "domain_curation": q_domain_curation,
         "media_features": q_media_features,
@@ -2365,7 +2376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composes the checked pq/ivf paths; image_neardup composes
         # the oracled band join with the test-pinned aHash kernel;
         # semantic_dedup is pinned by soundness/completeness pytests
-        # and ceded its slot to the oracled domain_curation)
+        # and ceded its slot to the oracled domain_curation;
+        # minhash_pairs is recall-pinned vs the oracled exact jaccard
+        # and ceded its slot to the oracled contamination_score)
+        "minhash_pairs": q_minhash_pairs,
         "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
         "bpe_encode": q_bpe_encode,
@@ -4192,6 +4206,35 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT DISTINCT n.doc_id, b.snippet_id
         FROM n JOIN b ON contains(n.t, b.snippet)
+        """,
+        "contamination_score": f"""
+        WITH t AS ({_TOKS_CTE}),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+          FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+          WHERE len(w) >= 8
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        bench AS (
+          SELECT DISTINCT array_to_string(w[5:12], ' ') AS gram
+          FROM t WHERE doc_id % 97 = 3 AND len(w) >= 12
+        ),
+        hits AS (
+          SELECT doc_id, count(*) AS n_hit
+          FROM g JOIN bench USING (gram) GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               coalesce(h.n_hit, 0) AS n_hit,
+               round(CASE WHEN coalesce(s.n_grams, 0) > 0
+                     THEN coalesce(h.n_hit, 0) * 1.0 / s.n_grams
+                     ELSE 0.0 END, 6) AS frac,
+               round(CASE WHEN coalesce(s.n_grams, 0) > 0
+                     THEN coalesce(h.n_hit, 0) * 1.0 / s.n_grams
+                     ELSE 0.0 END, 6) >= 0.01 AS dirty
+        FROM t
+        LEFT JOIN sizes s USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
         """,
         "tfidf_topk": f"""
         WITH t AS ({_TOKS_CTE}),

@@ -114,6 +114,7 @@ HEADLINE = [
     "canonical_urls",     # codegen URL canonicalization (dedup key)
     "robots_decisions",   # REP longest-match allow/disallow decisions
     "domain_curation",    # domain-level quality rollup + keep verdict
+    "contamination_score",  # n-gram collision fraction vs benchmark set
 ]
 
 

@@ -283,3 +283,61 @@ def test_bpe_pairs_differential_python_reference(spark):
         ).collect()
     }
     assert out == dict(exp)
+
+
+class TestContaminationScores:
+    def _mk(self, spark, rows, schema="doc_id long, text string"):
+        return spark.createDataFrame(rows, schema)
+
+    def test_hand_computed_fraction(self, spark):
+        # doc 0: 10 tokens -> 8 distinct 3-grams; snippet 'c d e'
+        # collides with exactly one -> frac 1/8
+        docs = self._mk(spark, [(0, "a b c d e f g h i j")])
+        snips = spark.createDataFrame(
+            [(100, "c d e")], "snippet_id long, snippet string"
+        )
+        r = decontam.contamination_scores(docs, snips, n=3, tau=0.1).collect()[0]
+        assert (r.n_grams, r.n_hit, r.frac, r.dirty) == (8, 1, 0.125, True)
+
+    def test_long_snippet_contributes_all_its_grams(self, spark):
+        # a 4-token snippet holds two 3-grams; both collide
+        docs = self._mk(spark, [(0, "x x c d e f x x")])
+        snips = spark.createDataFrame(
+            [(1, "c d e f")], "snippet_id long, snippet string"
+        )
+        r = decontam.contamination_scores(docs, snips, n=3, tau=0.5).collect()[0]
+        assert r.n_hit == 2 and r.dirty is False  # 2/6 < 0.5
+
+    def test_short_doc_scores_zero_clean(self, spark):
+        docs = self._mk(spark, [(0, "too short")])
+        snips = spark.createDataFrame(
+            [(1, "a b c")], "snippet_id long, snippet string"
+        )
+        r = decontam.contamination_scores(docs, snips, n=3).collect()[0]
+        assert (r.n_grams, r.n_hit, r.frac, r.dirty) == (0, 0, 0.0, False)
+
+    def test_rounded_tau_boundary_is_inclusive(self, spark):
+        # frac = 1/8 with tau exactly 0.125 -> dirty (>= on rounded)
+        docs = self._mk(spark, [(0, "a b c d e f g h i j")])
+        snips = spark.createDataFrame(
+            [(1, "c d e")], "snippet_id long, snippet string"
+        )
+        r = decontam.contamination_scores(docs, snips, n=3, tau=0.125).collect()[0]
+        assert r.dirty is True
+
+    def test_consistent_with_boolean_sweep(self, spark):
+        # every doc the substring sweep flags must have n_hit > 0 when
+        # grams are sized to the snippet length (8-token snippets)
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        snips = decontam.benchmark_snippets(d)
+        flagged = {
+            r.doc_id for r in decontam.contaminated_pairs(d, snips).collect()
+        }
+        scored = {
+            r.doc_id: r.n_hit
+            for r in decontam.contamination_scores(d, snips, n=8).collect()
+        }
+        assert flagged and all(scored[did] > 0 for did in flagged)
+        # and every scored hit is a flagged doc (gram match => substring
+        # match at equal gram/snippet length)
+        assert {d_ for d_, h in scored.items() if h > 0} == flagged

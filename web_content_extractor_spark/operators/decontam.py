@@ -188,3 +188,62 @@ def contamination_report(docs: DataFrame, snippets: DataFrame) -> DataFrame:
         F.count("*").alias("n_hits"),
         F.min("snippet_id").alias("first_snippet_id"),
     )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    snippets: DataFrame,
+    n: int = 8,
+    tau: float = 0.01,
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style quantitative contamination: the fraction of a
+    document's DISTINCT word ``n``-grams colliding with any benchmark
+    ``n``-gram (GPT-3 appx. C measures gram collisions to split dirty
+    vs clean eval docs; applied corpus-side here, the quantitative
+    complement of the boolean ``contaminated_pairs`` sweep).
+
+    Returns (doc_id, n_grams, n_hit, frac, dirty) for EVERY document
+    — ``frac`` is rounded to 6 places and ``dirty`` compares the
+    ROUNDED value against ``tau`` so the verdict is reproducible
+    across engines and partitionings.
+
+    Scale notes (10^12 docs): the benchmark gram set is MBs by nature
+    -> broadcast; doc grams are exploded but immediately semi-joined
+    against that broadcast (hits survive, everything else dies in the
+    same stage — no corpus-sized shuffle of gram strings); the per-doc
+    hit counts are |contaminated docs| rows, broadcast back onto the
+    corpus.  The only wide exchange is the groupBy over hit rows.
+    """
+    from web_content_extractor_spark.operators.dedup_docs import (
+        _word_ngrams,
+    )
+
+    bench = (
+        snippets.select(F.explode(_word_ngrams(F.col("snippet"), n)).alias("g"))
+        .where(F.length("g") > 0)
+        .distinct()
+    )
+    base = docs.select(
+        "doc_id", _word_ngrams(F.col(text_col), n).alias("gs")
+    ).select("doc_id", F.size("gs").alias("n_grams"), "gs")
+    hits = (
+        base.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    frac = F.round(
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_hit").cast("double") / F.col("n_grams"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        base.drop("gs")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn("frac", frac)
+        .withColumn("dirty", F.col("frac") >= F.lit(tau))
+    )
