@@ -209,11 +209,14 @@ def contamination_scores(
     across engines and partitionings.
 
     Scale notes (10^12 docs): the benchmark gram set is MBs by nature
-    -> broadcast; doc grams are exploded but immediately semi-joined
-    against that broadcast (hits survive, everything else dies in the
-    same stage — no corpus-sized shuffle of gram strings); the per-doc
-    hit counts are |contaminated docs| rows, broadcast back onto the
-    corpus.  The only wide exchange is the groupBy over hit rows.
+    -> broadcast; the whole query is ONE pass — explode the doc grams
+    once, LEFT-join the broadcast gram set as a hit marker in the same
+    stage, and fold both counts into a single doc_id-keyed aggregation
+    (grams of a doc are colocated with it, so the partial agg collapses
+    to one row per doc before the exchange).  The n-gram shingling HOF
+    is interpreted (never codegens), so it must be evaluated exactly
+    once: an earlier size(gs)+explode(gs) two-branch shape re-ran it
+    per branch and was 3x slower at sf0.1.
     """
     from web_content_extractor_spark.operators.dedup_docs import (
         _word_ngrams,
@@ -223,15 +226,18 @@ def contamination_scores(
         snippets.select(F.explode(_word_ngrams(F.col("snippet"), n)).alias("g"))
         .where(F.length("g") > 0)
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    base = docs.select(
-        "doc_id", _word_ngrams(F.col(text_col), n).alias("gs")
-    ).select("doc_id", F.size("gs").alias("n_grams"), "gs")
-    hits = (
-        base.select("doc_id", F.explode("gs").alias("g"))
-        .join(F.broadcast(bench), "g", "left_semi")
+    g = docs.select(
+        "doc_id", F.explode_outer(_word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    agg = (
+        g.join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+        .agg(
+            F.count("g").alias("n_grams"),  # non-null: 0 for short docs
+            F.count("hit").alias("n_hit"),
+        )
     )
     frac = F.round(
         F.when(
@@ -240,10 +246,6 @@ def contamination_scores(
         ).otherwise(F.lit(0.0)),
         6,
     )
-    return (
-        base.drop("gs")
-        .join(F.broadcast(hits), "doc_id", "left")
-        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
-        .withColumn("frac", frac)
-        .withColumn("dirty", F.col("frac") >= F.lit(tau))
+    return agg.withColumn("frac", frac).withColumn(
+        "dirty", F.col("frac") >= F.lit(tau)
     )
