@@ -215,6 +215,29 @@ class TestSitemapUrls:
             "https://a.com/esc&lt;",   # &amp;lt; is the ESCAPED '&lt;'
         }
 
+    def test_cdata_content_is_verbatim_and_strips_are_paired(self, spark):
+        from web_content_extractor_spark.operators.crawl import sitemap_urls
+
+        # CDATA is unparsed character data: '&amp;' inside it is a
+        # LITERAL '&amp;' (xml.etree agrees); and a plain URL that
+        # merely ENDS in ']]' must not be truncated by the wrapper
+        # strip (the strips are paired, not independent)
+        body = (
+            "<urlset>"
+            "<url><loc><![CDATA[https://a.com/?q=&amp;x]]></loc></url>"
+            "<url><loc>https://a.com/x]]</loc></url>"
+            "</urlset>"
+        )
+        import xml.etree.ElementTree as ET
+
+        ref = {e.text.strip() for e in ET.fromstring(body).iter("loc")}
+        assert ref == {"https://a.com/?q=&amp;x", "https://a.com/x]]"}
+        got = {r.url for r in sitemap_urls(
+            spark.createDataFrame([("a.com", body)],
+                                  "host string, sitemap string")
+        ).collect()}
+        assert got == ref
+
     def test_commented_sitemapindex_not_an_index(self, spark):
         from web_content_extractor_spark.operators.crawl import sitemap_urls
 

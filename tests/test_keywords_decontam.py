@@ -326,8 +326,10 @@ class TestContaminationScores:
         assert r.dirty is True
 
     def test_consistent_with_boolean_sweep(self, spark):
-        # every doc the substring sweep flags must have n_hit > 0 when
-        # grams are sized to the snippet length (8-token snippets)
+        # two one-directional invariants (full equivalence is NOT
+        # generally true: a substring match need not be token-aligned,
+        # e.g. 'xc d e f ...' contains the snippet but has no matching
+        # token-boundary 8-gram)
         d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         snips = decontam.benchmark_snippets(d)
         flagged = {
@@ -337,7 +339,24 @@ class TestContaminationScores:
             r.doc_id: r.n_hit
             for r in decontam.contamination_scores(d, snips, n=8).collect()
         }
-        assert flagged and all(scored[did] > 0 for did in flagged)
-        # and every scored hit is a flagged doc (gram match => substring
-        # match at equal gram/snippet length)
-        assert {d_ for d_, h in scored.items() if h > 0} == flagged
+        # (a) a gram hit IS a token-aligned substring of the normalized
+        # text, so every scored doc must be substring-flagged
+        hit_docs = {d_ for d_, h in scored.items() if h > 0}
+        assert hit_docs and hit_docs <= flagged
+        # (b) snippet SOURCE docs lifted their snippet from their own
+        # token stream (token-aligned by construction) -> always hit
+        sources = {r.snippet_id for r in snips.collect()}
+        assert sources and all(scored[did] > 0 for did in sources)
+
+    def test_unaligned_substring_flagged_but_not_gram_hit(self, spark):
+        # pin the asymmetry the sweep-consistency test documents
+        docs = spark.createDataFrame(
+            [(0, "xc d e prefix-fused tokens")],
+            "doc_id long, text string",
+        )
+        snips = spark.createDataFrame(
+            [(1, "c d e")], "snippet_id long, snippet string"
+        )
+        assert decontam.contaminated_pairs(docs, snips).count() == 1
+        r = decontam.contamination_scores(docs, snips, n=3).collect()[0]
+        assert r.n_hit == 0

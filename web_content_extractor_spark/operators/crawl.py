@@ -663,15 +663,17 @@ def sitemap_urls(
     caller fetches and re-parses those; ``is_index`` flags them).
     Real-sitemap XML handling without a Python parser: XML comments
     are stripped FIRST (a commented-out ``<loc>`` is not an entry and
-    a ``<sitemapindex`` inside a comment is not an index), a
-    ``<![CDATA[…]]>`` wrapper around the URL is unwrapped, and the
-    five named XML entities are decoded — the sitemap spec REQUIRES
-    entity-escaped URLs, so ``&amp;`` in a loc is a literal ``&`` in
-    the URL (``&amp;`` decodes LAST so ``&amp;lt;`` correctly yields
-    ``&lt;``; numeric character references are out of the documented
-    subset).  Pure codegen: regexp_replace chains +
-    one regexp_extract_all + explode per body, no Python, no shuffle
-    beyond the input's own layout.
+    a ``<sitemapindex`` inside a comment is not an index).  A
+    ``<![CDATA[…]]>`` wrapper is unwrapped and its content kept
+    VERBATIM (CDATA is unparsed character data — ``&amp;`` inside it
+    is a literal ``&amp;``, matching the xml.etree differential
+    reference); only NON-CDATA locs get the five named XML entities
+    decoded — the sitemap spec REQUIRES entity-escaped URLs there, so
+    ``&amp;`` in a plain loc is a literal ``&`` in the URL (``&amp;``
+    decodes LAST so ``&amp;lt;`` correctly yields ``&lt;``; numeric
+    character references are out of the documented subset).  Pure
+    codegen: regexp_replace chains + one regexp_extract_all + explode
+    per body, no Python, no shuffle beyond the input's own layout.
     """
     stripped = F.regexp_replace(
         F.col(body_col), r"(?s)<!--.*?-->", ""
@@ -681,15 +683,19 @@ def sitemap_urls(
     )
 
     def _clean(u):
-        u = F.regexp_replace(u, r"^<!\[CDATA\[\s*", "")
-        u = F.regexp_replace(u, r"\s*\]\]>?$", "")
+        decoded = u
         for ent, ch in (
             ("&lt;", "<"), ("&gt;", ">"),
             ("&quot;", '"'), ("&apos;", "'"),
             ("&amp;", "&"),  # last: &amp;lt; must yield &lt;
         ):
-            u = F.replace(u, F.lit(ent), F.lit(ch))
-        return u
+            decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+        # wrapper strips are PAIRED (a plain URL ending in ']]' must
+        # not be truncated) and CDATA content skips entity decoding
+        cdata = F.regexp_replace(
+            u, r"(?s)^<!\[CDATA\[\s*(.*?)\s*(?:\]\]>?)?$", "$1"
+        )
+        return F.when(u.startswith("<![CDATA["), cdata).otherwise(decoded)
 
     return sitemaps.select(
         F.col(host_col).alias("host"),

@@ -56,8 +56,16 @@ def domain_stats(
     g = docs.groupBy(domain_col).agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(quality_col), 6).alias("mean_q"),
+        # when/otherwise (not a bare comparison cast): a NULL quality
+        # counts as not-low with ALL rows in the denominator, matching
+        # the SQL oracle's CASE WHEN ... ELSE 0 END exactly
         F.round(
-            F.avg((F.col(quality_col) < F.lit(low_quality)).cast("double")), 6
+            F.avg(
+                F.when(
+                    F.col(quality_col) < F.lit(low_quality), F.lit(1.0)
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
         ).alias("low_frac"),
     )
     healthy = F.col("mean_q") >= F.lit(min_mean_quality)
@@ -85,6 +93,9 @@ def domain_curate(
     if stats is None:
         stats = domain_stats(docs, domain_col=domain_col, **stat_kwargs)
     dropped = stats.where(~F.col("keep_domain")).select(domain_col)
-    # dropped is |spam domains| rows — broadcast by AQE when small; the
-    # hint is advisory, Spark falls back to a shuffle join if it grows
-    return docs.join(F.broadcast(dropped), domain_col, "left_anti")
+    # no explicit broadcast hint: a hint is MANDATORY (AQE cannot
+    # demote it), and a pathological threshold could drop most of the
+    # web's domains — let AQE size-decide, which broadcasts the
+    # usually-tiny dropped set and degrades to a shuffle join when it
+    # grows, the exact fallback the module contract promises
+    return docs.join(dropped, domain_col, "left_anti")
