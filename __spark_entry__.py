@@ -192,8 +192,8 @@ def q_url_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("https://media.example.net/x/y/z"), sid, F.lit(".tar.gz"))
         )
     )
-    host = F.parse_url(url, F.lit("HOST"))
-    path = F.parse_url(url, F.lit("PATH"))
+    host = F.try_parse_url(url, F.lit("HOST"))
+    path = F.try_parse_url(url, F.lit("PATH"))
     trimmed = F.regexp_replace(path, r"^/+|/+$", "")
     return d.select(
         "doc_id",
@@ -349,7 +349,7 @@ def q_group_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _synth_docs(_read(spark, sf_dir, "documents"))
     ex = explode_spans(extract(docs))
     domain = F.regexp_replace(
-        F.parse_url("media_ref", F.lit("HOST")), r"^www\.", ""
+        F.try_parse_url("media_ref", F.lit("HOST")), r"^www\.", ""
     )
     return ex.groupBy(domain.alias("domain")).agg(
         F.count("*").alias("n_links"),

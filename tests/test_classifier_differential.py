@@ -77,3 +77,71 @@ def test_classifier_differential_fuzz(spark):
         if got[(u, t)] != golden_context(u, t)
     ]
     assert not mismatches, mismatches[:10]
+
+
+def test_rank_context_py_matches_native_chain(spark):
+    """The tokenizer's precomputed rank (classify.rank_context_py) must
+    EXACTLY match the native Column chain — it replaces it inside the
+    assembly.  Randomized soup targets the Java/Python regex seams:
+    strict %-escapes (java.net.URI rejects them anywhere), '+' decode,
+    truncated UTF-8, unicode digits, key case, fragments."""
+    from web_content_extractor_spark.functions import classify
+
+    rng = random.Random(20260819)
+    url_parts = [
+        "https://", "http://", "iframe.ly", "youtube.com", "youtu.be",
+        "a.com", "/watch", "/embed/", "/x.pdf", "/p", "?", "&", "url=",
+        "v=1", "%2F", "%3A", "%zz", "%e2%82", "%E2%82%AC", "+", "#frag",
+        "download", "pdf", ".PDF", "youtube-nocookie.com",
+        "cdn.iframe.ly/", "q=", "URL=", "xurl=", "=", "%", "%4",
+        "watch", "~",
+    ]
+    text_parts = [
+        "", "watch", "WATCH this", "5 MB pdf", "12MB", "pdf", "MB",
+        "3 MB pdf", "7\tMB .pdf", "٠ MB pdf", "9 mb PDF", "0MBpdf",
+        "text", "5 MB\nx pdf",
+    ]
+    rows = []
+    for _ in range(1500):
+        u = "".join(rng.choice(url_parts) for _ in range(rng.randint(1, 10)))
+        t = rng.choice(text_parts) + rng.choice(["", " tail"])
+        rows.append((u, t))
+    df = spark.createDataFrame(rows, "url string, text string")
+    native = df.select(
+        "url", "text",
+        classify.type_rank(
+            classify.classify_context(F.col("url"), F.col("text"))
+        ).alias("r"),
+    ).collect()
+    bad = [
+        (r.url, r.text, r.r, classify.rank_context_py(r.url, r.text))
+        for r in native
+        if classify.rank_context_py(r.url, r.text) != r.r
+    ]
+    assert not bad, bad[:5]
+
+
+def test_assemble_with_ranks_equals_native_assembly(spark):
+    """extract() (ranks path) must emit byte-identical spans to the
+    native classify path on the fixture corpus."""
+    from web_content_extractor_spark.datagen import fixture_docs
+    from web_content_extractor_spark.operators.assemble import assemble_spans
+    from web_content_extractor_spark.plans.pipeline import tokenize
+
+    tok = tokenize(fixture_docs(spark))
+    with_ranks = tok.select(
+        "doc_id",
+        assemble_spans(
+            F.col("cand_urls"), F.col("cand_texts"), F.col("cand_tags"),
+            "context", ranks=F.col("cand_ranks"),
+        ).alias("spans"),
+    )
+    native = tok.select(
+        "doc_id",
+        assemble_spans(
+            F.col("cand_urls"), F.col("cand_texts"), F.col("cand_tags"),
+            "context",
+        ).alias("spans"),
+    )
+    assert with_ranks.exceptAll(native).count() == 0
+    assert native.exceptAll(with_ranks).count() == 0

@@ -94,7 +94,7 @@ def test_duplicate_offsets_stable(spark):
 def test_tokenize_html_never_raises(html):
     cands, title, errors = tokenize_html(html, "https://fuzz.org")
     assert all(stage and reason for stage, reason, _ in errors)
-    for url, text, tag in cands:
+    for url, text, tag, _rank in cands:
         assert url and text  # empty-text candidates are dropped, not kept
         assert urlnorm.normalize(url) == url  # output already canonical
 
@@ -143,7 +143,7 @@ def test_fast_path_matches_urljoin(segs, trailing_slash):
     base = "https://host.example.org/x/y.html"
     cands, _, _ = tokenize_html(f'<a href="{href}">T</a>', base)
     expected = urlnorm.normalize(urljoin(base, href))
-    got = [u for u, _, _ in cands]
+    got = [u for u, *_ in cands]
     assert got == ([expected] if expected else [])
 
 
@@ -205,3 +205,45 @@ def test_tokenize_doc_total(spans):
     d = tokenize_doc("https://fuzz.org", spans)
     assert len(d["cand_urls"]) == len(d["cand_texts"]) == len(d["cand_tags"])
     assert d["parse_failures"] >= 0
+
+
+def test_malformed_escape_urls_never_crash_the_job(spark):
+    """Spark 4 parse_url THROWS on malformed %-escapes; every
+    candidate-derived call site must use try_parse_url so one bad URL
+    degrades to a dropped/null value instead of killing the stage
+    (drop-not-fail, link_classifier.py:50-53 — at 10^12 docs a single
+    weird URL must never fail a job)."""
+    from web_content_extractor_spark.operators.crawl import navigation_links
+    from web_content_extractor_spark.operators.metrics import doc_metrics
+    from web_content_extractor_spark.plans.pipeline import extract, tokenize
+
+    bad_iframely = "https://iframe.ly/x?url=bad%zz"   # URI parse fails
+    docs = spark.createDataFrame(
+        [
+            (
+                "https://h.com/ok%zz",  # base_url itself malformed
+                [
+                    {
+                        "kind": "html",
+                        "text": f'<a href="{bad_iframely}">t</a>'
+                        '<a href="https://h.com/fine">f</a>',
+                        "media_ref": None,
+                        "offset": 0,
+                    },
+                    {
+                        "kind": "media",
+                        "text": None,
+                        "media_ref": "s3://bucket/ok%zz.png",  # opaque payload
+                        "offset": 1,
+                    },
+                ],
+            )
+        ],
+        "doc_id string, spans array<struct"
+        "<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = extract(docs).collect()           # classifier path (iframe.ly)
+    assert len(rows) == 1 and len(rows[0].spans) == 3
+    assert doc_metrics(extract(docs, with_stats=True)).collect()
+    nav = navigation_links(tokenize(docs)).collect()   # host-equality path
+    assert all(r.nav_url for r in nav)

@@ -20,7 +20,7 @@ BASE = "https://example.com"
 
 def links(html: str, base: str = BASE):
     cands, _, _ = tokenize_html(html, base)
-    return [(u, t) for u, t, _tag in cands]
+    return [(u, t) for u, t, *_ in cands]
 
 
 def test_anchor_extraction_order_and_resolution():

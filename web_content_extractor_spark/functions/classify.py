@@ -18,10 +18,19 @@ flag for API-parity.
 
 Both are pure ``when``/``rlike`` chains: JVM-side, codegen-friendly,
 usable either on exploded columns or inside ``transform()`` lambdas
-over the nested candidates array — zero Python in the hot path.
+over the nested candidates array.  These Column chains are the
+oracle-checked semantics (q_classifier_context / q_classifier_regex)
+and the path for exploded-column queries, where whole-stage codegen
+applies.  Inside the ASSEMBLY's transform() HOF, however, expressions
+are interpreted (HOFs never codegen), so the extraction pipeline
+carries a rank precomputed by :func:`rank_context_py` — an
+exact-parity Python twin evaluated in the tokenizer's Arrow kernel
+(randomized differential pins the two paths equal).
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -62,7 +71,7 @@ def _iframely_proxied_is_youtube(url: Column) -> Column:
     patterns against its decoded value.  ``try_url_decode`` keeps the
     drop-not-fail contract for malformed percent-encoding.
     """
-    param = F.parse_url(url, F.lit("QUERY"), F.lit("url"))
+    param = F.try_parse_url(url, F.lit("QUERY"), F.lit("url"))
     return (
         F.lower(url).contains("iframe.ly")
         & param.isNotNull()
@@ -118,6 +127,106 @@ def type_rank(kind: Column) -> Column:
     return (
         F.when(kind == PDF, F.lit(0)).when(kind == YOUTUBE, F.lit(1)).otherwise(2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python parity twin of classify_context -> type rank, for the
+# tokenizer's Arrow kernel.  The interpreted when/rlike chain inside
+# the assembly's transform() HOF never enters whole-stage codegen and
+# measured ~0.8 s of the sf0.1 flagship; computing the rank in the
+# (already per-candidate) Python stage costs ~1 us/candidate and lets
+# the native assembly carry a precomputed int.  EXACT parity with the
+# Column chain is pinned by a randomized differential
+# (tests/test_classifier_differential.py) — Java-regex details
+# mirrored deliberately: \d -> [0-9], \s -> Java's [ \t\n\x0b\f\r],
+# java.net.URI rejects a malformed %-escape ANYWHERE in the URL (so
+# parse_url yields NULL under try_), and java.net.URLDecoder decodes
+# '+' to space and FAILS (-> NULL -> coalesce to raw) on a bad escape,
+# unlike Python's lenient unquote.
+
+_PY_PDF_URL = re.compile(r"(\.pdf$|\.pdf[?#]|pdf.*download)", re.IGNORECASE)
+_PY_YT_URL = re.compile(
+    r"(youtube\.com/watch|youtu\.be/|youtube\.com/embed/"
+    r"|youtube-nocookie\.com|cdn\.iframe\.ly/)",
+    re.IGNORECASE,
+)
+_PY_PDF_TEXT = re.compile(r"[0-9]+[ \t\n\x0b\f\r]*MB.*pdf", re.IGNORECASE)
+_PY_QPARAM = re.compile(r"(&|^)url=([^&]*)")
+_PY_HEX = frozenset("0123456789abcdefABCDEF")
+
+
+def _py_try_url_decode(s: str) -> str | None:
+    """java.net.URLDecoder parity: '+' -> ' ', strict %XX (two hex
+    digits required, else the WHOLE decode fails -> None), result
+    bytes decoded utf-8 with replacement."""
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "+":
+            out += b" "
+            i += 1
+        elif c == "%":
+            if i + 3 > n or s[i + 1] not in _PY_HEX or s[i + 2] not in _PY_HEX:
+                return None
+            out.append(int(s[i + 1 : i + 3], 16))
+            i += 3
+        else:
+            out += c.encode("utf-8")
+            i += 1
+    return out.decode("utf-8", errors="replace")
+
+
+def _py_query_param_url(url: str) -> str | None:
+    """Spark ParseUrl(QUERY, 'url') parity: java.net.URI rejects a
+    malformed %-escape anywhere (mirrored by a strict scan -> None);
+    the raw query is the text between the first '?' and the fragment;
+    the key match is Spark's own (&|^)url=([^&]*) pattern."""
+    j = 0
+    while True:
+        j = url.find("%", j)
+        if j < 0:
+            break
+        if j + 3 > len(url) or url[j + 1] not in _PY_HEX or url[j + 2] not in _PY_HEX:
+            return None
+        j += 3
+    q = url.find("?")
+    if q < 0:
+        return None
+    frag = url.find("#", q)
+    query = url[q + 1 : frag if frag >= 0 else len(url)]
+    m = _PY_QPARAM.search(query)
+    return m.group(2) if m else None
+
+
+def rank_context_py(url: str, text: str) -> int:
+    """type rank (pdf=0, youtube=1, other=2) of ``classify_context``.
+
+    The substring prescreens are IMPLIED by the regexes (every rule-1
+    alternative contains 'pdf', every rule-2 alternative contains
+    'youtu' or 'iframe.ly', rule 3 contains 'mb'), so they change
+    nothing semantically — they skip the regex engine on the common
+    non-matching candidate.  The lower() calls deliberately mirror the
+    Column chain's F.lower (same unicode lowering as Java), not re.I
+    folding."""
+    low_url = url.lower()
+    has_ifly = "iframe.ly" in low_url
+    if "pdf" in low_url and _PY_PDF_URL.search(url):
+        return 0
+    if ("youtu" in low_url or has_ifly) and _PY_YT_URL.search(url):
+        return 1
+    low_text = text.lower()
+    if "mb" in low_text and _PY_PDF_TEXT.search(text):
+        return 0
+    if has_ifly:
+        p = _py_query_param_url(url)
+        if p is not None:
+            dec = _py_try_url_decode(p)
+            if _PY_YT_URL.search(dec if dec is not None else p):
+                return 1
+    if "watch" in low_text:
+        return 1
+    return 2
 
 
 def rank_kind(rank: Column) -> Column:

@@ -43,6 +43,7 @@ from typing import Any
 import pandas as pd
 
 from web_content_extractor_spark.functions import urlnorm
+from web_content_extractor_spark.functions.classify import rank_context_py
 
 _PDF_SUFFIX_RUN = re.compile(r"(\.pdf)+$", re.IGNORECASE)
 _VIDEO_HINTS = ("youtube", "youtu.be", "embed", "iframe.ly")
@@ -405,10 +406,10 @@ def tokenize_html(
     """Tokenize one HTML payload.
 
     Returns (candidates, page_title, errors) where candidates is the
-    ordered list of (raw_or_resolved_url, text) *before* validation —
-    mirroring the reference's list[tuple[url, text]] IR
-    (src/core/interfaces.py:24) — except URLs are already
-    urljoin-resolved.  ``errors`` records each dropped candidate as
+    ordered list of (url, text, tag, type_rank) — the reference's
+    list[tuple[url, text]] IR (src/core/interfaces.py:24) with URLs
+    already urljoin-resolved, plus the source tag and the precomputed
+    golden-classifier rank (see schemas.TOKENIZED cand_ranks).  ``errors`` records each dropped candidate as
     (stage, reason, target): the queryable analog of the reference's
     ContextualExtractionError context (src/core/exceptions.py:46-67,
     service.py:126-140) — drop-not-fail semantics preserved, but every
@@ -455,7 +456,10 @@ def tokenize_html(
         if not text:
             errors.append(("text_selection", "empty_text", normalized))
             return
-        out.append((normalized, text, tag))
+        # golden-classifier rank computed here (~1 us) so the native
+        # assembly sorts on a precomputed int instead of re-running
+        # the interpreted rlike chain inside its transform() HOF
+        out.append((normalized, text, tag, rank_context_py(normalized, text)))
 
     for href, download, inner in tok.anchors:
         if not href or href.startswith(urlnorm.SKIP_PREFIXES):
@@ -491,6 +495,7 @@ def tokenize_doc(
     urls: list[str] = []
     texts: list[str] = []
     tags: list[str] = []
+    ranks: list[int] = []
     err_stages: list[str] = []
     err_reasons: list[str] = []
     err_targets: list[str] = []
@@ -511,15 +516,17 @@ def tokenize_doc(
                 err_reasons.append(reason)
                 err_targets.append(target)
             title = title or t
-            for url, text, tag in cands:
+            for url, text, tag, rank in cands:
                 urls.append(url)
                 texts.append(text)
                 tags.append(tag)
+                ranks.append(rank)
         elif kind == "media" and span.get("media_ref"):
             # opaque media payload: passes through unvalidated
             urls.append(span["media_ref"])
             texts.append("")
             tags.append("media")
+            ranks.append(2)  # media is always kind='other' (F14)
     return {
         "doc_id": doc_id,
         "base_url": base_url,
@@ -527,6 +534,7 @@ def tokenize_doc(
         "cand_urls": urls,
         "cand_texts": texts,
         "cand_tags": tags,
+        "cand_ranks": ranks,
         "parse_failures": len(err_stages),
         "err_stages": err_stages,
         "err_reasons": err_reasons,
@@ -542,6 +550,7 @@ _COLS = (
     "cand_urls",
     "cand_texts",
     "cand_tags",
+    "cand_ranks",
     "parse_failures",
     "err_stages",
     "err_reasons",

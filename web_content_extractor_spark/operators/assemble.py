@@ -29,9 +29,46 @@ from web_content_extractor_spark.functions import classify
 
 
 def assemble_spans(
-    urls: Column, texts: Column, tags: Column, variant: str = "context"
+    urls: Column,
+    texts: Column,
+    tags: Column,
+    variant: str = "context",
+    ranks: Column | None = None,
 ) -> Column:
-    """Flat (urls, texts, tags) candidate arrays -> ordered spans array."""
+    """Flat (urls, texts, tags) candidate arrays -> ordered spans array.
+
+    ``ranks`` (the tokenizer's precomputed golden-classifier ranks,
+    TOKENIZED.cand_ranks) short-circuits the classification step for
+    the default "context" variant: the interpreted when/rlike chain
+    inside transform() never enters whole-stage codegen and measured
+    ~0.8 s of the sf0.1 flagship, while the rank costs ~1 us/candidate
+    in the Arrow kernel that already touches every candidate (exact
+    parity pinned by tests/test_classifier_differential.py).  The
+    native chain remains the path for the "regex" variant and for
+    callers without tokenizer ranks."""
+    if ranks is not None and variant == "context":
+        zipped = F.arrays_zip(
+            urls.alias("u"), texts.alias("t"), ranks.alias("r")
+        )
+        ranked = F.transform(
+            zipped,
+            lambda x, i: F.struct(
+                x["r"].alias("rank"),
+                i.alias("pos"),
+                F.when(F.length(x["t"]) == 0, x["u"]).otherwise(x["t"]).alias("text"),
+                x["u"].alias("media_ref"),
+            ),
+        )
+        ordered = F.sort_array(ranked)
+        return F.transform(
+            ordered,
+            lambda x, i: F.struct(
+                classify.rank_kind(x["rank"]).alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        )
     zipped = F.arrays_zip(urls.alias("u"), texts.alias("t"), tags.alias("g"))
     ranked = F.transform(
         zipped,

@@ -38,7 +38,7 @@ def navigation_links(tokenized: DataFrame) -> DataFrame:
     """(doc_id, nav_url): same-host anchor targets, downloads excluded."""
     cand = tokenized.select(
         "doc_id",
-        F.parse_url(F.col("base_url"), F.lit("HOST")).alias("base_host"),
+        F.try_parse_url(F.col("base_url"), F.lit("HOST")).alias("base_host"),
         F.posexplode(
             F.arrays_zip(
                 F.col("cand_urls").alias("url"), F.col("cand_tags").alias("tag")
@@ -48,7 +48,7 @@ def navigation_links(tokenized: DataFrame) -> DataFrame:
     return (
         cand.where(
             (F.col("c.tag") == "a")
-            & (F.parse_url(F.col("c.url"), F.lit("HOST")) == F.col("base_host"))
+            & (F.try_parse_url(F.col("c.url"), F.lit("HOST")) == F.col("base_host"))
             & ~F.col("c.url").rlike(_NAV_EXCLUDE_RE)
         )
         .select("doc_id", F.col("c.url").alias("nav_url"), "pos")
@@ -130,6 +130,7 @@ def crawl(
                     F.col("cand_texts"),
                     F.col("cand_tags"),
                     variant,
+                    ranks=F.col("cand_ranks"),
                 ).alias("spans"),
                 "parse_failures",
                 "proc_us",

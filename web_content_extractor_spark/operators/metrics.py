@@ -63,7 +63,7 @@ def doc_metrics(extracted: DataFrame) -> DataFrame:
                         F.transform(
                             "spans",
                             lambda s: F.regexp_replace(
-                                F.parse_url(s["media_ref"], F.lit("HOST")),
+                                F.try_parse_url(s["media_ref"], F.lit("HOST")),
                                 r"^www\.",
                                 "",
                             ),

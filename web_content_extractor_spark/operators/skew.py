@@ -74,7 +74,7 @@ def per_host_link_stats(
     Returns (domain, n_links, n_pdf, n_youtube).
     """
     domain = F.regexp_replace(
-        F.parse_url("media_ref", F.lit("HOST")), r"^www\.", ""
+        F.try_parse_url("media_ref", F.lit("HOST")), r"^www\.", ""
     ).alias("domain")
     df = exploded_spans.select(
         domain,

@@ -57,7 +57,11 @@ def extract(
     cols = [
         F.col("doc_id"),
         assemble_spans(
-            F.col("cand_urls"), F.col("cand_texts"), F.col("cand_tags"), variant
+            F.col("cand_urls"),
+            F.col("cand_texts"),
+            F.col("cand_tags"),
+            variant,
+            ranks=F.col("cand_ranks"),
         ).alias("spans"),
     ]
     if with_stats:

@@ -59,6 +59,13 @@ TOKENIZED = T.StructType(
         T.StructField("cand_urls", T.ArrayType(T.StringType())),
         T.StructField("cand_texts", T.ArrayType(T.StringType())),
         T.StructField("cand_tags", T.ArrayType(T.StringType())),
+        # precomputed golden-classifier type rank per candidate
+        # (pdf=0/youtube=1/other=2, media always 2): the interpreted
+        # when/rlike chain inside the assembly's transform() never
+        # codegens, so the rank rides the (already per-candidate)
+        # Arrow kernel instead — exact parity pinned by a randomized
+        # differential vs classify_context
+        T.StructField("cand_ranks", T.ArrayType(T.IntegerType())),
         T.StructField("parse_failures", T.IntegerType()),
         # per-drop error records (flat parallel arrays, same Arrow
         # rationale as the candidate arrays): the queryable analog of
