@@ -95,11 +95,18 @@ def test_rank_context_py_matches_native_chain(spark):
         "download", "pdf", ".PDF", "youtube-nocookie.com",
         "cdn.iframe.ly/", "q=", "URL=", "xurl=", "=", "%", "%4",
         "watch", "~",
+        # review-found parity seams: fragment-before-query, literal
+        # space/CR/controls, URI-rejected punct, brackets, unicode
+        # folding (KELVIN SIGN, dotless i), NEL/LS separators
+        "#a?url=youtube.com%2Fwatch", " ", "\r", "\x07", "[", "]",
+        "{", "|", "\u212a", "\u0131", "\x85", "\u2028", "\xa0",
+        ".pdf\r", "x.pdf\u2028",
     ]
     text_parts = [
         "", "watch", "WATCH this", "5 MB pdf", "12MB", "pdf", "MB",
         "3 MB pdf", "7\tMB .pdf", "٠ MB pdf", "9 mb PDF", "0MBpdf",
-        "text", "5 MB\nx pdf",
+        "text", "5 MB\nx pdf", "5 MB\rpdf", "6 MB\x85pdf",
+        "8 MB\u2028pdf", "watc\u212a", "2 MB x pdf\r",
     ]
     rows = []
     for _ in range(1500):

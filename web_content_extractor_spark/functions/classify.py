@@ -31,6 +31,7 @@ exact-parity Python twin evaluated in the tokenizer's Arrow kernel
 from __future__ import annotations
 
 import re
+import unicodedata
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -144,15 +145,35 @@ def type_rank(kind: Column) -> Column:
 # '+' to space and FAILS (-> NULL -> coalesce to raw) on a bad escape,
 # unlike Python's lenient unquote.
 
-_PY_PDF_URL = re.compile(r"(\.pdf$|\.pdf[?#]|pdf.*download)", re.IGNORECASE)
+# Java-parity translations (review-hardened):
+# - '$'  -> Java's non-MULTILINE '$' matches at end OR before ONE final
+#   line terminator (\r\n counts as one): (?=(?:\r\n|[\n\r\x85  ])?\Z)
+# - '.'  -> Java's '.' excludes ALL line terminators, not just \n:
+#   [^\n\r\x85  ]
+# - re.ASCII with IGNORECASE -> Java (?i) folds ASCII only (no KELVIN
+#   SIGN/dotless-i unicode folding); \d/\s are already explicit classes
+_JEND = "(?=(?:\\r\\n|[\\n\\r\\x85\u2028\u2029])?\\Z)"
+_JDOT = "[^\\n\\r\\x85\u2028\u2029]"
+_PY_PDF_URL = re.compile(
+    r"(\.pdf" + _JEND + r"|\.pdf[?#]|pdf" + _JDOT + r"*download)",
+    re.IGNORECASE | re.ASCII,
+)
 _PY_YT_URL = re.compile(
     r"(youtube\.com/watch|youtu\.be/|youtube\.com/embed/"
     r"|youtube-nocookie\.com|cdn\.iframe\.ly/)",
-    re.IGNORECASE,
+    re.IGNORECASE | re.ASCII,
 )
-_PY_PDF_TEXT = re.compile(r"[0-9]+[ \t\n\x0b\f\r]*MB.*pdf", re.IGNORECASE)
+_PY_PDF_TEXT = re.compile(
+    r"[0-9]+[ \t\n\x0b\f\r]*MB" + _JDOT + r"*pdf", re.IGNORECASE | re.ASCII
+)
 _PY_QPARAM = re.compile(r"(&|^)url=([^&]*)")
 _PY_HEX = frozenset("0123456789abcdefABCDEF")
+# characters java.net.URI rejects ANYWHERE (probed empirically against
+# try_parse_url on this Spark build): ASCII controls + space + DEL,
+# the RFC-2396 'delims'/'unwise' punct, and any non-ASCII char that is
+# a Unicode control or space/line/para separator (URI's 'other'
+# category admits only non-space non-control chars above U+0080)
+_URI_BAD_PUNCT = frozenset('"<>\\^`{|}')
 
 
 def _py_try_url_decode(s: str) -> str | None:
@@ -177,11 +198,39 @@ def _py_try_url_decode(s: str) -> str | None:
     return out.decode("utf-8", errors="replace")
 
 
+def _py_uri_rejects(part: str, brackets_bad: bool) -> bool:
+    """Would java.net.URI reject this component?  Rules probed
+    empirically against try_parse_url over all ASCII codes per
+    position: controls/space/DEL, the RFC-2396 delims/unwise punct,
+    '[]' outside the query/fragment, and non-ASCII chars that are
+    Unicode controls (<= U+009F) or space/line/para separators
+    (URI's 'other' category).  Known bounded divergence: a bracketed
+    IPv6 AUTHORITY ('https://[::1]/…') is valid to java.net.URI but
+    rejected here — such a URL must also contain 'iframe.ly' and a
+    'url=' param to matter, and then this twin ranks it 'other' where
+    the Column chain may rank 'youtube'."""
+    for c in part:
+        o = ord(c)
+        if o <= 0x20 or o == 0x7F or c in _URI_BAD_PUNCT:
+            return True
+        if brackets_bad and (c == "[" or c == "]"):
+            return True
+        if o > 0x7F and (
+            o <= 0x9F or unicodedata.category(c) in ("Zs", "Zl", "Zp")
+        ):
+            return True
+    return False
+
+
 def _py_query_param_url(url: str) -> str | None:
-    """Spark ParseUrl(QUERY, 'url') parity: java.net.URI rejects a
-    malformed %-escape anywhere (mirrored by a strict scan -> None);
-    the raw query is the text between the first '?' and the fragment;
-    the key match is Spark's own (&|^)url=([^&]*) pattern."""
+    """Spark ParseUrl(QUERY, 'url') parity over java.net.URI:
+
+    - the FRAGMENT starts at the first '#'; the raw query exists only
+      when a '?' precedes it ('#a?b' has no query — fuzz-found);
+    - URI rejects malformed %-escapes and its per-component bad chars
+      anywhere (see _py_uri_rejects) -> parse_url NULL under try_;
+    - the key match is Spark's own (&|^)url=([^&]*) pattern.
+    """
     j = 0
     while True:
         j = url.find("%", j)
@@ -190,12 +239,20 @@ def _py_query_param_url(url: str) -> str | None:
         if j + 3 > len(url) or url[j + 1] not in _PY_HEX or url[j + 2] not in _PY_HEX:
             return None
         j += 3
-    q = url.find("?")
+    frag_i = url.find("#")
+    head = url[:frag_i] if frag_i >= 0 else url
+    fragment = url[frag_i + 1 :] if frag_i >= 0 else ""
+    q = head.find("?")
     if q < 0:
         return None
-    frag = url.find("#", q)
-    query = url[q + 1 : frag if frag >= 0 else len(url)]
-    m = _PY_QPARAM.search(query)
+    if (
+        _py_uri_rejects(head[:q], brackets_bad=True)
+        or _py_uri_rejects(head[q + 1 :], brackets_bad=False)
+        or _py_uri_rejects(fragment, brackets_bad=False)
+        or "#" in fragment
+    ):
+        return None
+    m = _PY_QPARAM.search(head[q + 1 :])
     return m.group(2) if m else None
 
 

@@ -402,7 +402,7 @@ def _iframe_text(url: str, title: str | None) -> str:
 
 def tokenize_html(
     html: str, base_url: str
-) -> tuple[list[tuple[str, str]], str | None, list[tuple[str, str, str]]]:
+) -> tuple[list[tuple[str, str, str, int]], str | None, list[tuple[str, str, str]]]:
     """Tokenize one HTML payload.
 
     Returns (candidates, page_title, errors) where candidates is the
@@ -426,7 +426,7 @@ def tokenize_html(
         tok.feed(html)
         tok.close()
 
-    out: list[tuple[str, str, str]] = []
+    out: list[tuple[str, str, str, int]] = []
     errors: list[tuple[str, str, str]] = []
     bp = urlnorm.base_prefix(base_url)
 

@@ -46,43 +46,35 @@ def assemble_spans(
     parity pinned by tests/test_classifier_differential.py).  The
     native chain remains the path for the "regex" variant and for
     callers without tokenizer ranks."""
+    def entry(rank: Column, x: Column, i: Column) -> Column:
+        return F.struct(
+            rank.alias("rank"),
+            i.alias("pos"),
+            F.when(F.length(x["t"]) == 0, x["u"]).otherwise(x["t"]).alias("text"),
+            x["u"].alias("media_ref"),
+        )
+
     if ranks is not None and variant == "context":
         zipped = F.arrays_zip(
             urls.alias("u"), texts.alias("t"), ranks.alias("r")
         )
+        ranked = F.transform(zipped, lambda x, i: entry(x["r"], x, i))
+    else:
+        zipped = F.arrays_zip(
+            urls.alias("u"), texts.alias("t"), tags.alias("g")
+        )
         ranked = F.transform(
             zipped,
-            lambda x, i: F.struct(
-                x["r"].alias("rank"),
-                i.alias("pos"),
-                F.when(F.length(x["t"]) == 0, x["u"]).otherwise(x["t"]).alias("text"),
-                x["u"].alias("media_ref"),
+            lambda x, i: entry(
+                classify.type_rank(
+                    F.when(x["g"] == "media", F.lit(classify.OTHER)).otherwise(
+                        classify.classify_kind(x["u"], x["t"], variant)
+                    )
+                ),
+                x,
+                i,
             ),
         )
-        ordered = F.sort_array(ranked)
-        return F.transform(
-            ordered,
-            lambda x, i: F.struct(
-                classify.rank_kind(x["rank"]).alias("kind"),
-                x["text"].alias("text"),
-                x["media_ref"].alias("media_ref"),
-                i.cast("int").alias("offset"),
-            ),
-        )
-    zipped = F.arrays_zip(urls.alias("u"), texts.alias("t"), tags.alias("g"))
-    ranked = F.transform(
-        zipped,
-        lambda x, i: F.struct(
-            classify.type_rank(
-                F.when(x["g"] == "media", F.lit(classify.OTHER)).otherwise(
-                    classify.classify_kind(x["u"], x["t"], variant)
-                )
-            ).alias("rank"),
-            i.alias("pos"),
-            F.when(F.length(x["t"]) == 0, x["u"]).otherwise(x["t"]).alias("text"),
-            x["u"].alias("media_ref"),
-        ),
-    )
     # struct sort is lexicographic over (rank, pos, ...); pos is unique
     ordered = F.sort_array(ranked)
     return F.transform(
