@@ -2306,10 +2306,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BPE, DSIR, PageRank, z-order, the selection battery, the ANN family)
     # move to the front so CORRECTNESS_r03.json certifies them.
     # Round-4 rotation guidance: after r3 the only entries with no driver
-    # row at all are positions 51-58 (simhash..image_neardup, all
-    # rows-only by design) — move those 8 into the front-50 next round
-    # and back-fill with the oldest-certified oracled entries (the r2
-    # front-50, positions 59+) so every entry stays perpetually green.
+    # row at all are the rows-only block just past position 50
+    # (minhash_pairs, semantic_dedup, simhash, bpe_encode,
+    # quality_classifier, the ANN topk family, image_neardup — all
+    # rows-only by design; minhash_pairs/semantic_dedup ceded their r3
+    # slots to the oracled domain_curation/contamination_score) — move
+    # those ~10 into the front-50 next round and back-fill with the
+    # oldest-certified oracled entries (the r2 front-50, now at the
+    # back) so every entry stays perpetually green.
     return {
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
