@@ -204,3 +204,81 @@ def test_ann_job_flag_validation(capsys):
     assert rc == 2
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "--ann-queries" in err["error"]
+
+
+def test_corpus_build_domain_curation_and_dirty_gate(spark, tmp_path, capsys):
+    """--curate-domains drops every doc of a low-quality SOURCE;
+    --dirty-tau drops docs colliding with the benchmark gram set."""
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus")
+    snips = str(tmp_path / "snips")
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field while the morning light slowly rises "
+    ) * 4
+    # spam source: passes the per-doc C4/Gopher filter battery (plain
+    # words, sane lengths, no symbols) but scores low on the 0-100
+    # quality heuristic (zero stopwords, <100 tokens -> score ~25),
+    # so only the SOURCE-level mean-quality gate catches it
+    spam = " ".join(
+        f"zorblat{i} quixler vemplar drossen kelpix" for i in range(10)
+    )
+    # one good doc carries a benchmark snippet verbatim
+    leak = good + " alpha beta gamma delta epsilon zeta eta theta " + good
+    rows = [(i, good + f" unique tail {i} " + good, "web") for i in range(12)]
+    # unique per doc: identical texts would be exact-dedup'd down to
+    # one survivor, leaving the source under --domain-min-docs
+    rows += [(100 + i, spam + f" trailer{i}", "spamfarm") for i in range(12)]
+    rows += [(200, leak, "web")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "snippet_id long, snippet string",
+    ).write.mode("overwrite").parquet(snips)
+
+    rc = main([
+        "--corpus-input", src,
+        "--corpus-output", out,
+        "--benchmark-snippets", snips,
+        "--curate-domains",
+        "--domain-min-docs", "5",
+        "--domain-min-quality", "33.5",
+        "--dirty-tau", "0.005",
+        "--chunk-size", "64",
+        "--chunk-overlap", "16",
+        "--shards", "2",
+        "--pack-budget", "128",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["domain_curation"]["dropped_sources"] == ["spamfarm"]
+    assert summary["dirty_gate"]["dropped"] >= 1
+    # doc 200 (the leak) is contaminated: boolean sweep already flags
+    # it via the manifest; the dirty gate is the belt-and-braces layer,
+    # and no spamfarm doc survives to the output
+    kept_ids = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert kept_ids and all(i < 100 for i in kept_ids)
+    assert 200 not in kept_ids
+
+
+def test_dirty_gate_noop_without_snippets(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus")
+    _write_docs(spark, src, n=10)
+    rc = main([
+        "--corpus-input", src,
+        "--corpus-output", out,
+        "--dirty-tau", "0.01",
+        "--chunk-size", "64",
+        "--shards", "2",
+        "--pack-budget", "128",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # empty snippet set -> zero grams -> nothing dirty
+    assert summary["dirty_gate"]["dropped"] == 0
+    assert summary["corpus"]["docs_selected"] > 0

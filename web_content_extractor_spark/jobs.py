@@ -104,6 +104,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optional (source, rate) parquet applied after "
                         "curation (corpus mode): deterministic Bernoulli "
                         "down-sampling to the target source mixture")
+    p.add_argument("--curate-domains", action="store_true",
+                   help="corpus mode: drop every document of a source "
+                        "whose mean quality is below --domain-min-quality "
+                        "(RefinedWeb-style group-level curation keyed on "
+                        "the corpus 'source' column; real crawls key on "
+                        "the registered domain)")
+    p.add_argument("--domain-min-docs", type=int, default=10,
+                   help="sources with fewer docs than this are KEPT "
+                        "(insufficient evidence)")
+    p.add_argument("--domain-min-quality", type=float, default=33.5,
+                   help="minimum mean quality score for a source to "
+                        "survive --curate-domains")
+    p.add_argument("--dirty-tau", type=float, default=None,
+                   help="corpus mode: also drop documents whose distinct "
+                        "word-8-gram collision fraction against the "
+                        "benchmark snippet set reaches this threshold "
+                        "(GPT-3-style quantitative decontamination; "
+                        "requires --benchmark-snippets)")
     p.add_argument("--train-bpe", type=int, default=0,
                    help="corpus mode: learn this many BPE merges on the "
                         "curated corpus and write the merge table next "
@@ -432,6 +450,49 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()[0]
         selected = manifest.where("selected").select("doc_id")
         kept = docs.join(selected, "doc_id", "left_semi")
+        if args.curate_domains:
+            from web_content_extractor_spark.functions import (
+                text_quality as tq,
+            )
+            from web_content_extractor_spark.operators.domains import (
+                domain_curate,
+                domain_stats,
+            )
+
+            scored = kept.withColumn("_q", tq.quality_score(F.col("text")))
+            stats = domain_stats(
+                scored,
+                domain_col="source",
+                quality_col="_q",
+                min_docs=args.domain_min_docs,
+                min_mean_quality=args.domain_min_quality,
+            ).persist()
+            dropped_sources = [
+                r.source for r in stats.where("NOT keep_domain").collect()
+            ]
+            kept = domain_curate(
+                scored, stats=stats, domain_col="source"
+            ).drop("_q")
+            result["domain_curation"] = {
+                "sources": stats.count(),
+                "dropped_sources": sorted(dropped_sources),
+            }
+            stats.unpersist()
+        if args.dirty_tau is not None:
+            from web_content_extractor_spark.operators.decontam import (
+                contamination_scores,
+            )
+
+            # quantitative gate shares the boolean sweep's snippet set;
+            # with no real benchmark table the set is empty and the
+            # gate is a no-op (same rationale as the sweep above)
+            scores = contamination_scores(
+                kept, snippets, n=8, tau=args.dirty_tau
+            )
+            clean = scores.where(~F.col("dirty")).select("doc_id")
+            n_dirty = scores.where("dirty").count()
+            kept = kept.join(clean, "doc_id", "left_semi")
+            result["dirty_gate"] = {"tau": args.dirty_tau, "dropped": n_dirty}
         if args.mixture_rates:
             from web_content_extractor_spark.operators.corpus import (
                 mixture_sample,
