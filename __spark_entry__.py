@@ -1869,7 +1869,14 @@ def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://hot.example.com/").alias("media_ref"),
         F.trim(F.substring("text", 13, 8)).alias("text"),
     )
-    return anchor_text_index(shared.unionByName(hot), k=3)
+    idx = anchor_text_index(shared.unionByName(hot), k=3)
+    # the library API returns top_texts as array<string>; the driver's
+    # canonicalizer can only sort/hash scalar columns, so the QUERY
+    # flattens it with a unit-separator join (oracle twin mirrors with
+    # array_to_string) — operator API unchanged for library users
+    return idx.withColumn(
+        "top_texts", F.concat_ws(chr(31), F.col("top_texts"))
+    )
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2299,90 +2306,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # registry entries per round. Round 2's artifact (CORRECTNESS_r02.json)
-    # certified the original front-50 (extraction pipeline + relational +
-    # first training-data batch); those rotate to the back here, and the 48
-    # queries that had no driver-verified row in round 2 (WARC, robots,
-    # BPE, DSIR, PageRank, z-order, the selection battery, the ANN family)
-    # move to the front so CORRECTNESS_r03.json certifies them.
-    # Round-4 rotation guidance: after r3 the only entries with no driver
-    # row at all are the rows-only block just past position 50
-    # (minhash_pairs, semantic_dedup, simhash, bpe_encode,
-    # quality_classifier, the ANN topk family, image_neardup — all
-    # rows-only by design; minhash_pairs/semantic_dedup ceded their r3
-    # slots to the oracled domain_curation/contamination_score) — move
-    # those ~10 into the front-50 next round and back-fill with the
-    # oldest-certified oracled entries (the r2 front-50, now at the
-    # back) so every entry stays perpetually green.
+    # registry entries per round.  Round-4 front-50 (this round), per
+    # VERDICT_r3 task #3:
+    #   1. the 10 rows-only queries that have never had a driver row of
+    #      any kind (minhash_pairs, semantic_dedup, simhash, bpe_encode,
+    #      quality_classifier, the ANN topk family, image_neardup) — no
+    #      oracle_sql by design, so the driver records rows-only checks;
+    #   2. anchor_index — output schema changed this round (array ->
+    #      unit-separator string) to fix the r3 err row, needs a fresh
+    #      hash-green row;
+    #   3. the 39 oldest r2-certified entries, INCLUDING the extraction
+    #      block (extract_spans/extract_metrics/crawl_merge/classifier_*)
+    #      whose code changed in round 3 (rank precompute, jump-scan,
+    #      drop-not-fail URL parse) after its r2 certification.
+    # The 49 r3-certified entries (CORRECTNESS_r03 green) rotate to the
+    # back.  Round-5 rotation guidance: front-fill with the 9 r2-green
+    # entries that did not fit this round (pivot_counts, unpivot_counts,
+    # resample_counts, moving_average, repetition_scores, line_dedup,
+    # chunk_docs, pii_redact, shard_corpus — the oldest rows after r4)
+    # plus the oldest r3 block; `python scripts/check_rotation.py` audits
+    # that no oracled entry's last driver-green row ages past 2 rounds.
     return {
-        "mixture_sample": q_mixture_sample,
-        "pack_chunks": q_pack_chunks,
-        "pack_interleaved": q_pack_interleaved,
-        "host_pagerank": q_host_pagerank,
-        "audio_features": q_audio_features,
-        "dup_substrings": q_dup_substrings,
-        "heavy_hitters": q_heavy_hitters,
-        "anchor_index": q_anchor_index,
-        "clean_text": q_clean_text,
-        "token_budget": q_token_budget,
-        "vocab_topk": q_vocab_topk,
-        "bpe_pairs": q_bpe_pairs,
-        "zorder_keys": q_zorder_keys,
-        "corpus_split": q_corpus_split,
-        "bigram_nll": q_bigram_nll,
-        "warc_roundtrip": q_warc_roundtrip,
-        "warc_cdx": q_warc_cdx,
-        "url_blocklist": q_url_blocklist,
-        "robots_rules": q_robots_rules,
-        "sitemap_urls": q_sitemap_urls,
-        "crawl_seeds": q_crawl_seeds,
-        "crawl_schedule": q_crawl_schedule,
-        "robots_decisions": q_robots_decisions,
-        "corpus_health": q_corpus_health,
-        "dedup_incremental": q_dedup_incremental,
-        "temperature_mixture": q_temperature_mixture,
-        "weighted_sample": q_weighted_sample,
-        "stratified_sample": q_stratified_sample,
-        "dsir_weights": q_dsir_weights,
-        "session_windows": q_session_windows,
-        "ccnet_buckets": q_ccnet_buckets,
-        "unigram_nll": q_unigram_nll,
-        "snapshot_diff": q_snapshot_diff,
-        "dup_substring_stats": q_dup_substring_stats,
-        "dup_remove": q_dup_remove,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "decontam": q_decontam,
-        "tfidf_topk": q_tfidf_topk,
-        "asof_join": q_asof_join,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_resolve": q_dedup_resolve,
-        "rollup_counts": q_rollup_counts,
-        "embedding_neardup_exact": q_embedding_neardup_exact,
-        "similarity_topk": q_similarity_topk,
-        "contamination_score": q_contamination_score,
-        "canonical_urls": q_canonical_urls,
-        "domain_curation": q_domain_curation,
-        "media_features": q_media_features,
-        # round-3 additions (new ops: PQ-ANN, range join, substring
-        # removal, Hamming band join, REP decisions, URL canon) — in
-        # the front-50 window; the displaced rows-only entries slide
-        # just past 50 (they keep bench.py + pytest differential
-        # evidence; oracled newcomers take the slots)
-        "interval_join": q_interval_join,
-        "hamming_neardup": q_hamming_neardup,
-        # position 51+: rows-only queries displaced from the checked
-        # window by oracled round-3 newcomers (simhash is pinned by a
-        # numpy differential; bpe_encode anchors to the oracled
-        # bpe_pairs + an independent python differential;
-        # quality_classifier carries its own numpy differential at
-        # 1e-9; lsh_topk's
-        # banding logic is the oracled hamming/minhash shape; ivfpq
-        # composes the checked pq/ivf paths; image_neardup composes
-        # the oracled band join with the test-pinned aHash kernel;
-        # semantic_dedup is pinned by soundness/completeness pytests
-        # and ceded its slot to the oracled domain_curation;
-        # minhash_pairs is recall-pinned vs the oracled exact jaccard
-        # and ceded its slot to the oracled contamination_score)
+        # --- rows-only block: first-ever driver rows (rows_match only;
+        # each keeps its stronger differential/recall pytest oracle) ---
         "minhash_pairs": q_minhash_pairs,
         "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
@@ -2393,7 +2339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "image_neardup": q_image_neardup,
-        # --- driver-certified in round 2 (green rows in CORRECTNESS_r02) ---
+        # --- changed this round: scalar (driver-hashable) output schema ---
+        "anchor_index": q_anchor_index,
+        # --- r2-certified, oldest rows; extraction path changed in r3 ---
         # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
         "extract_spans": q_extract_spans,
         "extract_metrics": q_extract_metrics,
@@ -2436,6 +2384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_manifest": q_curation_manifest,
         "value_percentiles": q_value_percentiles,
         "json_props": q_json_props,
+        # --- position 51+: r2-green leftovers (oldest after this round;
+        # front of the r5 rotation) ---
         "pivot_counts": q_pivot_counts,
         "unpivot_counts": q_unpivot_counts,
         "resample_counts": q_resample_counts,
@@ -2445,6 +2395,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
         "shard_corpus": q_shard_corpus,
+        # --- r3-certified (green rows in CORRECTNESS_r03) ---
+        "mixture_sample": q_mixture_sample,
+        "pack_chunks": q_pack_chunks,
+        "pack_interleaved": q_pack_interleaved,
+        "host_pagerank": q_host_pagerank,
+        "audio_features": q_audio_features,
+        "dup_substrings": q_dup_substrings,
+        "heavy_hitters": q_heavy_hitters,
+        "clean_text": q_clean_text,
+        "token_budget": q_token_budget,
+        "vocab_topk": q_vocab_topk,
+        "bpe_pairs": q_bpe_pairs,
+        "zorder_keys": q_zorder_keys,
+        "corpus_split": q_corpus_split,
+        "bigram_nll": q_bigram_nll,
+        "warc_roundtrip": q_warc_roundtrip,
+        "warc_cdx": q_warc_cdx,
+        "url_blocklist": q_url_blocklist,
+        "robots_rules": q_robots_rules,
+        "sitemap_urls": q_sitemap_urls,
+        "crawl_seeds": q_crawl_seeds,
+        "crawl_schedule": q_crawl_schedule,
+        "robots_decisions": q_robots_decisions,
+        "corpus_health": q_corpus_health,
+        "dedup_incremental": q_dedup_incremental,
+        "temperature_mixture": q_temperature_mixture,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
+        "dsir_weights": q_dsir_weights,
+        "session_windows": q_session_windows,
+        "ccnet_buckets": q_ccnet_buckets,
+        "unigram_nll": q_unigram_nll,
+        "snapshot_diff": q_snapshot_diff,
+        "dup_substring_stats": q_dup_substring_stats,
+        "dup_remove": q_dup_remove,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "decontam": q_decontam,
+        "tfidf_topk": q_tfidf_topk,
+        "asof_join": q_asof_join,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_resolve": q_dedup_resolve,
+        "rollup_counts": q_rollup_counts,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        "similarity_topk": q_similarity_topk,
+        "contamination_score": q_contamination_score,
+        "canonical_urls": q_canonical_urls,
+        "domain_curation": q_domain_curation,
+        "media_features": q_media_features,
+        "interval_join": q_interval_join,
+        "hamming_neardup": q_hamming_neardup,
     }
 
 
@@ -3965,7 +3965,9 @@ def oracle_sql() -> dict[str, str]:
           FROM p
         ),
         topk AS (
-          SELECT target, list(text ORDER BY rank) AS top_texts
+          SELECT target,
+                 array_to_string(list(text ORDER BY rank), chr(31))
+                   AS top_texts
           FROM r WHERE rank <= 3 GROUP BY target
         ),
         tot AS (

@@ -322,6 +322,8 @@ def main() -> None:
     timings["flagship_extract"] = round(fl_sec, 3)
 
     total = round(sum(timings.values()), 3)
+    fl_rate = round(n_docs / fl_sec, 1)
+    # full per-query line first ...
     print(
         json.dumps(
             {
@@ -332,8 +334,27 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "flagship_docs": n_docs,
-                "flagship_docs_per_sec": round(n_docs / fl_sec, 1),
+                "flagship_docs_per_sec": fl_rate,
                 "cpus": cpus,
+            }
+        )
+    )
+    # ... then a compact totals-only line LAST: the driver's tail
+    # capture truncated the head of the long per-query line in round 3
+    # (BENCH_r03 "parsed": null), so the final line must stay short
+    # enough to survive any tail window while remaining valid JSON
+    print(
+        json.dumps(
+            {
+                "metric": "headline total, sf" + str(sf),
+                "value": total,
+                "unit": "sec",
+                "queries": {"flagship_extract": timings["flagship_extract"]},
+                "sf": sf,
+                "n_queries": len(timings),
+                "flagship_docs_per_sec": fl_rate,
+                "cpus": cpus,
+                "per_query_line": "previous stdout line",
             }
         )
     )

@@ -1,0 +1,89 @@
+"""Registry aging audit — certification must never silently age.
+
+The driver's correctness gate verifies only the FIRST 50 ``queries()``
+entries per round, so front-50 membership has to rotate.  This check
+formalizes the policy the round-3/4 rotations applied by hand:
+
+  for every registry entry, (next_round - last_green_round) <= MAX_AGE,
+  where entries currently in the front-50 count as green NEXT round
+  (the driver will produce their row), and rows-only entries (no
+  oracle_sql) satisfy the policy with a rows-only row.
+
+Run pre-snapshot:  python scripts/check_rotation.py
+Exit 0 = every entry will be within policy after the coming driver run;
+exit 1 = some entry is aging out — rotate it into the front-50.
+
+Round numbers come from the CORRECTNESS_r*.json artifacts in the repo
+root; ``next_round`` is max(seen)+1.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+MAX_AGE = 2  # a row older than this many rounds is stale
+FRONT = 50  # driver gate window
+
+
+def green(rec: dict) -> bool:
+    """A driver row counts if rows matched and, when the driver ran a
+    hash compare (oracled queries), the hash matched too."""
+    if not isinstance(rec, dict) or rec.get("err"):
+        return False
+    if not rec.get("rows_match"):
+        return False
+    hm = rec.get("hash_match")
+    return hm is None or bool(hm)
+
+
+def main() -> int:
+    rounds: dict[int, dict] = {}
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)\.json$", path)
+        if m:
+            with open(path) as f:
+                rounds[int(m.group(1))] = json.load(f)
+    if not rounds:
+        print("no CORRECTNESS_r*.json artifacts found")
+        return 1
+    next_round = max(rounds) + 1
+
+    names = list(entrymod.queries())
+    front = set(names[:FRONT])
+    last: dict[str, int | None] = {}
+    for name in names:
+        seen = [r for r, d in sorted(rounds.items()) if green(d.get(name, {}))]
+        last[name] = seen[-1] if seen else None
+
+    stale = []
+    for name in names:
+        eff = next_round if name in front else last[name]
+        if eff is None or next_round - eff > MAX_AGE:
+            stale.append((name, last[name], name in front))
+
+    for name, lg, in_front in stale:
+        print(
+            f"STALE {name}: last green r{lg}, next r{next_round}, "
+            f"front-50={in_front} -> rotate into the front-50"
+        )
+    fresh = {n: (next_round if n in front else last[n]) for n in names}
+    dist = {}
+    for r in fresh.values():
+        dist[r] = dist.get(r, 0) + 1
+    print(
+        f"entries={len(names)} front={len(front)} next=r{next_round} "
+        f"green-by-round(after next run)={dict(sorted(dist.items(), key=lambda kv: str(kv[0])))} "
+        f"stale={len(stale)}"
+    )
+    return 1 if stale else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -405,10 +405,15 @@ def main() -> int:
         "robots_decisions (REP longest-match evaluation)",
         rd,
         [
-            ("per-host rule arrays broadcast onto the URL side",
-             "BroadcastHashJoin" in p),
-            ("URL side never key-shuffles (every exchange keys on "
-             "rule-side columns, never doc_id/url)",
+            ("rule-array join is size-decided, never forced: BHJ when "
+             "the host table fits, else a host-keyed shuffle join "
+             "(host-cardinality ~10^8 at scale; no forced broadcast)",
+             "BroadcastHashJoin" in p
+             or ("SortMergeJoin" in p
+                 and set(re.findall(r"hashpartitioning\((\w+)", p))
+                 <= {"__ukey", "__hkey", "host", "hid"})),
+            ("URL side never shuffles on a row key (every exchange "
+             "keys on the host join key, never doc_id/url)",
              not set(re.findall(r"hashpartitioning\((\w+)", p))
              & {"doc_id", "url"}),
             ("no Python stage (parse + evaluation are native)",
@@ -416,6 +421,15 @@ def main() -> int:
              and "ArrowEvalPython" not in p),
             ("no cartesian/BNL join", "CartesianProduct" not in p
              and "BroadcastNestedLoopJoin" not in p),
+            # wildcard-REP cost guard: literal rules (the overwhelming
+            # majority in real robots files) MUST keep the codegen
+            # startswith/equality path — a future edit that routes
+            # every rule through the non-foldable regexp (recompiled
+            # per row x rule) would be ruinous at 10^12 URLs
+            ("literal rules evaluate via codegen startswith (fast "
+             "path survives edits; regexp only behind the kind=2 "
+             "wildcard branch)",
+             "startswith" in p.lower() and "regexp" in p.lower()),
         ],
     )
 
@@ -466,10 +480,15 @@ def main() -> int:
         cs,
         [
             ("all key shuffles are host-keyed (slot window + robots"
-             " group windows)",
-             set(re.findall(r"hashpartitioning\((\w+)", p)) <= {"host", "hid"}),
-            ("delay table joins back via broadcast",
-             "BroadcastHashJoin" in p),
+             " group windows + canonical delay key; _groupingexpression"
+             " is Catalyst's alias for the computed _host_key(host)"
+             " grouping)",
+             set(re.findall(r"hashpartitioning\((\w+)", p))
+             <= {"host", "hid", "__dkey", "_groupingexpression"}),
+            ("delay-table join is size-decided, never forced (BHJ at "
+             "bench scale or a __dkey shuffle join at 10^8 hosts)",
+             "BroadcastHashJoin" in p
+             or ("SortMergeJoin" in p and "__dkey" in p)),
             ("no Python stage (parse + schedule are native windows)",
              "MapInPandas" not in p and "BatchEvalPython" not in p
              and "ArrowEvalPython" not in p),

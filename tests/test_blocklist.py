@@ -574,6 +574,49 @@ class TestCrawlDelaysAndPoliteness:
         ).collect()}
         assert out["https://a.com/2"].fetch_at_s == 10.0
 
+    def test_host_form_consistency_rules_and_delays(self, spark):
+        """A robots table keyed 'www.Foo.com' must govern frontier
+        host 'foo.com' for BOTH its rules and its Crawl-delay — the
+        seam where decisions joined normalized but delays joined raw
+        (delay silently defaulting) used to hide."""
+        from web_content_extractor_spark.operators.crawl import (
+            crawl_delays,
+            politeness_schedule,
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark,
+            [("www.Foo.com",
+              "User-agent: *\nDisallow: /x\nCrawl-delay: 5\n")],
+        )
+        frontier = self._frontier(
+            spark,
+            [("foo.com", "https://foo.com/x", 0),
+             ("foo.com", "https://foo.com/ok", 0)],
+        )
+        dec = {r.url: r.allowed
+               for r in robots_decisions(robots, frontier).collect()}
+        assert dec == {"https://foo.com/x": False,
+                       "https://foo.com/ok": True}
+        delays = crawl_delays(robots)
+        assert {r.host: r.delay_s for r in delays.collect()} == {
+            "foo.com": 5.0
+        }
+        sched = {r.url: r for r in politeness_schedule(
+            frontier, delays
+        ).collect()}
+        # both URLs get the robots delay, not the 1.0 default
+        assert all(r.delay_s == 5.0 for r in sched.values())
+        # and a mixed-form user delay table collapses, never fans out
+        mixed = spark.createDataFrame(
+            [("www.Foo.com", 5.0), ("foo.com", 3.0)],
+            "host string, delay_s double",
+        )
+        rows = politeness_schedule(frontier, mixed).collect()
+        assert len(rows) == 2  # no join fan-out
+        assert all(r.delay_s == 5.0 for r in rows)  # conservative max
+
     def test_crawl_delay_drops_nan_inf_negative(self, spark):
         from web_content_extractor_spark.operators.crawl import crawl_delays
 

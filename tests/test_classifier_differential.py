@@ -101,6 +101,12 @@ def test_rank_context_py_matches_native_chain(spark):
         "#a?url=youtube.com%2Fwatch", " ", "\r", "\x07", "[", "]",
         "{", "|", "\u212a", "\u0131", "\x85", "\u2028", "\xa0",
         ".pdf\r", "x.pdf\u2028",
+        # opaque/absolute-URI seams: scheme with NO slashes (opaque ->
+        # java.net.URI has no query), single-slash hierarchical,
+        # invalid schemes (colon in first segment -> URI rejects)
+        "mailto:", "http:", "http:/", "a+b:", "1a:", ":", "a.b-c:",
+        "mailto:iframe.ly?url=youtube.com%2Fwatch",
+        "http:iframe.ly?url=youtube.com%2Fwatch",
     ]
     text_parts = [
         "", "watch", "WATCH this", "5 MB pdf", "12MB", "pdf", "MB",

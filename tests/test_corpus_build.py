@@ -223,18 +223,31 @@ def test_corpus_build_domain_curation_and_dirty_gate(spark, tmp_path, capsys):
     spam = " ".join(
         f"zorblat{i} quixler vemplar drossen kelpix" for i in range(10)
     )
-    # one good doc carries a benchmark snippet verbatim
-    leak = good + " alpha beta gamma delta epsilon zeta eta theta " + good
+    snippet = (
+        "alpha beta gamma delta epsilon zeta eta theta "
+        "iota kappa lambda mu nu xi omicron pi"
+    )  # 16 tokens -> 9 distinct 8-grams in the benchmark gram set
+    # doc 200 carries the snippet VERBATIM: the boolean `contains`
+    # sweep (curation_manifest) removes it before the dirty gate runs
+    leak_verbatim = good + " " + snippet + " " + good
+    # doc 201 is a PARTIAL leak: only the snippet's first 11 tokens
+    # (the copy was interrupted mid-snippet), so no verbatim substring
+    # survives for `contains` — but 4 of its 8-grams still collide,
+    # which only the quantitative gate can see
+    leak_partial = (
+        good + " alpha beta gamma delta epsilon zeta eta theta "
+        "iota kappa lambda interrupted here " + good
+    )
     rows = [(i, good + f" unique tail {i} " + good, "web") for i in range(12)]
     # unique per doc: identical texts would be exact-dedup'd down to
     # one survivor, leaving the source under --domain-min-docs
     rows += [(100 + i, spam + f" trailer{i}", "spamfarm") for i in range(12)]
-    rows += [(200, leak, "web")]
+    rows += [(200, leak_verbatim, "web"), (201, leak_partial, "web")]
     spark.createDataFrame(
         rows, "doc_id long, text string, source string"
     ).write.mode("overwrite").parquet(src)
     spark.createDataFrame(
-        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        [(1, snippet)],
         "snippet_id long, snippet string",
     ).write.mode("overwrite").parquet(snips)
 
@@ -254,18 +267,20 @@ def test_corpus_build_domain_curation_and_dirty_gate(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["domain_curation"]["dropped_sources"] == ["spamfarm"]
+    # the partial leak (doc 201) is invisible to the boolean sweep but
+    # dropped by the quantitative gate — the gate earns its place
     assert summary["dirty_gate"]["dropped"] >= 1
-    # doc 200 (the leak) is contaminated: boolean sweep already flags
-    # it via the manifest; the dirty gate is the belt-and-braces layer,
+    # doc 200 (verbatim leak): boolean sweep flags it via the manifest;
     # and no spamfarm doc survives to the output
     kept_ids = {
         r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
     }
     assert kept_ids and all(i < 100 for i in kept_ids)
     assert 200 not in kept_ids
+    assert 201 not in kept_ids
 
 
-def test_dirty_gate_noop_without_snippets(spark, tmp_path, capsys):
+def test_dirty_gate_requires_snippets(spark, tmp_path, capsys):
     src = str(tmp_path / "docs")
     out = str(tmp_path / "corpus")
     _write_docs(spark, src, n=10)
@@ -277,8 +292,8 @@ def test_dirty_gate_noop_without_snippets(spark, tmp_path, capsys):
         "--shards", "2",
         "--pack-budget", "128",
     ])
-    assert rc == 0
-    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    # empty snippet set -> zero grams -> nothing dirty
-    assert summary["dirty_gate"]["dropped"] == 0
-    assert summary["corpus"]["docs_selected"] > 0
+    # without snippets the gate would score against an empty gram set
+    # and report dropped:0 as if decontamination ran — reject instead
+    assert rc == 2
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--benchmark-snippets" in err["error"]

@@ -168,6 +168,8 @@ _PY_PDF_TEXT = re.compile(
 )
 _PY_QPARAM = re.compile(r"(&|^)url=([^&]*)")
 _PY_HEX = frozenset("0123456789abcdefABCDEF")
+# RFC-2396 scheme as java.net.URI accepts it: alpha then alnum/+/-/.
+_PY_SCHEME = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*\Z")
 # characters java.net.URI rejects ANYWHERE (probed empirically against
 # try_parse_url on this Spark build): ASCII controls + space + DEL,
 # the RFC-2396 'delims'/'unwise' punct, and any non-ASCII char that is
@@ -245,6 +247,19 @@ def _py_query_param_url(url: str) -> str | None:
     q = head.find("?")
     if q < 0:
         return None
+    # opacity gate (probe-verified against try_parse_url): a ':' in
+    # the FIRST segment (no '/' before it) makes the input either an
+    # absolute URI — whose query exists only when the scheme-specific
+    # part starts with '/' (an OPAQUE URI like 'http:iframe.ly?url=…'
+    # or 'mailto:a?url=…' has NO query to java.net.URI) — or, when the
+    # candidate scheme is invalid ('1a:b?x', ':foo?x'), a relative
+    # reference with a colon in its first segment, which java.net.URI
+    # rejects outright (try_parse_url NULL either way)
+    pre = head[:q]
+    c = pre.find(":")
+    if c >= 0 and "/" not in pre[:c]:
+        if not _PY_SCHEME.match(pre[:c]) or not head[c + 1 :].startswith("/"):
+            return None
     if (
         _py_uri_rejects(head[:q], brackets_bad=True)
         or _py_uri_rejects(head[q + 1 :], brackets_bad=False)

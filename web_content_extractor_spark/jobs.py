@@ -299,6 +299,13 @@ def main(argv: list[str] | None = None) -> int:
                      "--curate-output or --corpus-input/--corpus-output"
         }))
         return 2
+    if args.dirty_tau is not None and not args.benchmark_snippets:
+        # without a snippet table the gram set is empty and the gate
+        # would silently report dropped:0 — reject instead of no-op
+        print(json.dumps({
+            "error": "--dirty-tau requires --benchmark-snippets"
+        }))
+        return 2
     if args.cdx_output and args.input_format != "warc":
         print(json.dumps({
             "error": "--cdx-output indexes WARC archives; it requires "
@@ -483,9 +490,11 @@ def main(argv: list[str] | None = None) -> int:
                 contamination_scores,
             )
 
-            # quantitative gate shares the boolean sweep's snippet set;
-            # with no real benchmark table the set is empty and the
-            # gate is a no-op (same rationale as the sweep above)
+            # quantitative gate shares the boolean sweep's snippet set
+            # (flag validation guarantees it is non-empty here); it
+            # catches PARTIAL leaks — a snippet copied only in part has
+            # no verbatim substring for the sweep's `contains`, but its
+            # surviving 8-grams still collide above tau
             scores = contamination_scores(
                 kept, snippets, n=8, tau=args.dirty_tau
             )

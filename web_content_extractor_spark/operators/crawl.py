@@ -34,6 +34,17 @@ _NAV_EXCLUDE_RE = r"\.(pdf|zip|tar\.gz|docx|xlsx|pptx)$"
 _PRIORITY_RE = r"(?i)(module|lesson|course|chapter|part)"
 
 
+def _host_key(c):
+    """Canonical host join key: lowercase + strip one leading ``www.``
+    (real robots/frontier tables mix host case and www. forms).  Every
+    host-keyed join in crawl-plan mode MUST use this same key — keying
+    robots decisions on the normalized host but Crawl-delays on the
+    raw host would let a table keyed 'www.Foo.com' apply its
+    allow/deny rules to frontier host 'foo.com' while its Crawl-delay
+    silently fell back to the default."""
+    return F.regexp_replace(F.lower(c), r"^www\.", "")
+
+
 def navigation_links(tokenized: DataFrame) -> DataFrame:
     """(doc_id, nav_url): same-host anchor targets, downloads excluded."""
     cand = tokenized.select(
@@ -429,9 +440,13 @@ def robots_decisions(
     Scale shape: applicable allow/disallow rules collapse to ONE tiny
     array per host (robots bodies are KB-sized) with their regex
     translations precomputed ONCE per rule on that tiny table; the
-    per-host rule arrays broadcast onto the URL table, and the
+    rule-array join is NOT broadcast-hinted — the table is
+    host-cardinality (~10^8 hosts at the documented scale), so AQE
+    size-decides: BHJ when it fits (the URL corpus never shuffles),
+    a host-keyed shuffle join when it doesn't (the corpus shuffles
+    once on the host key instead of OOMing the driver).  The
     longest-match evaluation is per-row array algebra over a handful
-    of rules — the URL corpus NEVER shuffles.  Literal rules (no
+    of rules either way.  Literal rules (no
     wildcard — the common case) evaluate via codegen
     startswith/equality; only wildcard rules pay the non-foldable
     regexp (recompiled per (row, rule) pair — acceptable as the
@@ -469,13 +484,11 @@ def robots_decisions(
         .otherwise(F.lit(0))
         .cast("int")
     )
-    # normalize the rule-table host BEFORE grouping (the join key the
-    # way blocklist_filter does — real robots tables mix host case and
-    # www. forms): grouping on the raw host would emit one rule-array
+    # normalize the rule-table host BEFORE grouping (module-wide
+    # _host_key): grouping on the raw host would emit one rule-array
     # row per host FORM under the same join key, fanning every URL row
     # out into duplicate (and possibly contradictory) decisions
-    def _hkey(c):
-        return F.regexp_replace(F.lower(c), r"^www\.", "")
+    _hkey = _host_key
 
     rules = (
         grouped.where(
@@ -535,8 +548,13 @@ def robots_decisions(
         )
     )
 
+    # no forced broadcast: the rule table is host-cardinality (~10^8
+    # at the documented scale, far past any broadcast budget) — let
+    # AQE size-decide, exactly as domain_curate does.  At bench scale
+    # it picks BHJ at runtime; at 10^8 hosts it degrades to a shuffle
+    # join instead of OOMing the driver
     joined = urls.withColumn("__ukey", _hkey(F.col(host_col))).join(
-        F.broadcast(rules),
+        rules,
         F.col("__ukey") == rules["__hkey"],
         "left",
     ).drop("__hkey", "__ukey")
@@ -563,7 +581,11 @@ def crawl_delays(
     Hosts whose applicable groups carry no parsable Crawl-delay emit
     no row (callers coalesce to their default); multiple applicable
     values collapse to the max — the conservative schedule, the one
-    that violates no stated delay."""
+    that violates no stated delay.  The output ``host`` is the
+    canonical :func:`_host_key` form (lower + www-strip), the SAME key
+    :func:`robots_decisions` joins on — so a robots table keyed
+    'www.Foo.com' governs frontier host 'foo.com' consistently for
+    both its rules and its delay."""
     grouped, applies = _robots_groups(robots, user_agent, host_col, body_col)
     delays = grouped.where(F.col("field") == "crawl-delay").select(
         host_col,
@@ -583,7 +605,7 @@ def crawl_delays(
             & (F.col("delay_s") >= 0)
             & (F.col("delay_s") < F.lit(float("inf")))
         )
-        .groupBy(F.col(host_col).alias("host"))
+        .groupBy(_host_key(F.col(host_col)).alias("host"))
         .agg(F.max("delay_s").alias("delay_s"))
     )
 
@@ -613,7 +635,10 @@ def politeness_schedule(
 
     Scale shape: ONE host-keyed window shuffle for the slot numbering
     (the same key the fetcher partitions by, so the shuffle is reused
-    downstream); the delay table is host-cardinality and broadcasts.
+    downstream); the delay table is host-cardinality, so its join is
+    NOT broadcast-hinted — AQE size-decides (BHJ at bench scale, a
+    shuffle join at 10^8 hosts).  Delays join on the canonical
+    :func:`_host_key` form, matching robots_decisions/crawl_delays.
     A pathological single-host frontier serializes inside one
     partition by design — that host's schedule IS sequential.
     """
@@ -632,10 +657,19 @@ def politeness_schedule(
         "slot", F.row_number().over(w) - 1
     )
     if delays is not None:
-        d = delays
-        if host_col != "host":
-            d = d.withColumnRenamed("host", host_col)
-        out = out.join(F.broadcast(d), host_col, "left")
+        # join on the canonical host key; a user-supplied table mixing
+        # host FORMS ('www.Foo.com' + 'foo.com') collapses to one row
+        # per key via max (crawl_delays' own conservative rule) so the
+        # left join can never fan frontier rows out
+        d = (
+            delays.groupBy(_host_key(F.col("host")).alias("__dkey"))
+            .agg(F.max("delay_s").alias("delay_s"))
+        )
+        out = (
+            out.withColumn("__dkey", _host_key(F.col(host_col)))
+            .join(d, "__dkey", "left")
+            .drop("__dkey")
+        )
     else:
         out = out.withColumn("delay_s", F.lit(None).cast("double"))
     delay = F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s)))
