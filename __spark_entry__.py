@@ -50,6 +50,15 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _read_pushdown(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan WITHOUT the parallelism fan-out — for tiny collected sides
+    (ANN query batches) where a filter must reach the parquet scan.
+    Filtering a `_read` frame runs scan -> full repartition shuffle ->
+    filter: a 10k-row exchange to fetch 5 rows, one whole extra job
+    per ANN query in the bench."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
 def _synth_docs(documents: DataFrame) -> DataFrame:
     """(doc_id=base_url, spans=[html span]) built from the documents table.
 
@@ -1937,9 +1946,8 @@ def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup (batch vs corpus) — the
     oracle-checked verification metric for the LSH near-dup path."""
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.exact_near_duplicates(
-        emb, emb.where("vec_id < 200"), min_cos=0.4
-    )
+    q = _read_pushdown(spark, sf_dir, "embeddings").where("vec_id < 200")
+    return similarity.exact_near_duplicates(emb, q, min_cos=0.4)
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2037,9 +2045,8 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk(
-        emb, emb.where("vec_id < 5"), k=5
-    ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    q = _read_pushdown(spark, sf_dir, "embeddings").where("vec_id < 5")
+    return similarity.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2197,7 +2204,8 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (bucketed; approximate by design -> rows-only)."""
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.where("vec_id < 5"), k=5)
+    q = _read_pushdown(spark, sf_dir, "embeddings").where("vec_id < 5")
+    return similarity.lsh_topk(emb, q, k=5)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2207,8 +2215,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     # one Lloyd round here (fewer index-build jobs in the driver run);
     # recall at the default iters=2 is pinned in tests
+    q = _read_pushdown(spark, sf_dir, "embeddings").where("vec_id < 5")
     return similarity.ivf_topk(
-        emb, emb.where("vec_id < 5"), k=5, n_centroids=16, nprobe=4, iters=1
+        emb, q, k=5, n_centroids=16, nprobe=4, iters=1
     )
 
 
@@ -2218,8 +2227,9 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall + refine-all==brute-force anchors pinned in
     tests/test_dedup_similarity.py)."""
     emb = _read(spark, sf_dir, "embeddings")
+    q = _read_pushdown(spark, sf_dir, "embeddings").where("vec_id < 5")
     return similarity.pq_topk(
-        emb, emb.where("vec_id < 5"), k=5, m=16, n_codes=32, refine=8
+        emb, q, k=5, m=16, n_codes=32, refine=8
     )
 
 
@@ -2229,8 +2239,9 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=all/refine=all ≡ brute-force anchor are pinned in
     tests/test_dedup_similarity.py)."""
     emb = _read(spark, sf_dir, "embeddings")
+    q = _read_pushdown(spark, sf_dir, "embeddings").where("vec_id < 5")
     return similarity.ivfpq_topk(
-        emb, emb.where("vec_id < 5"), k=5, n_centroids=16, nprobe=4,
+        emb, q, k=5, n_centroids=16, nprobe=4,
         iters=1, m=16, n_codes=32, refine=8,
     )
 
