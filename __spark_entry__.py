@@ -1674,22 +1674,13 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row corpus health report: doc/token volume, exact-dup rate
-    (fingerprint distinct), source/lang cardinality, mean length —
-    the summary a curation run prints before and after each stage.
-    Single scan + global agg with partials; at 100 TB the exact
-    count-distinct on fingerprints becomes approx_count_distinct."""
-    d = _read(spark, sf_dir, "documents")
-    fp = tq.fingerprint(F.col("text"))
-    return d.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(tq.token_count(F.col("text"))).alias("total_tokens"),
-        F.countDistinct(fp).alias("n_unique"),
-        (F.count("*") - F.countDistinct(fp)).alias("n_exact_dups"),
-        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
-        F.countDistinct("source").alias("n_sources"),
-        F.countDistinct("lang").alias("n_langs"),
-    )
+    """One-row corpus health report (operators/corpus.py::corpus_health,
+    exact mode — the oracle-checkable configuration; approx=True flips
+    every cardinality to HLL approx_count_distinct for the 100 TB read,
+    pinned by tests/test_corpus_health.py)."""
+    from web_content_extractor_spark.operators.corpus import corpus_health
+
+    return corpus_health(_read(spark, sf_dir, "documents"), approx=False)
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -316,3 +316,49 @@ def temperature_mixture_rates(
             F.col("w") / F.col("Z") * F.lit(float(total)) / F.col("n"),
         ).alias("rate"),
     )
+
+
+def corpus_health(
+    docs: DataFrame,
+    approx: bool = False,
+    rsd: float = 0.02,
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-row corpus health report: doc/token volume, exact-dup rate
+    (fingerprint distinct), source/lang cardinality, mean length — the
+    summary a curation run prints before and after each stage.
+
+    ``approx=False`` (default) uses exact ``countDistinct`` — the
+    oracle-checkable mode, fine up to ~10^9 docs.  ``approx=True``
+    switches every cardinality to ``approx_count_distinct`` (HLL++,
+    relative error ``rsd``): at 10^12 fingerprints the exact path's
+    Expand-based multi-distinct shuffles each distinct column's full
+    key stream, while HLL sketches merge in the partial agg — the
+    report becomes one scan + KB-sized partials at any corpus size.
+
+    Scale shape: single scan, global agg with map-side partials in
+    both modes; the approx mode is what makes that TRUE at 100 TB.
+    """
+    from web_content_extractor_spark.functions import text_quality as tq
+
+    fp = tq.fingerprint(F.col(text_col))
+
+    def distinct(col):
+        return (
+            F.approx_count_distinct(col, rsd)
+            if approx
+            else F.countDistinct(col)
+        )
+
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tq.token_count(F.col(text_col))).alias("total_tokens"),
+        distinct(fp).alias("n_unique"),
+        (F.count("*") - distinct(fp)).alias("n_exact_dups"),
+        F.round(F.avg(chars_col), 6).alias("mean_chars"),
+        distinct(F.col(source_col)).alias("n_sources"),
+        distinct(F.col(lang_col)).alias("n_langs"),
+    )
