@@ -2343,6 +2343,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         # --- changed this round: scalar (driver-hashable) output schema ---
         "anchor_index": q_anchor_index,
+        # --- also changed this round, so their r3 rows are stale by the
+        # rotation's own rule (code changed after certification):
+        # crawl_schedule/robots_decisions/url_blocklist via the
+        # idempotent _host_key + blocklist normalization, corpus_health
+        # via the operator refactor + approx clamp, and the two ANN
+        # entries via _read_pushdown ---
+        "crawl_schedule": q_crawl_schedule,
+        "robots_decisions": q_robots_decisions,
+        "url_blocklist": q_url_blocklist,
+        "corpus_health": q_corpus_health,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        "similarity_topk": q_similarity_topk,
         # --- r2-certified, oldest rows; extraction path changed in r3 ---
         # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
         "extract_spans": q_extract_spans,
@@ -2368,13 +2380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_counts": q_agg_counts,
         "link_distribution": q_link_distribution,
         "quality_score_rel": q_quality_score_rel,
-        "group_by_source": q_group_by_source,
         "anti_join": q_anti_join,
         "join_agg": q_join_agg,
-        "priority_order": q_priority_order,
         "dedup_first_wins": q_dedup_first_wins,
-        "window_rank": q_window_rank,
-        "sessionize": q_sessionize,
         # training-data ops
         "windowed_counts": q_windowed_counts,
         "dedup_exact": q_dedup_exact,
@@ -2384,10 +2392,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "quality_filters": q_quality_filters,
         "curation_manifest": q_curation_manifest,
+        # --- position 51+: r2-green leftovers (oldest after this round;
+        # front of the r5 rotation — including the six stable r2 entries
+        # demoted mid-r4 to make room for the code-changed block above:
+        # priority_order, window_rank, sessionize, group_by_source,
+        # value_percentiles, json_props) ---
+        "priority_order": q_priority_order,
+        "window_rank": q_window_rank,
+        "sessionize": q_sessionize,
+        "group_by_source": q_group_by_source,
         "value_percentiles": q_value_percentiles,
         "json_props": q_json_props,
-        # --- position 51+: r2-green leftovers (oldest after this round;
-        # front of the r5 rotation) ---
         "pivot_counts": q_pivot_counts,
         "unpivot_counts": q_unpivot_counts,
         "resample_counts": q_resample_counts,
@@ -3511,7 +3526,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, url,
                  regexp_replace(
                    lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)),
-                   '^www\\.', '') AS host,
+                   '^(www\\.)+', '') AS host,
                  coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1),
                           '') AS path
           FROM u

@@ -426,10 +426,15 @@ def main() -> int:
             # startswith/equality path — a future edit that routes
             # every rule through the non-foldable regexp (recompiled
             # per row x rule) would be ruinous at 10^12 URLs
+            # NB: match the wildcard-specific regexp_like/RLIKE marker,
+            # not the generic 'regexp' substring — regexp_replace from
+            # the _host_key normalization appears in EVERY plan, which
+            # would make the wildcard half of this guard vacuous
             ("literal rules evaluate via codegen startswith (fast "
-             "path survives edits; regexp only behind the kind=2 "
-             "wildcard branch)",
-             "startswith" in p.lower() and "regexp" in p.lower()),
+             "path survives edits) AND the regexp_like wildcard "
+             "branch is still present (kind=2 rules keep working)",
+             "startswith" in p.lower()
+             and ("regexp_like" in p.lower() or "rlike" in p.lower())),
         ],
     )
 

@@ -617,6 +617,37 @@ class TestCrawlDelaysAndPoliteness:
         assert len(rows) == 2  # no join fan-out
         assert all(r.delay_s == 5.0 for r in rows)  # conservative max
 
+    def test_host_key_idempotent_doubled_www(self, spark):
+        """_host_key must be IDEMPOTENT: politeness_schedule
+        re-normalizes crawl_delays' already-normalized output, so a
+        single-strip key would send 'www.www.foo.com' to
+        'www.foo.com' on the delay side but 'foo.com'... on a second
+        pass — rules apply while the delay silently defaults, the
+        exact seam the shared key exists to close."""
+        from web_content_extractor_spark.operators.crawl import (
+            crawl_delays,
+            politeness_schedule,
+            robots_decisions,
+        )
+
+        robots = self._robots(
+            spark,
+            [("www.www.Foo.com",
+              "User-agent: *\nDisallow: /x\nCrawl-delay: 7\n")],
+        )
+        frontier = self._frontier(
+            spark,
+            [("www.www.foo.com", "https://www.www.foo.com/x", 0),
+             ("www.www.foo.com", "https://www.www.foo.com/ok", 0)],
+        )
+        dec = {r.url: r.allowed
+               for r in robots_decisions(robots, frontier).collect()}
+        assert dec == {"https://www.www.foo.com/x": False,
+                       "https://www.www.foo.com/ok": True}
+        sched = politeness_schedule(frontier, crawl_delays(robots))
+        # BOTH rules and delay govern: no silent 1.0 default
+        assert all(r.delay_s == 7.0 for r in sched.collect())
+
     def test_crawl_delay_drops_nan_inf_negative(self, spark):
         from web_content_extractor_spark.operators.crawl import crawl_delays
 

@@ -297,3 +297,27 @@ def test_dirty_gate_requires_snippets(spark, tmp_path, capsys):
     assert rc == 2
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "--benchmark-snippets" in err["error"]
+
+
+def test_dirty_gate_rejects_empty_snippet_table(spark, tmp_path, capsys):
+    """An EMPTY snippet parquet passes the flag-pair validation but
+    would make the gate a silent dropped:0 no-op — reject it too."""
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus")
+    snips = str(tmp_path / "snips")
+    _write_docs(spark, src, n=10)
+    spark.createDataFrame(
+        [], "snippet_id long, snippet string"
+    ).write.mode("overwrite").parquet(snips)
+    rc = main([
+        "--corpus-input", src,
+        "--corpus-output", out,
+        "--benchmark-snippets", snips,
+        "--dirty-tau", "0.01",
+        "--chunk-size", "64",
+        "--shards", "2",
+        "--pack-budget", "128",
+    ])
+    assert rc == 2
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "empty" in err["error"]

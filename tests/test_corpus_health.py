@@ -47,6 +47,26 @@ def test_approx_within_rsd_and_same_schema(spark):
     assert a.n_sources == 4 and a.n_langs == 3  # tiny cardinalities exact
 
 
+def test_approx_dup_count_never_negative(spark):
+    """HLL can overshoot count(*) on a fully-unique corpus; the report
+    must clamp n_exact_dups at 0 instead of printing a negative count.
+    (The overshoot itself isn't deterministic to provoke, so this pins
+    the clamp on a fully-unique corpus across several rsd settings —
+    any estimate above n_docs would go negative without it.)"""
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique doc "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+        F.lit(20).alias("n_chars"),
+        F.lit("s0").alias("source"),
+        F.lit("en").alias("lang"),
+    )
+    for rsd in (0.02, 0.05, 0.1, 0.2):
+        row = corpus_health(docs, approx=True, rsd=rsd).collect()[0]
+        assert row.n_exact_dups >= 0, f"negative dup count at rsd={rsd}"
+
+
 def test_approx_plan_uses_hll_not_expand(spark):
     exact_plan = corpus_health(_docs(spark))._jdf.queryExecution().toString()
     approx_plan = corpus_health(

@@ -447,6 +447,16 @@ def main(argv: list[str] | None = None) -> int:
                 [], "snippet_id long, snippet string"
             )
         )
+        # an EMPTY snippet table passes the flag-pair validation but
+        # makes the dirty gate a silent dropped:0 no-op — the exact
+        # failure that validation was added to reject; fail loudly
+        if args.dirty_tau is not None and snippets.isEmpty():
+            print(json.dumps({
+                "error": "--dirty-tau: --benchmark-snippets table is "
+                         "empty; the contamination gate would check "
+                         "nothing"
+            }))
+            return 2
         manifest = curation_manifest(docs, snippets=snippets)
         funnel_row = manifest.agg(
             F.count("*").alias("total"),
@@ -491,7 +501,8 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             # quantitative gate shares the boolean sweep's snippet set
-            # (flag validation guarantees it is non-empty here); it
+            # (the flag pairing + isEmpty guard above guarantee it is
+            # non-empty here); it
             # catches PARTIAL leaks — a snippet copied only in part has
             # no verbatim substring for the sweep's `contains`, but its
             # surviving 8-grams still collide above tau

@@ -357,7 +357,11 @@ def corpus_health(
         F.count("*").alias("n_docs"),
         F.sum(tq.token_count(F.col(text_col))).alias("total_tokens"),
         distinct(fp).alias("n_unique"),
-        (F.count("*") - distinct(fp)).alias("n_exact_dups"),
+        # HLL can overshoot count(*) on a fully-unique corpus; clamp so
+        # the approx report never prints a negative dup count
+        F.greatest(
+            F.lit(0).cast("long"), F.count("*") - distinct(fp)
+        ).alias("n_exact_dups"),
         F.round(F.avg(chars_col), 6).alias("mean_chars"),
         distinct(F.col(source_col)).alias("n_sources"),
         distinct(F.col(lang_col)).alias("n_langs"),

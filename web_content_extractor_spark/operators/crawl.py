@@ -35,14 +35,19 @@ _PRIORITY_RE = r"(?i)(module|lesson|course|chapter|part)"
 
 
 def _host_key(c):
-    """Canonical host join key: lowercase + strip one leading ``www.``
-    (real robots/frontier tables mix host case and www. forms).  Every
-    host-keyed join in crawl-plan mode MUST use this same key — keying
-    robots decisions on the normalized host but Crawl-delays on the
-    raw host would let a table keyed 'www.Foo.com' apply its
-    allow/deny rules to frontier host 'foo.com' while its Crawl-delay
-    silently fell back to the default."""
-    return F.regexp_replace(F.lower(c), r"^www\.", "")
+    """Canonical host join key: lowercase + strip ALL leading ``www.``
+    prefixes (real robots/frontier tables mix host case and www.
+    forms).  Every host-keyed join in crawl-plan mode MUST use this
+    same key — keying robots decisions on the normalized host but
+    Crawl-delays on the raw host would let a table keyed 'www.Foo.com'
+    apply its allow/deny rules to frontier host 'foo.com' while its
+    Crawl-delay silently fell back to the default.  Stripping the
+    prefix repeatedly makes the key IDEMPOTENT: politeness_schedule
+    re-normalizes crawl_delays' already-normalized output, and with a
+    single-strip key a host like 'www.www.foo.com' would normalize
+    differently on each side of that join (rules apply, delay silently
+    defaults — the exact seam this key exists to close)."""
+    return F.regexp_replace(F.lower(c), r"^(www\.)+", "")
 
 
 def navigation_links(tokenized: DataFrame) -> DataFrame:
@@ -265,9 +270,7 @@ def blocklist_filter(
     hash join keyed on host with the prefix test as residual
     condition; the corpus never shuffles.
     """
-    host = F.regexp_replace(
-        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
-    )
+    host = _host_key(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     path = F.coalesce(
         F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
     )
@@ -275,9 +278,7 @@ def blocklist_filter(
     b = blocklist.select(
         # same normalization as the link side: lists ship host rows
         # both with and without the www. prefix
-        F.regexp_replace(F.lower(F.col("host")), r"^www\.", "").alias(
-            "__bhost"
-        ),
+        _host_key(F.col("host")).alias("__bhost"),
         F.col("path_prefix").alias("__bprefix"),
     )
     kept = tagged.join(
