@@ -2306,6 +2306,28 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Queries whose IMPLEMENTATION changed in the current round (operator
+# code, query body, or oracle twin).  The rotation rule is: a changed
+# query's previous driver row is stale regardless of age, so every
+# entry listed here MUST sit in the front-50 — scripts/check_rotation.py
+# enforces it.  Reset this set at the start of each round; add to it
+# whenever a change touches a query's output path.
+CHANGED_QUERIES = {
+    # r4: scalar output schema for the r3 err row
+    "anchor_index",
+    # r4: idempotent _host_key + blocklist normalization (crawl.py)
+    "crawl_schedule", "robots_decisions", "url_blocklist",
+    # r4: corpus_health operator refactor + approx clamp
+    "corpus_health",
+    # r4: ANN _read_pushdown (query-side reads filter at the scan)
+    "embedding_neardup_exact", "similarity_topk",
+    "ivf_topk", "pq_topk", "lsh_topk", "ivfpq_topk",
+    # r3 (carried: certified r2, code changed r3, re-certifying now):
+    "extract_spans", "extract_metrics", "crawl_merge",
+    "classifier_context", "classifier_regex",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # registry entries per round.  Round-4 front-50 (this round), per

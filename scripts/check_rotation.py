@@ -73,6 +73,23 @@ def main() -> int:
             f"STALE {name}: last green r{lg}, next r{next_round}, "
             f"front-50={in_front} -> rotate into the front-50"
         )
+
+    # code-changed queries: a changed implementation makes the previous
+    # driver row stale regardless of age (row age alone can't see it)
+    changed = getattr(entrymod, "CHANGED_QUERIES", set())
+    unknown = changed - set(names)
+    for name in sorted(unknown):
+        print(f"CHANGED-UNKNOWN {name}: listed in CHANGED_QUERIES but "
+              f"not in the registry")
+    misplaced = sorted((changed & set(names)) - front)
+    for name in misplaced:
+        print(
+            f"CHANGED-NOT-FRONTED {name}: implementation changed this "
+            f"round but sits outside the front-50 — its certification "
+            f"predates the code"
+        )
+    stale.extend((n, last.get(n), False) for n in misplaced)
+    stale.extend((n, None, False) for n in sorted(unknown))
     fresh = {n: (next_round if n in front else last[n]) for n in names}
     dist = {}
     for r in fresh.values():
