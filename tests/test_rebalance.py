@@ -1,0 +1,126 @@
+"""Byte-weighted range rebalance (operators/rebalance.py).
+
+Row-balanced ranges straggle when doc sizes are heavy-tailed; the
+byte-weighted layout must (a) equalize per-partition BYTES on a skewed
+corpus where row-balancing provably does not, (b) keep the data
+row-identical, and (c) cost exactly one exchange.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_content_extractor_spark.operators.rebalance import (
+    byte_balanced,
+    partition_weight_stats,
+    weighted_range_boundaries,
+)
+
+P = 8
+
+
+def _skewed(spark, n_small=4000, n_giant=12, small=100, giant=200_000):
+    """Heavy-tailed corpus: giants clustered at the TOP of the key
+    range, so row-balanced range partitioning piles every giant into
+    the last partition."""
+    smalls = spark.range(n_small).select(
+        F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+        F.lit(float(small)).alias("w"),
+    )
+    giants = spark.range(n_giant).select(
+        F.format_string("doc-9%05d", F.col("id")).alias("doc_id"),
+        F.lit(float(giant)).alias("w"),
+    )
+    return smalls.union(giants)
+
+
+def _max_over_mean(df):
+    rows = df.collect()
+    tw = [r.total_weight for r in rows]
+    return max(tw) / (sum(tw) / len(tw))
+
+
+def test_byte_balanced_beats_row_balanced_on_heavy_tail(spark):
+    docs = _skewed(spark)
+
+    row_layout = docs.repartitionByRange(P, "doc_id")
+    byte_layout = byte_balanced(docs, "doc_id", F.col("w"), P)
+
+    row_ratio = _max_over_mean(partition_weight_stats(row_layout, F.col("w")))
+    byte_ratio = _max_over_mean(
+        partition_weight_stats(byte_layout, F.col("w"))
+    )
+    # row-balancing piles the clustered giants into one partition:
+    # that partition carries ~12*200k of ~2.8M total = ~6.8x the mean
+    assert row_ratio > 3.0
+    # byte-balancing spreads them; bound is loose for sampling noise
+    assert byte_ratio < 1.6
+    assert byte_layout.rdd.getNumPartitions() == P
+
+
+def test_rows_identical_and_schema_unchanged(spark):
+    docs = _skewed(spark, n_small=500, n_giant=5)
+    out = byte_balanced(docs, "doc_id", F.col("w"), P)
+    assert out.columns == docs.columns
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+def test_single_exchange(spark):
+    docs = _skewed(spark, n_small=500, n_giant=5)
+    plan = (
+        byte_balanced(docs, "doc_id", F.col("w"), P)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_deterministic_boundaries(spark):
+    docs = _skewed(spark, n_small=500, n_giant=5)
+    b1 = weighted_range_boundaries(docs, "doc_id", F.col("w"), 64)
+    b2 = weighted_range_boundaries(docs, "doc_id", F.col("w"), 64)
+    assert b1 == b2 and len(b1) == 63
+
+
+def test_edge_cases(spark):
+    empty = spark.createDataFrame([], "doc_id string, w double")
+    assert byte_balanced(empty, "doc_id", F.col("w"), P).count() == 0
+
+    one = spark.createDataFrame([("a", 1.0)], "doc_id string, w double")
+    assert byte_balanced(one, "doc_id", F.col("w"), P).collect() == [
+        ("a", 1.0)
+    ]
+    # single partition short-circuits to coalesce
+    assert (
+        byte_balanced(one, "doc_id", F.col("w"), 1).rdd.getNumPartitions()
+        == 1
+    )
+    # null weights count as 1, never crash
+    nulls = spark.createDataFrame(
+        [("a", None), ("b", 2.0)], "doc_id string, w double"
+    )
+    assert byte_balanced(nulls, "doc_id", F.col("w"), 2).count() == 2
+
+    with pytest.raises(ValueError):
+        byte_balanced(one, "doc_id", F.col("w"), 0)
+
+
+def test_pipeline_balance_bytes_output_equal(spark):
+    """extract() output is independent of the balance mode."""
+    from web_content_extractor_spark.datagen import fixture_docs
+    from web_content_extractor_spark.plans.pipeline import extract
+
+    docs = fixture_docs(spark)
+
+    def canon(rows):
+        # fixture doc_ids are NOT unique — compare sorted row lists
+        return sorted(
+            (r.doc_id, tuple(tuple(s) for s in r.spans)) for r in rows
+        )
+
+    base = canon(extract(docs).collect())
+    balanced = canon(extract(docs, balance="bytes").collect())
+    assert base == balanced

@@ -1,0 +1,174 @@
+"""Byte-weighted range rebalancing for heavy-tailed corpora.
+
+``repartitionByRange(doc_id)`` balances ROW counts: Spark's range
+sampler draws doc_ids uniformly, so every partition gets ~equal rows.
+On an interleaved text+media corpus doc sizes are heavy-tailed (a
+media-rich document can be 1000x the bytes of a text-only one), and a
+row-balanced partition can carry orders of magnitude more bytes than
+its neighbors — the Python/Arrow tokenizer stage then straggles on the
+byte-heavy partitions while the rest of the cluster idles.
+
+This module rebalances by WEIGHT (bytes, tokens, ...) instead:
+
+1. draw a byte-weighted key sample (Efraimidis–Spirakis A-Res race
+   ``-ln(u)/w``, planned as TakeOrderedAndProject — per-partition
+   heaps, ``partitions * bucket_factor * oversample`` rows ever reach
+   the driver);
+2. cut the key space into ``K = partitions * bucket_factor`` buckets
+   of ~equal total weight (plain quantiles of the weighted sample);
+3. interleave buckets into ``partitions`` classes (``bucket mod
+   partitions``) — each class owns ``bucket_factor`` byte-equal
+   buckets, so classes are byte-equal AND row-count-concentrated
+   (mixing byte-heavy/row-light and byte-light/row-heavy key regions);
+4. one ``repartitionByRange`` exchange on the class.
+
+Step 3 is what makes step 4 safe: range-partitioning directly on a
+byte-equal bucket would let Spark's ROW-uniform boundary sampler merge
+several row-light (= byte-heavy) buckets back into one partition,
+recreating exactly the skew being removed.  Classes are ~row-equal by
+construction, so the sampler lands one class per partition.
+
+The cost is one bounded driver collect, a per-row scan of a <=4096
+literal boundary array (~1-5us — noise next to a ~300us/doc parse),
+and the same single range exchange row-balancing pays.  Outputs are
+row-identical to the input; only the physical layout changes.  A
+document larger than ``total_bytes/partitions`` still owns its
+partition's tail — the best any per-doc operator can do.  Trade-off
+vs plain range partitioning: global key order across partitions is
+NOT preserved (classes interleave the key space); per-doc stages
+don't care, but order-sensitive sinks should sort downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "weighted_range_boundaries",
+    "byte_balanced",
+    "partition_weight_stats",
+]
+
+# boundaries are embedded as a literal array in the bucket projection;
+# keep the per-row scan cheap
+MAX_BUCKETS = 4096
+
+
+def weighted_range_boundaries(
+    df: DataFrame,
+    key_col: str,
+    weight,
+    buckets: int,
+    oversample: int = 32,
+    seed: int = 7,
+) -> list:
+    """``buckets - 1`` key boundaries at equal WEIGHT quantiles.
+
+    Weighted sampling via the exponential race (Efraimidis–Spirakis
+    A-Res): every row draws race key ``-ln(u)/w`` and the ``buckets *
+    oversample`` smallest keys form the sample.  ``orderBy(race)
+    .limit(n)`` plans as TakeOrderedAndProject: no global sort,
+    per-partition top-n heaps + one driver merge.
+
+    Boundaries are equal CUMULATIVE-WEIGHT cuts over the key-sorted
+    sample.  Each sampled row represents ``w_i / P(included)`` corpus
+    weight (Horvitz–Thompson): when the sample holds the whole corpus
+    (n >= N — tests, small inputs) that is exactly ``w_i``; when
+    truncated, inclusion is ~``min(1, n * w_i / W)`` so the
+    represented weight is ``max(w_i, W/n)``, with the corpus total
+    ``W`` estimated race-side as ``n / max(race key in sample)`` (the
+    n-th exponential arrival time of a rate-W process) — no second
+    scan.  A plain row-quantile cut over the sample is WRONG in the
+    n >= N regime: it silently degrades to row-balancing, the exact
+    layout this operator exists to replace.
+
+    Null/non-positive weights count as weight 1 (a zero-byte row still
+    occupies a row slot downstream).  Deterministic for a fixed seed
+    and input layout.
+    """
+    n = buckets * oversample
+    w = F.greatest(
+        F.coalesce(weight.cast("double"), F.lit(1.0)), F.lit(1.0)
+    )
+    sample = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            w.alias("__w"),
+            (-F.log(F.rand(seed)) / w).alias("__r"),
+        )
+        .orderBy("__r")
+        .limit(n)
+        .collect()
+    )
+    rows = [(r["__k"], r["__w"]) for r in sample if r["__k"] is not None]
+    if not rows:
+        return []
+    if len(rows) >= n:
+        floor = 1.0 / max(r["__r"] for r in sample)  # = W_hat / n
+        rows = [(k, max(wi, floor)) for k, wi in rows]
+    rows.sort()
+    total = sum(wi for _, wi in rows)
+    bounds, cum, i = [], 0.0, 1
+    for k, wi in rows:
+        cum += wi
+        while i < buckets and cum >= (i * total) / buckets:
+            bounds.append(k)
+            i += 1
+    while i < buckets:  # numeric tail: pad with the max key
+        bounds.append(rows[-1][0])
+        i += 1
+    return bounds
+
+
+def byte_balanced(
+    df: DataFrame,
+    key_col: str,
+    weight,
+    partitions: int,
+    bucket_factor: int = 32,
+    oversample: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Repartition ``df`` into ``partitions`` partitions of ~equal
+    total ``weight`` (not ~equal rows).
+
+    ``weight`` is a Column of per-row cost.  Rows and values are
+    unchanged; only the physical layout moves.
+    """
+    if partitions < 1:
+        raise ValueError("partitions must be >= 1")
+    if partitions == 1:
+        return df.coalesce(1)
+    buckets = min(partitions * bucket_factor, MAX_BUCKETS)
+    bounds = weighted_range_boundaries(
+        df, key_col, weight, buckets, oversample=oversample, seed=seed
+    )
+    if not bounds:
+        return df
+    arr = F.array(*[F.lit(b) for b in bounds])
+    bucket = F.size(F.filter(arr, lambda b: b <= F.col(key_col)))
+    return (
+        df.withColumn("__class", bucket % partitions)
+        .repartitionByRange(partitions, "__class")
+        .drop("__class")
+    )
+
+
+def partition_weight_stats(df: DataFrame, weight) -> DataFrame:
+    """Diagnostic: per-physical-partition (rows, total weight).
+
+    One narrow aggregation keyed on ``spark_partition_id()`` — use it
+    to compare layouts (max/mean weight ratio) before and after
+    :func:`byte_balanced`.
+    """
+    return (
+        df.select(
+            F.spark_partition_id().alias("pid"),
+            F.coalesce(weight.cast("double"), F.lit(1.0)).alias("__w"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("__w").alias("total_weight"),
+        )
+    )

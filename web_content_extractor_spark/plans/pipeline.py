@@ -8,10 +8,15 @@ Scale notes (the plan you'd want on 1000 executors over 100 TB):
 - The only shuffle in the whole pipeline is the *optional*
   ``repartitionByRange(doc_id)`` rebalance; with well-sized input
   files the pipeline is shuffle-free and scales linearly (the
-  north-rule scaling-efficiency criterion).  Turn ``balance=True``
-  when the input layout is skewed (a few giant files / giant hosts):
-  range partitioning splits hot doc_id ranges across executors and
-  AQE coalesces the small ones.
+  north-rule scaling-efficiency criterion).  Turn ``balance="rows"``
+  (alias ``True``) when the input layout is skewed (a few giant
+  files / giant hosts): range partitioning splits hot doc_id ranges
+  across executors and AQE coalesces the small ones.  Turn
+  ``balance="bytes"`` when doc SIZES are heavy-tailed (interleaved
+  text+media corpora): row-balanced ranges then still straggle on
+  byte-heavy partitions, and the byte-weighted rebalance
+  (operators/rebalance.py) equalizes partition BYTES at the cost of
+  the same single exchange.
 - Column pruning reaches the parquet/Iceberg scan: the tokenizer only
   consumes (doc_id, spans), nothing else is read.
 - Arrow batch size is bounded (session.py) so a batch of padded
@@ -28,10 +33,50 @@ from web_content_extractor_spark.operators.assemble import assemble_spans
 from web_content_extractor_spark.schemas import TOKENIZED
 
 
-def tokenize(docs: DataFrame, balance: bool = False, partitions: int | None = None) -> DataFrame:
-    """DOCS -> TOKENIZED (the engine's single Python/Arrow stage)."""
+def span_bytes(spans=None):
+    """Per-doc payload size: total text+media_ref chars in ``spans``.
+
+    The default weight for ``balance="bytes"``; one interpreted HOF
+    fold per doc (~1us) — noise next to the ~300us/doc parse it
+    load-balances.
+    """
+    col = F.coalesce(
+        spans if spans is not None else F.col("spans"), F.array()
+    )
+    return F.aggregate(
+        col,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.coalesce(F.length(s["text"]), F.lit(0))
+        + F.coalesce(F.length(s["media_ref"]), F.lit(0)),
+    )
+
+
+def tokenize(
+    docs: DataFrame,
+    balance: bool | str = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """DOCS -> TOKENIZED (the engine's single Python/Arrow stage).
+
+    ``balance``: False = keep input layout (shuffle-free); "rows"
+    (alias True) = ``repartitionByRange(doc_id)``, ~equal rows per
+    partition; "bytes" = byte-weighted rebalance, ~equal payload bytes
+    per partition (heavy-tailed interleaved corpora).
+    """
     df = docs.select("doc_id", "spans")
-    if balance:
+    if balance == "bytes":
+        from web_content_extractor_spark.operators.rebalance import (
+            byte_balanced,
+        )
+
+        df = byte_balanced(
+            df,
+            "doc_id",
+            span_bytes(),
+            partitions or df.sparkSession.sparkContext.defaultParallelism,
+        )
+    elif balance:
         df = (
             df.repartitionByRange(partitions, "doc_id")
             if partitions
