@@ -1484,6 +1484,9 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         crawl_delays(robots, user_agent="*"),
         default_delay_s=1.0,
         priority_col="priority",
+        # crawl_delays output is canonical: skip the defensive
+        # re-aggregation exchange
+        delays_canonical=True,
     )
 
 

@@ -648,6 +648,42 @@ class TestCrawlDelaysAndPoliteness:
         # BOTH rules and delay govern: no silent 1.0 default
         assert all(r.delay_s == 7.0 for r in sched.collect())
 
+    def test_delays_canonical_skips_regroup_same_schedule(self, spark):
+        """crawl_delays output is already canonically keyed;
+        delays_canonical=True must give the identical schedule while
+        dropping the defensive re-aggregation (one exchange fewer —
+        a whole shuffle of a host-cardinality table at 10^8 hosts)."""
+        from web_content_extractor_spark.operators.crawl import (
+            crawl_delays,
+            politeness_schedule,
+        )
+
+        robots = self._robots(
+            spark,
+            [("www.Foo.com", "User-agent: *\nCrawl-delay: 5\n"),
+             ("b.com", "User-agent: *\nCrawl-delay: 2\n")],
+        )
+        frontier = self._frontier(
+            spark,
+            [("foo.com", "https://foo.com/1", 0),
+             ("foo.com", "https://foo.com/2", 1),
+             ("b.com", "https://b.com/1", 0),
+             ("c.com", "https://c.com/1", 0)],
+        )
+        delays = crawl_delays(robots)
+        slow = politeness_schedule(frontier, delays)
+        fast = politeness_schedule(frontier, delays, delays_canonical=True)
+        assert sorted(map(tuple, slow.collect())) == sorted(
+            map(tuple, fast.collect())
+        )
+        n_ex_slow = slow._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+        n_ex_fast = fast._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+        assert n_ex_fast < n_ex_slow
+
     def test_crawl_delay_drops_nan_inf_negative(self, spark):
         from web_content_extractor_spark.operators.crawl import crawl_delays
 

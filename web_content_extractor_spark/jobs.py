@@ -658,6 +658,10 @@ def main(argv: list[str] | None = None) -> int:
             priority_col=(
                 "priority" if "priority" in frontier.columns else None
             ),
+            # delays (when present) come from crawl_delays above, so
+            # they are already canonically keyed — skip the defensive
+            # re-aggregation exchange
+            delays_canonical=True,
         )
         # fetchers read a host's slots sequentially: cluster the plan
         # by host, slot order within files

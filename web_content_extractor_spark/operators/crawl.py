@@ -618,11 +618,19 @@ def politeness_schedule(
     host_col: str = "host",
     url_col: str = "url",
     priority_col: str | None = None,
+    delays_canonical: bool = False,
 ) -> DataFrame:
     """Politeness-aware fetch scheduling: assign every frontier URL a
     per-host slot and a relative fetch time that honors the host's
     crawl delay — the piece that turns a prioritized frontier into a
     dispatchable plan without hammering any single origin.
+
+    ``delays_canonical=True`` asserts the delay table is already keyed
+    by the canonical :func:`_host_key` form with one row per host —
+    true for :func:`crawl_delays` output — and skips the defensive
+    re-aggregation (one whole exchange on a host-cardinality table at
+    10^8 hosts).  Leave False for user-supplied tables that may mix
+    host forms ('www.Foo.com' + 'foo.com').
 
     Per host, URLs are ordered by ``priority_col`` descending (when
     given; ties and the no-priority case fall back to ``url_col``
@@ -663,8 +671,13 @@ def politeness_schedule(
         # per key via max (crawl_delays' own conservative rule) so the
         # left join can never fan frontier rows out
         d = (
-            delays.groupBy(_host_key(F.col("host")).alias("__dkey"))
-            .agg(F.max("delay_s").alias("delay_s"))
+            delays.select(
+                F.col("host").alias("__dkey"), F.col("delay_s")
+            )
+            if delays_canonical
+            else delays.groupBy(
+                _host_key(F.col("host")).alias("__dkey")
+            ).agg(F.max("delay_s").alias("delay_s"))
         )
         out = (
             out.withColumn("__dkey", _host_key(F.col(host_col)))
