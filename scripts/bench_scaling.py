@@ -288,6 +288,7 @@ def _write_md(ex_lo: dict, ex_hi: dict, threads: list[dict], rep: int,
                 old.find("\n## Shuffle-bearing"),
                 old.find("\n## Storage"),
                 old.find("\n## ANN"),
+                old.find("\n## Heavy-tailed"),
             ) if i != -1),
             default=-1,
         )
