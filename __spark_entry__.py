@@ -2454,13 +2454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": q_bigram_nll,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_cdx": q_warc_cdx,
-        "url_blocklist": q_url_blocklist,
+        # (url_blocklist/crawl_schedule/robots_decisions/corpus_health/
+        # embedding_neardup_exact/similarity_topk moved to the
+        # code-changed front block above)
         "robots_rules": q_robots_rules,
         "sitemap_urls": q_sitemap_urls,
         "crawl_seeds": q_crawl_seeds,
-        "crawl_schedule": q_crawl_schedule,
-        "robots_decisions": q_robots_decisions,
-        "corpus_health": q_corpus_health,
         "dedup_incremental": q_dedup_incremental,
         "temperature_mixture": q_temperature_mixture,
         "weighted_sample": q_weighted_sample,
@@ -2479,8 +2478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_resolve": q_dedup_resolve,
         "rollup_counts": q_rollup_counts,
-        "embedding_neardup_exact": q_embedding_neardup_exact,
-        "similarity_topk": q_similarity_topk,
         "contamination_score": q_contamination_score,
         "canonical_urls": q_canonical_urls,
         "domain_curation": q_domain_curation,

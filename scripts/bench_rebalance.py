@@ -26,7 +26,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -40,7 +39,8 @@ from web_content_extractor_spark.plans.pipeline import (  # noqa: E402
 )
 from web_content_extractor_spark.session import get_spark  # noqa: E402
 
-INFLATE = 30  # giant-host docs carry INFLATE x the HTML
+INFLATE = int(os.environ.get("SPARK_GRAFT_TAIL_INFLATE", "30"))
+# giant-host docs carry INFLATE x the HTML
 # bench doc_ids are "https://host<k>.example.org/d<id>.html" with
 # k = id % 97; host0.* + host1.* is ~2% of rows AND a contiguous
 # doc_id string range (host1. sorts before host10.)
@@ -60,7 +60,9 @@ def materialize_heavy_tail(spark, sf_dir: str, replication: int) -> str:
     of the parse bytes no matter how small maxPartitionBytes is.
     That is the layout a sorted crawl dump or a compacted Iceberg
     table hands you."""
-    path = os.path.join(REPO, ".bench", f"heavytail_{replication}_v2")
+    path = os.path.join(
+        REPO, ".bench", f"heavytail_{replication}_x{INFLATE}_v3"
+    )
     marker = os.path.join(path, "_TAIL_COMPLETE")
     if not os.path.exists(marker):
         docs = bench.replicated_docs(spark, sf_dir, replication)
@@ -78,6 +80,10 @@ def materialize_heavy_tail(spark, sf_dir: str, replication: int) -> str:
                 "spans",
                 F.when(giant(), inflate).otherwise(F.col("spans")),
             )
+            # size metadata, as curated corpora carry: lets the
+            # byte-balance boundary sample scan (doc_id, n_bytes)
+            # instead of the payload
+            .withColumn("n_bytes", span_bytes())
             .repartitionByRange(16, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.option("parquet.block.size", str(1 << 30))
@@ -88,14 +94,11 @@ def materialize_heavy_tail(spark, sf_dir: str, replication: int) -> str:
     return path
 
 
-def timed(df, passes: int = 2) -> float:
-    bench._force(df)  # untimed: plan + codegen + page cache
-    best = float("inf")
-    for _ in range(passes):
-        t0 = time.perf_counter()
-        bench._force(df)
-        best = min(best, time.perf_counter() - t0)
-    return best
+# timing: bench.timed_best — each pass REBUILDS the DataFrame, so the
+# byte-rebalance boundary-sampling job (which runs eagerly at
+# construction time and reads the payload column under the default
+# weight) is paid inside the timed region, exactly as production pays
+# it; a pre-built frame would hide that scan and flatter "bytes"
 
 
 def main() -> None:
@@ -115,9 +118,26 @@ def main() -> None:
         F.sum(F.when(giant(), span_bytes()).otherwise(0)).alias("gb"),
     ).collect()[0]
 
-    input_sec = timed(extract(docs))
-    rows_sec = timed(extract(docs, balance="rows", partitions=cpus * 4))
-    bytes_sec = timed(extract(docs, balance="bytes", partitions=cpus * 4))
+    input_sec = bench.timed_best(lambda: extract(docs))
+    rows_sec = bench.timed_best(
+        lambda: extract(docs, balance="rows", partitions=cpus * 4)
+    )
+    # metadata weight: boundary sample scans (doc_id, n_bytes) only —
+    # column pruning keeps it off the payload even in giant row groups
+    bytes_sec = bench.timed_best(
+        lambda: extract(
+            docs,
+            balance="bytes",
+            partitions=cpus * 4,
+            weight=F.col("n_bytes"),
+        )
+    )
+    # default payload weight: the sampling job reads spans and itself
+    # straggles on the unsplittable giant row group — the documented
+    # counter-case (use a metadata column on sorted/compacted layouts)
+    bytes_payload_sec = bench.timed_best(
+        lambda: extract(docs, balance="bytes", partitions=cpus * 4)
+    )
 
     print(
         json.dumps(
@@ -128,6 +148,7 @@ def main() -> None:
                 "input_sec": round(input_sec, 3),
                 "rows_sec": round(rows_sec, 3),
                 "bytes_sec": round(bytes_sec, 3),
+                "bytes_payload_weight_sec": round(bytes_payload_sec, 3),
                 "speedup_vs_rows": round(rows_sec / bytes_sec, 2),
                 "docs": stats["n"],
                 "giant_frac_rows": round(stats["gn"] / stats["n"], 4),

@@ -28,7 +28,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -63,14 +62,7 @@ def materialize_skewed(spark, sf_dir: str, replication: int) -> str:
     return path
 
 
-def timed(df, passes: int = 2) -> float:
-    bench._force(df)  # untimed: plan + codegen + page cache
-    best = float("inf")
-    for _ in range(passes):
-        t0 = time.perf_counter()
-        bench._force(df)
-        best = min(best, time.perf_counter() - t0)
-    return best
+# timing via the shared bench.timed_best (rebuilds per pass)
 
 
 def main() -> None:
@@ -88,8 +80,10 @@ def main() -> None:
     docs = spark.read.parquet(path)
     n_docs = docs.count()
 
-    skewed_sec = timed(extract(docs))
-    balanced_sec = timed(extract(docs, balance=True, partitions=cpus * 4))
+    skewed_sec = bench.timed_best(lambda: extract(docs))
+    balanced_sec = bench.timed_best(
+        lambda: extract(docs, balance=True, partitions=cpus * 4)
+    )
 
     print(
         json.dumps(

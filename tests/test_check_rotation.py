@@ -43,3 +43,30 @@ def test_changed_query_not_in_registry_fails(monkeypatch, capsys):
 def test_all_changed_queries_exist():
     names = set(entrymod.queries())
     assert entrymod.CHANGED_QUERIES <= names
+
+
+def test_no_duplicate_literal_registry_keys():
+    """A rotation that promotes a query without deleting its old
+    position leaves a duplicate dict-literal key: Python silently keeps
+    the FIRST occurrence's position, so the dict-level uniqueness check
+    passes while the dead back entry misleads the next rotation edit.
+    Catch it at the source level."""
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(entrymod))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "queries":
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Dict):
+                    keys = [
+                        k.value
+                        for k in sub.keys
+                        if isinstance(k, ast.Constant)
+                    ]
+                    dupes = sorted(
+                        {k for k in keys if keys.count(k) > 1}
+                    )
+                    assert not dupes, f"duplicate registry keys: {dupes}"
+            return
+    raise AssertionError("queries() not found")

@@ -65,6 +65,9 @@ def test_approx_dup_count_never_negative(spark):
     for rsd in (0.02, 0.05, 0.1, 0.2):
         row = corpus_health(docs, approx=True, rsd=rsd).collect()[0]
         assert row.n_exact_dups >= 0, f"negative dup count at rsd={rsd}"
+        # the same overshoot must not leak through the sibling field:
+        # n_unique > n_docs with dups = 0 is internally impossible
+        assert row.n_unique <= row.n_docs, f"n_unique overshoot rsd={rsd}"
 
 
 def test_approx_plan_uses_hll_not_expand(spark):

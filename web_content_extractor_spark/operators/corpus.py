@@ -356,11 +356,14 @@ def corpus_health(
     return docs.agg(
         F.count("*").alias("n_docs"),
         F.sum(tq.token_count(F.col(text_col))).alias("total_tokens"),
-        distinct(fp).alias("n_unique"),
-        # HLL can overshoot count(*) on a fully-unique corpus; clamp so
-        # the approx report never prints a negative dup count
+        # HLL can overshoot count(*) on a fully-unique corpus; clamp
+        # n_unique at n_docs (a no-op in exact mode) so the report
+        # never prints n_unique > n_docs or a negative dup count, and
+        # the two fields stay internally consistent
+        F.least(F.count("*"), distinct(fp)).alias("n_unique"),
         F.greatest(
-            F.lit(0).cast("long"), F.count("*") - distinct(fp)
+            F.lit(0).cast("long"),
+            F.count("*") - F.least(F.count("*"), distinct(fp)),
         ).alias("n_exact_dups"),
         F.round(F.avg(chars_col), 6).alias("mean_chars"),
         distinct(F.col(source_col)).alias("n_sources"),

@@ -28,9 +28,14 @@ several row-light (= byte-heavy) buckets back into one partition,
 recreating exactly the skew being removed.  Classes are ~row-equal by
 construction, so the sampler lands one class per partition.
 
-The cost is one bounded driver collect, a per-row scan of a <=4096
-literal boundary array (~1-5us — noise next to a ~300us/doc parse),
-and the same single range exchange row-balancing pays.  Outputs are
+The cost is the boundary-sampling JOB (a scan of (key, weight) — if
+the weight expression reads the payload column, that is a full
+payload read on top of the processing pass; pass a metadata size
+column instead whenever the table has one, and the sample scans two
+narrow columns), one bounded driver collect, a narrow Arrow kernel
+assigning buckets by numpy binary search over the broadcast boundary
+array (log B compares/row — noise next to a ~300us/doc parse), and
+the same single range exchange row-balancing pays.  Outputs are
 row-identical to the input; only the physical layout changes.  A
 document larger than ``total_bytes/partitions`` still owns its
 partition's tail — the best any per-doc operator can do.  Trade-off
@@ -41,6 +46,8 @@ don't care, but order-sensitive sinks should sort downstream.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
@@ -59,7 +66,7 @@ def weighted_range_boundaries(
     key_col: str,
     weight,
     buckets: int,
-    oversample: int = 32,
+    oversample: int = 8,
     seed: int = 7,
 ) -> list:
     """``buckets - 1`` key boundaries at equal WEIGHT quantiles.
@@ -90,11 +97,16 @@ def weighted_range_boundaries(
     w = F.greatest(
         F.coalesce(weight.cast("double"), F.lit(1.0)), F.lit(1.0)
     )
+    # rand() can return exactly 0.0 (log -> NULL, which would sort
+    # NULLS FIRST straight into the sample and crash the driver-side
+    # max below) — clamp u away from 0; the clamped key is merely
+    # "extremely unlucky", not corrupt
+    u = F.greatest(F.rand(seed), F.lit(1e-300))
     sample = (
         df.select(
             F.col(key_col).alias("__k"),
             w.alias("__w"),
-            (-F.log(F.rand(seed)) / w).alias("__r"),
+            (-F.log(u) / w).alias("__r"),
         )
         .orderBy("__r")
         .limit(n)
@@ -103,7 +115,11 @@ def weighted_range_boundaries(
     rows = [(r["__k"], r["__w"]) for r in sample if r["__k"] is not None]
     if not rows:
         return []
-    if len(rows) >= n:
+    # truncation test on the RAW sample size: null-key rows dropped
+    # above still occupied sample slots, and skipping the HT floor on
+    # a truncated sample would double-count heavy rows (weight-biased
+    # inclusion x raw weight)
+    if len(sample) >= n:
         floor = 1.0 / max(r["__r"] for r in sample)  # = W_hat / n
         rows = [(k, max(wi, floor)) for k, wi in rows]
     rows.sort()
@@ -126,7 +142,7 @@ def byte_balanced(
     weight,
     partitions: int,
     bucket_factor: int = 32,
-    oversample: int = 32,
+    oversample: int = 8,
     seed: int = 7,
 ) -> DataFrame:
     """Repartition ``df`` into ``partitions`` partitions of ~equal
@@ -137,6 +153,17 @@ def byte_balanced(
     """
     if partitions < 1:
         raise ValueError("partitions must be >= 1")
+    if partitions > MAX_BUCKETS:
+        # silently capping buckets at MAX_BUCKETS would leave only
+        # `buckets` distinct classes — at most MAX_BUCKETS non-empty
+        # partitions and one bucket per class, i.e. half the requested
+        # parallelism and none of the multi-bucket byte-equalization.
+        # Fail loudly; at >4096-way parallelism rebalance per subrange.
+        raise ValueError(
+            f"partitions must be <= {MAX_BUCKETS} (boundary array is "
+            f"a per-row literal scan); split the corpus and rebalance "
+            f"per subrange instead"
+        )
     if partitions == 1:
         return df.coalesce(1)
     buckets = min(partitions * bucket_factor, MAX_BUCKETS)
@@ -145,8 +172,27 @@ def byte_balanced(
     )
     if not bounds:
         return df
-    arr = F.array(*[F.lit(b) for b in bounds])
-    bucket = F.size(F.filter(arr, lambda b: b <= F.col(key_col)))
+    # bucket = #bounds <= key, via numpy binary search in an Arrow
+    # kernel (log B Python compares per row).  The Column alternative
+    # — size(filter(lit_array, b -> b <= key)) — is an INTERPRETED
+    # HOF, a linear scan of all B boundaries per row: measured 0.8s
+    # over a 30k-doc corpus at B=4096 vs ~0.1s for the kernel, and
+    # linear-in-B where the kernel is flat
+    barr = np.array(bounds, dtype=object)
+
+    def _buckets(s: pd.Series) -> pd.Series:
+        vals = s.to_numpy(dtype=object)
+        mask = pd.isna(vals)
+        if mask.any():
+            vals = vals.copy()
+            vals[mask] = bounds[0]
+        idx = np.searchsorted(barr, vals, side="right").astype("int32")
+        if mask.any():
+            idx[mask] = 0  # null key -> bucket 0, matching filter-
+            # semantics (a null comparison keeps no boundary)
+        return pd.Series(idx)
+
+    bucket = F.pandas_udf(_buckets, "int")(F.col(key_col))
     return (
         df.withColumn("__class", bucket % partitions)
         .repartitionByRange(partitions, "__class")

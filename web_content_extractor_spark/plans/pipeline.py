@@ -56,13 +56,23 @@ def tokenize(
     docs: DataFrame,
     balance: bool | str = False,
     partitions: int | None = None,
+    weight=None,
 ) -> DataFrame:
     """DOCS -> TOKENIZED (the engine's single Python/Arrow stage).
 
     ``balance``: False = keep input layout (shuffle-free); "rows"
     (alias True) = ``repartitionByRange(doc_id)``, ~equal rows per
     partition; "bytes" = byte-weighted rebalance, ~equal payload bytes
-    per partition (heavy-tailed interleaved corpora).
+    per partition (heavy-tailed interleaved corpora).  Anything else
+    raises — a typo silently falling back to row-balancing would
+    reintroduce the exact straggler skew "bytes" exists to remove.
+
+    ``weight`` (bytes mode only): per-doc cost Column for the boundary
+    sample.  Default :func:`span_bytes` computes it from the payload —
+    which makes the sampling job READ the payload column; when the
+    input table carries a size/metadata column (most curated corpora
+    do), pass it here so the boundary sample scans only (doc_id,
+    n_bytes) and never touches the payload.
     """
     df = docs.select("doc_id", "spans")
     if balance == "bytes":
@@ -71,16 +81,23 @@ def tokenize(
         )
 
         df = byte_balanced(
-            df,
+            docs.select("doc_id", "spans")
+            if weight is None
+            else docs,
             "doc_id",
-            span_bytes(),
+            span_bytes() if weight is None else weight,
             partitions or df.sparkSession.sparkContext.defaultParallelism,
-        )
-    elif balance:
+        ).select("doc_id", "spans")
+    elif balance is True or balance == "rows":
         df = (
             df.repartitionByRange(partitions, "doc_id")
             if partitions
             else df.repartitionByRange("doc_id")
+        )
+    elif balance:
+        raise ValueError(
+            f"balance must be False, True/'rows', or 'bytes'; "
+            f"got {balance!r}"
         )
     return df.mapInPandas(tokenize_batches, schema=TOKENIZED)
 
@@ -88,17 +105,21 @@ def tokenize(
 def extract(
     docs: DataFrame,
     variant: str = "context",
-    balance: bool = False,
+    balance: bool | str = False,
     partitions: int | None = None,
     with_stats: bool = False,
     with_errors: bool = False,
+    weight=None,
 ) -> DataFrame:
     """Full extraction: docs -> (doc_id, spans[, stats columns]).
 
     Output spans satisfy the per-row invariant: sequence equality of
     (kind, text, media_ref, order) against the reference extractor.
+    ``balance``/``weight`` pass through to :func:`tokenize`.
     """
-    tok = tokenize(docs, balance=balance, partitions=partitions)
+    tok = tokenize(
+        docs, balance=balance, partitions=partitions, weight=weight
+    )
     cols = [
         F.col("doc_id"),
         assemble_spans(
