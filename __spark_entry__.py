@@ -2347,12 +2347,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      whose code changed in round 3 (rank precompute, jump-scan,
     #      drop-not-fail URL parse) after its r2 certification.
     # The 49 r3-certified entries (CORRECTNESS_r03 green) rotate to the
-    # back.  Round-5 rotation guidance: front-fill with the 9 r2-green
-    # entries that did not fit this round (pivot_counts, unpivot_counts,
-    # resample_counts, moving_average, repetition_scores, line_dedup,
-    # chunk_docs, pii_redact, shard_corpus — the oldest rows after r4)
-    # plus the oldest r3 block; `python scripts/check_rotation.py` audits
-    # that no oracled entry's last driver-green row ages past 2 rounds.
+    # back.  Round-5 rotation checklist (enforced by
+    # `python scripts/check_rotation.py` — run it after every edit):
+    #   1. RESET CHANGED_QUERIES above to the queries whose code/oracle
+    #      changes in round 5; every member must sit in the front-50.
+    #   2. Front-fill with the 15 entries whose last green row will be
+    #      r2-aged: pivot_counts, unpivot_counts, resample_counts,
+    #      moving_average, repetition_scores, line_dedup, chunk_docs,
+    #      pii_redact, shard_corpus (r2-green leftovers) plus the six
+    #      stable entries demoted mid-r4 to make room for the
+    #      code-changed block (priority_order, window_rank, sessionize,
+    #      group_by_source, value_percentiles, json_props).
+    #   3. Back-fill the remaining ~35 slots with the oldest
+    #      r3-certified entries.
+    #   4. DELETE each promoted entry's old literal (duplicate keys
+    #      silently keep the FIRST position — test_check_rotation pins
+    #      this at the AST level).
     return {
         # --- rows-only block: first-ever driver rows (rows_match only;
         # each keeps its stronger differential/recall pytest oracle) ---
