@@ -141,6 +141,23 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rebalance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-balanced extraction is output-identical to plain
+    extraction BY CONTRACT (operators/rebalance.py moves the physical
+    layout, never rows): same span table as extract_spans, produced
+    through the weighted-sample boundary job + bucket-interleave +
+    range exchange.  Shares extract_spans' DuckDB oracle, so the
+    layout operator is driver-certified end to end through the
+    flagship path."""
+    docs = _synth_docs(_read(spark, sf_dir, "documents"))
+    return explode_spans(
+        extract(docs, balance="bytes", partitions=32)
+    ).select(
+        "doc_id", "kind", "text", "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _synth_docs(_read(spark, sf_dir, "documents"))
     ex = extract(docs, with_stats=True)
@@ -2325,6 +2342,8 @@ CHANGED_QUERIES = {
     # r4: ANN _read_pushdown (query-side reads filter at the scan)
     "embedding_neardup_exact", "similarity_topk",
     "ivf_topk", "pq_topk", "lsh_topk", "ivfpq_topk",
+    # r4: new — byte-balanced extraction roundtrip
+    "rebalance_roundtrip",
     # r3 (carried: certified r2, code changed r3, re-certifying now):
     "extract_spans", "extract_metrics", "crawl_merge",
     "classifier_context", "classifier_regex",
@@ -2351,13 +2370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # `python scripts/check_rotation.py` — run it after every edit):
     #   1. RESET CHANGED_QUERIES above to the queries whose code/oracle
     #      changes in round 5; every member must sit in the front-50.
-    #   2. Front-fill with the 15 entries whose last green row will be
+    #   2. Front-fill with the 16 entries whose last green row will be
     #      r2-aged: pivot_counts, unpivot_counts, resample_counts,
     #      moving_average, repetition_scores, line_dedup, chunk_docs,
-    #      pii_redact, shard_corpus (r2-green leftovers) plus the six
+    #      pii_redact, shard_corpus (r2-green leftovers) plus the seven
     #      stable entries demoted mid-r4 to make room for the
-    #      code-changed block (priority_order, window_rank, sessionize,
-    #      group_by_source, value_percentiles, json_props).
+    #      code-changed block (priority_order, dedup_first_wins,
+    #      window_rank, sessionize, group_by_source, value_percentiles,
+    #      json_props).
     #   3. Back-fill the remaining ~35 slots with the oldest
     #      r3-certified entries.
     #   4. DELETE each promoted entry's old literal (duplicate keys
@@ -2390,6 +2410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health": q_corpus_health,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "similarity_topk": q_similarity_topk,
+        # new this round: byte-balanced extraction, certified against
+        # the extract_spans oracle (layout op, output-identical)
+        "rebalance_roundtrip": q_rebalance_roundtrip,
         # --- r2-certified, oldest rows; extraction path changed in r3 ---
         # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
         "extract_spans": q_extract_spans,
@@ -2417,7 +2440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_rel": q_quality_score_rel,
         "anti_join": q_anti_join,
         "join_agg": q_join_agg,
-        "dedup_first_wins": q_dedup_first_wins,
         # training-data ops
         "windowed_counts": q_windowed_counts,
         "dedup_exact": q_dedup_exact,
@@ -2433,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # priority_order, window_rank, sessionize, group_by_source,
         # value_percentiles, json_props) ---
         "priority_order": q_priority_order,
+        "dedup_first_wins": q_dedup_first_wins,
         "window_rank": q_window_rank,
         "sessionize": q_sessionize,
         "group_by_source": q_group_by_source,
@@ -2640,7 +2663,7 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 0.0 END * 2.0, 1.0))
         ), 2)
     """
-    return {
+    sql = {
         "extract_spans": _SYNTH_ORACLE_CTE
         + """
         SELECT base AS doc_id, kind, text, media_ref,
@@ -4482,3 +4505,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_pairs / simhash / lsh_topk / crawl_merge: intentionally
         # no oracle (hash-seeded / approximate / iterative) -> rows-only.
     }
+    # byte-balanced extraction is output-identical to plain extraction
+    # by contract — the layout op certifies against the same oracle
+    sql["rebalance_roundtrip"] = sql["extract_spans"]
+    return sql

@@ -38,6 +38,7 @@ from web_content_extractor_spark.session import get_spark  # noqa: E402
 # headline queries from the driver contract, heaviest operator families
 HEADLINE = [
     "extract_spans",      # full engine: tokenize -> classify -> assemble
+    "rebalance_roundtrip",  # same engine through the byte-balanced layout
     "extract_metrics",    # + per-doc agg stats
     "content_blocks",     # north-star boilerpipe-style content extraction
     "agg_counts",         # TPC-H Q1-style groupBy over lineitem
