@@ -76,6 +76,31 @@ def main() -> int:
         ],
     )
 
+    # 1b. byte-balanced extraction — exactly ONE range exchange
+    # (weighted boundaries -> interleave classes), the bucket kernel is
+    # an Arrow stage (numpy searchsorted, never an interpreted HOF
+    # filter over the boundary array), tokenizer still one MapInPandas
+    exb = extract(docs, balance="bytes", partitions=32)
+    p = formatted(exb)
+    audit(
+        "extract balance='bytes' (byte-weighted rebalance)",
+        exb,
+        [
+            # formatted mode puts the node name and its Arguments on
+            # separate lines — match the partitioning markers, never
+            # "Exchange rangepartitioning" composites
+            ("exactly one exchange, and it is a range partitioning",
+             len(re.findall(r"\(\d+\) Exchange", p)) == 1
+             and "rangepartitioning(" in p
+             and "hashpartitioning(" not in p),
+            ("bucket assignment is an Arrow kernel, not an interpreted"
+             " HOF boundary scan",
+             "ArrowEvalPython" in p and "filter(" not in p.lower()),
+            ("tokenizer still a single MapInPandas stage",
+             p.count("MapInPandas") == 2),  # tree + detail render
+        ],
+    )
+
     # 2. filter + projection pushdown into the parquet scan
     li = (
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
