@@ -2450,10 +2450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filters": q_quality_filters,
         "curation_manifest": q_curation_manifest,
         # --- position 51+: r2-green leftovers (oldest after this round;
-        # front of the r5 rotation — including the six stable r2 entries
-        # demoted mid-r4 to make room for the code-changed block above:
-        # priority_order, window_rank, sessionize, group_by_source,
-        # value_percentiles, json_props) ---
+        # front of the r5 rotation — including the seven stable r2
+        # entries demoted mid-r4 to make room for the code-changed
+        # block above: priority_order, dedup_first_wins, window_rank,
+        # sessionize, group_by_source, value_percentiles, json_props) ---
         "priority_order": q_priority_order,
         "dedup_first_wins": q_dedup_first_wins,
         "window_rank": q_window_rank,

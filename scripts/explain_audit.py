@@ -93,9 +93,13 @@ def main() -> int:
              len(re.findall(r"\(\d+\) Exchange", p)) == 1
              and "rangepartitioning(" in p
              and "hashpartitioning(" not in p),
+            # negative match is the SPECIFIC size(filter(...)) shape
+            # the old implementation compiled to — a plan-wide bare
+            # 'filter(' match would trip on any unrelated HOF filter a
+            # future extraction change legitimately adds
             ("bucket assignment is an Arrow kernel, not an interpreted"
              " HOF boundary scan",
-             "ArrowEvalPython" in p and "filter(" not in p.lower()),
+             "ArrowEvalPython" in p and "size(filter(" not in p.lower()),
             ("tokenizer still a single MapInPandas stage",
              p.count("MapInPandas") == 2),  # tree + detail render
         ],
