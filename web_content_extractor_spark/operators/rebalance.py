@@ -150,6 +150,19 @@ def byte_balanced(
 
     ``weight`` is a Column of per-row cost.  Rows and values are
     unchanged; only the physical layout moves.
+
+    Balance floors, measured on a synthetic 100x tail: (a) per-row
+    atomicity — one document heavier than ``total_weight/partitions``
+    makes max/mean >= its share no matter the layout (max/mean 2.4 at
+    P=128 on a corpus whose giants are each ~1.1e-3 of total weight);
+    (b) interleave averaging — classes aggregate ``bucket_factor``
+    byte-equal buckets, and once ``partitions`` approaches
+    ``MAX_BUCKETS / 8`` the factor collapses toward 1, class variance
+    rises, and duplicate boundary keys leave some classes empty
+    (P=2048 -> 1355 non-empty, max/mean 24 on the same corpus).  Keep
+    ``partitions * 8 <= MAX_BUCKETS`` for the balance guarantee; at
+    10^12 docs a single partition holds millions of rows and floor (a)
+    vanishes.
     """
     if partitions < 1:
         raise ValueError("partitions must be >= 1")
