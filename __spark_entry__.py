@@ -1417,6 +1417,30 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source semantics, hash-checked end to end: serialize the
+    documents table to JSON lines natively (to_json — string escaping
+    included), TEAR every 97th line mid-string (simulating truncated
+    shard tails), parse back with the corrupt-column drop-not-fail
+    path (sources/jsonl.py parse_jsonl_lines), and return the
+    surviving (doc_id, text).  The oracle is the documents table minus
+    the torn ids, so JSON string escaping (quotes, backslashes,
+    newlines, unicode) must round-trip exactly and torn lines must
+    drop, never fail or ghost through as null rows."""
+    from web_content_extractor_spark.sources.jsonl import (
+        parse_jsonl_lines,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    line = F.to_json(F.struct(F.col("doc_id"), F.col("text")))
+    torn = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.substring(line, 1, 12),  # cut inside the JSON string
+    ).otherwise(line)
+    lines = d.select(torn.alias("line"))
+    return parse_jsonl_lines(lines, "line", "doc_id long, text string")
+
+
 def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing into (host, path_prefix) disallow rules for
     ua='*' — spec group semantics (consecutive User-agent lines = one
@@ -2344,6 +2368,8 @@ CHANGED_QUERIES = {
     "ivf_topk", "pq_topk", "lsh_topk", "ivfpq_topk",
     # r4: new — byte-balanced extraction roundtrip
     "rebalance_roundtrip",
+    # r4: new — JSONL source semantics (escape roundtrip + torn-line drop)
+    "jsonl_roundtrip",
     # r3 (carried: certified r2, code changed r3, re-certifying now):
     "extract_spans", "extract_metrics", "crawl_merge",
     "classifier_context", "classifier_regex",
@@ -2370,14 +2396,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # `python scripts/check_rotation.py` — run it after every edit):
     #   1. RESET CHANGED_QUERIES above to the queries whose code/oracle
     #      changes in round 5; every member must sit in the front-50.
-    #   2. Front-fill with the 16 entries whose last green row will be
+    #   2. Front-fill with the 17 entries whose last green row will be
     #      r2-aged: pivot_counts, unpivot_counts, resample_counts,
     #      moving_average, repetition_scores, line_dedup, chunk_docs,
-    #      pii_redact, shard_corpus (r2-green leftovers) plus the seven
+    #      pii_redact, shard_corpus (r2-green leftovers) plus the eight
     #      stable entries demoted mid-r4 to make room for the
-    #      code-changed block (priority_order, dedup_first_wins,
-    #      window_rank, sessionize, group_by_source, value_percentiles,
-    #      json_props).
+    #      code-changed block (priority_order, agg_counts,
+    #      dedup_first_wins, window_rank, sessionize, group_by_source,
+    #      value_percentiles, json_props).
     #   3. Back-fill the remaining ~35 slots with the oldest
     #      r3-certified entries.
     #   4. DELETE each promoted entry's old literal (duplicate keys
@@ -2411,8 +2437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "similarity_topk": q_similarity_topk,
         # new this round: byte-balanced extraction, certified against
-        # the extract_spans oracle (layout op, output-identical)
+        # the extract_spans oracle (layout op, output-identical), and
+        # the JSONL source's escape-roundtrip + torn-line-drop contract
         "rebalance_roundtrip": q_rebalance_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         # --- r2-certified, oldest rows; extraction path changed in r3 ---
         # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
         "extract_spans": q_extract_spans,
@@ -2435,7 +2463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_ids": q_video_ids,
         "doc_link_stats": q_doc_link_stats,
         # relational operators (SURVEY §2.5-§2.7)
-        "agg_counts": q_agg_counts,
         "link_distribution": q_link_distribution,
         "quality_score_rel": q_quality_score_rel,
         "anti_join": q_anti_join,
@@ -2455,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # block above: priority_order, dedup_first_wins, window_rank,
         # sessionize, group_by_source, value_percentiles, json_props) ---
         "priority_order": q_priority_order,
+        "agg_counts": q_agg_counts,
         "dedup_first_wins": q_dedup_first_wins,
         "window_rank": q_window_rank,
         "sessionize": q_sessionize,
@@ -4508,4 +4536,9 @@ def oracle_sql() -> dict[str, str]:
     # byte-balanced extraction is output-identical to plain extraction
     # by contract — the layout op certifies against the same oracle
     sql["rebalance_roundtrip"] = sql["extract_spans"]
+    # JSONL roundtrip: every 97th line is torn mid-string and must
+    # drop; everything else round-trips through to_json/from_json
+    sql["jsonl_roundtrip"] = """
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    """
     return sql

@@ -46,9 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", default=None,
                    help="docs path (parquet dir) or Iceberg table id")
     p.add_argument("--input-format", default=None,
-                   choices=("parquet", "iceberg", "warc"),
+                   choices=("parquet", "iceberg", "warc", "jsonl"),
                    help="input format (default: auto — Iceberg for "
-                        "table ids, parquet for paths); 'warc' reads "
+                        "table ids, parquet for paths); 'jsonl' reads "
+                        "one-JSON-object-per-line docs (schema-"
+                        "enforced, corrupt lines dropped not fatal); "
+                        "'warc' reads "
                         "Common Crawl-style .warc/.warc.gz archives, "
                         "one doc per response record")
     p.add_argument("--cdx-output", default=None,
@@ -211,6 +214,11 @@ def _load_docs(spark, args):
             # _load_docs runs again for --content-output: write once
             args.cdx_output = None
         return warc_docs(parsed)
+    if args.input_format == "jsonl":
+        from web_content_extractor_spark.schemas import DOCS
+        from web_content_extractor_spark.sources.jsonl import read_jsonl
+
+        return read_jsonl(spark, args.input, DOCS)
     return read_docs(spark, args.input, fmt=args.input_format)
 
 
@@ -318,6 +326,13 @@ def main(argv: list[str] | None = None) -> int:
                      "inputs resume from table snapshots instead — "
                      "run snapshot_diff/changed_docs and extract the "
                      "changed ids in plain mode"
+        }))
+        return 2
+    if args.input_format == "jsonl" and args.resume:
+        print(json.dumps({
+            "error": "--resume tracks parquet file lineage; JSONL "
+                     "inputs run in plain mode (shards are immutable "
+                     "— re-run on the new files only)"
         }))
         return 2
     if args.input_format == "warc" and args.resume:
