@@ -156,6 +156,39 @@ def test_jobs_jsonl_resume_rejected(tmp_path):
     assert rc == 2
 
 
+def test_jobs_corpus_build_from_jsonl(spark, tmp_path, capsys):
+    """--corpus-input-format jsonl: the corpus pipeline builds from
+    JSONL shards, torn lines dropped."""
+    from web_content_extractor_spark.jobs import main
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and keeps going "
+        "through the quiet field while the morning light slowly rises "
+    ) * 4
+    lines = [
+        json.dumps(
+            {"doc_id": i, "text": body + f" tail {i}", "source": "web"}
+        )
+        for i in range(8)
+    ] + ['{"doc_id": 999, "text": "torn']
+    p = str(tmp_path / "docs.jsonl")
+    _write_lines(p, lines)
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "--corpus-input", p,
+        "--corpus-input-format", "jsonl",
+        "--corpus-output", out,
+        "--chunk-size", "64",
+        "--chunk-overlap", "16",
+        "--shards", "2",
+        "--pack-budget", "128",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["corpus"]["curation_funnel"]["total"] == 8  # torn line gone
+    assert spark.read.parquet(out).count() > 0
+
+
 def test_caller_schema_not_mutated(spark, tmp_path):
     schema = T.StructType.fromDDL(FLAT)
     n = len(schema.fields)

@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="text documents table (doc_id, text) to build a "
                         "training corpus from: curate -> chunk -> shard "
                         "-> pack -> clustered write")
+    p.add_argument("--corpus-input-format", default="parquet",
+                   choices=("parquet", "jsonl"),
+                   help="corpus input format; 'jsonl' reads one-JSON-"
+                        "object-per-line shards (schema-enforced, "
+                        "corrupt lines dropped not fatal)")
     p.add_argument("--corpus-output", default=None,
                    help="packed-corpus output root (requires "
                         "--corpus-input); written partitioned by shard, "
@@ -451,7 +456,18 @@ def main(argv: list[str] | None = None) -> int:
             curation_manifest,
         )
 
-        docs = spark.read.parquet(args.corpus_input)
+        if args.corpus_input_format == "jsonl":
+            from web_content_extractor_spark.sources.jsonl import (
+                read_jsonl,
+            )
+
+            docs = read_jsonl(
+                spark,
+                args.corpus_input,
+                "doc_id long, text string, source string",
+            )
+        else:
+            docs = spark.read.parquet(args.corpus_input)
         # corpus mode decontaminates only against a REAL eval set: the
         # synthetic default snippet table is lifted from the corpus
         # itself (an oracle/demo construction that would flag every doc)
