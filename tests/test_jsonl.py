@@ -189,6 +189,46 @@ def test_jobs_corpus_build_from_jsonl(spark, tmp_path, capsys):
     assert spark.read.parquet(out).count() > 0
 
 
+def test_stream_extract_from_jsonl_landing_dir(spark, tmp_path):
+    """JSONL landing dir: exactly-once shard pickup across two
+    availableNow drains, torn lines dropped without killing the
+    stream."""
+    from web_content_extractor_spark.streaming.incremental import (
+        stream_extract,
+    )
+
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    import os
+
+    os.makedirs(inp)
+
+    def doc(i):
+        return json.dumps({
+            "doc_id": f"https://e.com/{i}",
+            "spans": [{
+                "kind": "html",
+                "text": f"<html><body><a href='https://e.com/{i}.pdf'>"
+                        f"D{i}</a></body></html>",
+                "media_ref": None,
+                "offset": 0,
+            }],
+        })
+
+    _write_lines(f"{inp}/shard0.jsonl", [doc(0), '{"torn', doc(1)])
+    q = stream_extract(spark, inp, outp, ckpt, fmt="jsonl")
+    q.awaitTermination(120)
+    assert spark.read.parquet(outp).count() == 2
+
+    _write_lines(f"{inp}/shard1.jsonl", [doc(2)])
+    q = stream_extract(spark, inp, outp, ckpt, fmt="jsonl")
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    assert out.count() == 3  # exactly-once: shard0 not reprocessed
+    assert out.select("doc_id").distinct().count() == 3
+    kinds = {r.doc_id: [s.kind for s in r.spans] for r in out.collect()}
+    assert kinds["https://e.com/2"] == ["pdf"]
+
+
 def test_caller_schema_not_mutated(spark, tmp_path):
     schema = T.StructType.fromDDL(FLAT)
     n = len(schema.fields)

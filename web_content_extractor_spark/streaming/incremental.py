@@ -30,9 +30,42 @@ from web_content_extractor_spark.schemas import DOCS
 
 
 def read_docs_stream(
-    spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """File-source stream over a landing directory of docs parquet."""
+    """File-source stream over a landing directory of docs shards.
+
+    ``fmt``: "parquet" (default) or "jsonl" — JSONL landing dirs are
+    what upstream producers most often drop; the stream picks each
+    shard up exactly once (file-source semantics) and torn lines
+    inside a shard drop, never kill the query (PERMISSIVE + corrupt
+    column, same contract as sources/jsonl.read_jsonl — Spark's
+    streaming JSON source accepts the same options)."""
+    if fmt == "jsonl":
+        from pyspark.sql import types as T
+
+        from web_content_extractor_spark.sources.jsonl import CORRUPT_COL
+
+        with_corrupt = T.StructType(
+            list(DOCS.fields)
+            + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+        reader = (
+            spark.readStream.schema(with_corrupt)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        )
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        return (
+            reader.json(input_path)
+            .where(F.col(CORRUPT_COL).isNull())
+            .drop(CORRUPT_COL)
+        )
     reader = spark.readStream.schema(DOCS)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -46,13 +79,15 @@ def stream_extract(
     checkpoint_path: str,
     variant: str = "context",
     available_now: bool = True,
+    fmt: str = "parquet",
 ) -> StreamingQuery:
     """Incrementally extract newly-landed doc files; exactly-once sink.
 
     ``available_now=True`` processes the current backlog and stops
     (resumable batch); ``False`` runs continuously on new files.
+    ``fmt``: "parquet" or "jsonl" landing shards.
     """
-    docs = read_docs_stream(spark, input_path)
+    docs = read_docs_stream(spark, input_path, fmt=fmt)
     ex = extract(docs, variant=variant)
     writer = (
         ex.writeStream.format("parquet")
