@@ -35,6 +35,12 @@ def test_read_drops_corrupt_lines_not_fail(spark, tmp_path):
     rows = {r.doc_id for r in out.collect()}
     assert rows == set(range(10))
     assert CORRUPT_COL not in out.columns
+    # count() prunes every data column, leaving only the corrupt-column
+    # reference — under the JSON datasource that trips the analyzer's
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN guard (probed: AnalysisException
+    # on a plain count over an ingest).  The text+from_json parse has
+    # no such guard; a source you cannot count is not drop-not-fail.
+    assert out.count() == 10
 
 
 def test_trailing_junk_is_a_null_row_not_corrupt(spark, tmp_path):
@@ -53,6 +59,8 @@ def test_quarantine_captures_dropped_lines(spark, tmp_path):
         p,
         [json.dumps({"doc_id": 1, "text": "ok", "source": "s"}),
          '{"truncated": ',
+         "",      # blank: datasource skips silently — must NOT quarantine
+         "   ",   # whitespace-only: same
          "garbage line"],
     )
     out = read_jsonl(spark, p, FLAT, quarantine_path=q)

@@ -50,35 +50,49 @@ def read_jsonl(
     after a valid first object (``{}{}``) parses as the first object,
     silently — it is a null-field row, not a corrupt one.
 
-    One scan when ``quarantine_path`` is None; two bounded scans
-    otherwise (Spark requires re-reading to materialize the corrupt
-    column's source lines — the quarantine read is filtered to corrupt
-    lines only).
+    The parse is ``read.text`` + ``from_json``, NOT the JSON
+    datasource, for two reasons probed the hard way:
+
+    - the datasource's corrupt column carries an analyzer guard
+      (``QUERY_ONLY_CORRUPT_RECORD_COLUMN``) that REJECTS any plan
+      referencing only that column from the raw file — which is
+      exactly what ``df.count()`` becomes once the optimizer prunes
+      the data columns above the drop filter.  A source whose output
+      cannot be counted without an AnalysisException violates this
+      module's drop-not-fail contract; Spark's sanctioned workaround
+      is ``cache()``, which at a 100 TB ingest is exactly backwards.
+    - ``from_json`` under the same PERMISSIVE options makes the
+      identical corrupt/kept call as the datasource on every probed
+      edge case (torn JSON, bare scalars, arrays, trailing junk), so
+      nothing is lost; a blank line — which the datasource silently
+      skips — parses to a NULL struct here and is dropped by the same
+      filter, preserving that behavior too.
+
+    One text scan when ``quarantine_path`` is None; two independent
+    pipelined text scans otherwise (the quarantine pass re-reads and
+    keeps only corrupt lines — strictly cheaper than materializing
+    the parsed corpus to make one scan legal).
     """
-    if isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
-    # StructType.add mutates in place — never extend the caller's object
-    with_corrupt = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
-    )
-    df = (
-        spark.read.schema(with_corrupt)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
+    raw = spark.read.text(path)
     if quarantine_path is not None:
-        # cache() is REQUIRED for the corrupt column to be observable
-        # together with the parsed columns (Spark rereads otherwise
-        # and prunes the corrupt source); bounded by the input split
-        df = df.cache()
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        with_corrupt = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+        rec = F.from_json(
+            F.col("value"),
+            with_corrupt,
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": CORRUPT_COL},
+        )
         (
-            df.where(F.col(CORRUPT_COL).isNotNull())
-            .select(F.col(CORRUPT_COL).alias("line"))
+            raw.where(rec[CORRUPT_COL].isNotNull())
+            .select(F.col("value").alias("line"))
             .write.mode("append")
             .json(quarantine_path)
         )
-    return df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return parse_jsonl_lines(raw, "value", schema)
 
 
 def write_jsonl(
