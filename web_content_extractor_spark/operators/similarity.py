@@ -375,19 +375,70 @@ def ivf_build(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: int | None = 4096,
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: spherical k-means.
 
     Init = random-partition (pmod(xxhash64(id), k) — deterministic,
-    balanced); then ``iters`` Lloyd rounds: numpy matmul assignment
-    (Arrow UDF), centroid update as a posexplode -> groupBy(cid, pos)
-    mean (one balanced shuffle of n x dim scalars).  The k x dim
-    centroid matrix is collected per round — the index artifact, tiny
-    by construction.  At real corpus scale you build this from a
-    sample; the per-round plan shape is unchanged.
+    balanced); then ``iters`` Lloyd rounds of numpy matmul assignment
+    + per-cell mean, an empty cell keeping its previous centroid.
+
+    ``sample`` (default 4096, the same knob and hash-sample as
+    ``pq_train``) trains on the ``sample`` lowest-xxhash64(id) rows,
+    collected ONCE and iterated driver-side in numpy: a quantizer is
+    an index artifact, and training it on more than a bounded sample
+    is wasted corpus passes at 10^9+ rows — one TakeOrdered job
+    replaces ``1 + 2*iters`` distributed passes (measured: the build
+    was a third of ivf_topk's bench time at sf0.1, all of it per-job
+    overhead on a 2k-row table).  When the table has at most
+    ``sample`` rows the sample IS the corpus and the Lloyd trajectory
+    matches the distributed path's exactly, up to float summation
+    order.  ``sample=None`` trains distributed on the full corpus:
+    per-round map-side partial sums (at most k x dim floats per
+    partition reach the driver — no shuffle), for when the quantizer
+    must see every row.
     """
 
     import pandas as pd
+
+    if sample is not None:
+        rows = (
+            embeddings.select(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
+                .cast("int")
+                .alias("cid"),
+                F.col(vec_col).alias("v"),
+                F.xxhash64(F.col(id_col)).alias("h"),
+            )
+            .orderBy("h", "v")
+            .limit(sample)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(
+                "ivf_build: empty embeddings input (nothing to index)"
+            )
+        V = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+        dim = V.shape[1]
+
+        def np_means(
+            cids: "np.ndarray", prev: "np.ndarray | None"
+        ) -> "np.ndarray":
+            out = np.zeros((n_centroids, dim))
+            for c in range(n_centroids):
+                sel = V[cids == c]
+                if len(sel):
+                    out[c] = sel.mean(axis=0)
+                elif prev is not None:  # empty cell keeps its centroid
+                    out[c] = prev[c]
+            return out
+
+        C = np_means(np.array([r.cid for r in rows]), None)
+        Vn = _norm_rows(V)
+        for _ in range(iters):
+            a = np.argmax(Vn @ _norm_rows(C).T, axis=1)
+            C = np_means(a, C)
+        return [list(c) for c in C]
 
     def means(assigned: DataFrame, prev: list[list[float]] | None) -> list[list[float]]:
         # map-side partial sums: each partition reduces its vectors to
@@ -466,6 +517,7 @@ def ivf_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: int | None = 4096,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` nearest inverted
     lists per query instead of scanning the corpus.
@@ -482,7 +534,7 @@ def ivf_topk(
     q_ids, Q = _collect_queries(queries, id_col, vec_col)
     if not q_ids:
         return _empty_topk(embeddings, id_col)
-    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col, sample)
     assign = _assign_udf(C)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -608,6 +660,7 @@ def semantic_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_rows: int = 200_000,
+    sample: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup via k-means + within-
     cluster cosine pruning.
@@ -633,7 +686,7 @@ def semantic_duplicates(
     degenerate embedding space) instead of silently OOM-ing an
     executor.
     """
-    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col, sample)
     assigned = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -1009,7 +1062,7 @@ def ivfpq_index(
     fused narrow pass encodes every vector to (cid, codes, vnorm).
     ``cid`` is the partition/bucket key to lay the codes table out by
     at real scale (probes become partition-pruned scans)."""
-    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    C = ivf_build(embeddings, n_centroids, iters, id_col, vec_col, sample)
     books = pq_train(
         embeddings, m, n_codes, pq_iters, sample, seed, id_col, vec_col
     )
