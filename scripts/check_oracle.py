@@ -14,6 +14,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, ".")
@@ -25,6 +26,25 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def unhashable_cols(df: pd.DataFrame) -> list[str]:
+    """Columns the DRIVER's canonicalizer cannot sort/hash (its pandas
+    sort_values raises on list/dict/array values — the anchor_index
+    err row of round 3).  Our own canon() stringifies them, so without
+    this check the local gate passes queries the driver errs on;
+    every registry query must emit scalar columns only."""
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype != object:
+            continue
+        vals = col.dropna()
+        if len(vals) and isinstance(
+            vals.iloc[0], (list, set, dict, tuple, np.ndarray)
+        ):
+            bad.append(c)
+    return bad
 
 
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
@@ -74,6 +94,11 @@ def main() -> int:
             failures += 1
             continue
         el = time.time() - t0
+        bad = unhashable_cols(sdf)
+        if bad:
+            print(f"FAIL  {name}: driver-unhashable column(s) {bad}")
+            failures += 1
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows ({el:.1f}s) [rows-only]")
             if len(sdf) == 0 and name != "anti_join":
