@@ -2363,9 +2363,13 @@ CHANGED_QUERIES = {
     "crawl_schedule", "robots_decisions", "url_blocklist",
     # r4: corpus_health operator refactor + approx clamp
     "corpus_health",
-    # r4: ANN _read_pushdown (query-side reads filter at the scan)
+    # r4: ANN _read_pushdown (query-side reads filter at the scan);
+    # late r4: ivf_build trains on a driver-side hash sample, which
+    # also moves semantic_dedup's quantizer (same Lloyd trajectory at
+    # this corpus size, but float summation order differs)
     "embedding_neardup_exact", "similarity_topk",
     "ivf_topk", "pq_topk", "lsh_topk", "ivfpq_topk",
+    "semantic_dedup",
     # r4: new — byte-balanced extraction roundtrip
     "rebalance_roundtrip",
     # r4: new — JSONL source semantics (escape roundtrip + torn-line drop)
