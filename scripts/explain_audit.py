@@ -89,10 +89,15 @@ def main() -> int:
             # formatted mode puts the node name and its Arguments on
             # separate lines — match the partitioning markers, never
             # "Exchange rangepartitioning" composites
-            ("exactly one exchange, and it is a range partitioning",
+            # hash, not range: the class -> partition hop rides a
+            # precomputed perfect-hash routing key, so there is no
+            # RangePartitioner boundary-sampling job and no
+            # rdd.id-seeded placement nondeterminism
+            ("exactly one exchange, and it is a hash partitioning "
+             "on the routing key",
              len(re.findall(r"\(\d+\) Exchange", p)) == 1
-             and "rangepartitioning(" in p
-             and "hashpartitioning(" not in p),
+             and "hashpartitioning(__route" in p
+             and "rangepartitioning(" not in p),
             # negative match is the SPECIFIC size(filter(...)) shape
             # the old implementation compiled to — a plan-wide bare
             # 'filter(' match would trip on any unrelated HOF filter a

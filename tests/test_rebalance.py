@@ -75,7 +75,12 @@ def test_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
-    assert "rangepartitioning" in plan.lower()
+    # a plain hash exchange on the perfect-hash routing key: no
+    # RangePartitioner boundary-sampling job, no rdd.id-seeded
+    # nondeterminism (the pre-fix flake: same plan, different session
+    # history -> two classes merged into one partition)
+    assert "hashpartitioning" in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
 
 
 def test_deterministic_boundaries(spark):
@@ -111,9 +116,9 @@ def test_edge_cases(spark):
 def test_randomized_invariants(spark):
     """Seeded randomized corpora (duplicate keys, zero/null weights,
     extreme skew): rows are always preserved exactly, same-key rows
-    land in the same partition (range partitioning on the derived
-    class is key-deterministic), and no partition exceeds a loose
-    weight bound when per-row atomicity allows balance at all."""
+    land in the same partition (the routing key is a pure function of
+    doc_id), and no partition exceeds a loose weight bound when
+    per-row atomicity allows balance at all."""
     import random
 
     rnd = random.Random(11)
@@ -162,3 +167,41 @@ def test_pipeline_balance_bytes_output_equal(spark):
     base = canon(extract(docs).collect())
     balanced = canon(extract(docs, balance="bytes").collect())
     assert base == balanced
+
+
+def test_murmur3_parity_with_spark_hash(spark):
+    """The driver-side Murmur3 twin must equal Spark's F.hash on
+    IntegerType for the routing trick to place classes exactly —
+    pins the perfect-hash keys against engine drift."""
+    from web_content_extractor_spark.operators.rebalance import (
+        murmur3_int32,
+        perfect_hash_keys,
+    )
+
+    vals = list(range(-100, 400)) + [2**31 - 1, -(2**31)]
+    got = {
+        r.v: r.h
+        for r in spark.createDataFrame([(v,) for v in vals], "v int")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    }
+    assert got == {v: murmur3_int32(v) for v in vals}
+    # and the precomputed keys really are a bijection onto 0..P-1
+    for p in (2, 8, 37, 256):
+        keys = perfect_hash_keys(p)
+        assert sorted(murmur3_int32(k) % p for k in keys) == list(range(p))
+
+
+def test_exact_class_placement_is_session_independent(spark):
+    """Every non-empty class owns its own partition: the pre-fix
+    repartitionByRange tail could merge classes after enough session
+    history (rdd.id-seeded sampler) — the full pytest suite caught it
+    merging two of eight.  Burn some rdd ids, then demand one class
+    per partition."""
+    docs = _skewed(spark)
+    for _ in range(3):  # advance rdd-id state like a busy session
+        docs.limit(10).count()
+    stats = partition_weight_stats(
+        byte_balanced(docs, "doc_id", F.col("w"), P), F.col("w")
+    ).collect()
+    assert len(stats) == P  # no empty partitions, no merged classes

@@ -20,13 +20,22 @@ This module rebalances by WEIGHT (bytes, tokens, ...) instead:
    partitions``) — each class owns ``bucket_factor`` byte-equal
    buckets, so classes are byte-equal AND row-count-concentrated
    (mixing byte-heavy/row-light and byte-light/row-heavy key regions);
-4. one ``repartitionByRange`` exchange on the class.
+4. one hash ``repartition`` exchange on a PERFECT-HASH key: each
+   class is mapped (inside the same Arrow kernel) to a precomputed
+   int whose ``pmod(murmur3, partitions)`` equals the class id, so
+   the exchange places class k in partition k exactly.
 
-Step 3 is what makes step 4 safe: range-partitioning directly on a
-byte-equal bucket would let Spark's ROW-uniform boundary sampler merge
-several row-light (= byte-heavy) buckets back into one partition,
-recreating exactly the skew being removed.  Classes are ~row-equal by
-construction, so the sampler lands one class per partition.
+Step 4 deliberately avoids a second sampling pass.  A
+``repartitionByRange(partitions, class)`` exchange re-samples rows to
+learn boundaries, and that sampler is seeded from the RDD id — the
+same logical plan run after different session history can merge two
+classes into one partition and leave another empty, silently
+re-creating skew (observed: max/mean 1.3 -> 1.8 across runs).  A
+plain hash repartition on the raw class id is no better: murmur3 of
+0..P-1 modulo P collides.  The perfect-hash key (driver-precomputed
+by inverting Spark's Murmur3Hash for each target partition, ~P ln P
+probes) gives an exact class -> partition bijection with no sampling
+job, no collision, and full determinism regardless of session state.
 
 The cost is the boundary-sampling JOB (a scan of (key, weight) — if
 the weight expression reads the payload column, that is a full
@@ -35,7 +44,8 @@ column instead whenever the table has one, and the sample scans two
 narrow columns), one bounded driver collect, a narrow Arrow kernel
 assigning buckets by numpy binary search over the broadcast boundary
 array (log B compares/row — noise next to a ~300us/doc parse), and
-the same single range exchange row-balancing pays.  Outputs are
+one hash exchange (vs the range exchange row-balancing pays, PLUS
+the boundary-sampling job hidden inside it).  Outputs are
 row-identical to the input; only the physical layout changes.  A
 document larger than ``total_bytes/partitions`` still owns its
 partition's tail — the best any per-doc operator can do.  Trade-off
@@ -54,11 +64,51 @@ __all__ = [
     "weighted_range_boundaries",
     "byte_balanced",
     "partition_weight_stats",
+    "murmur3_int32",
+    "perfect_hash_keys",
 ]
 
 # boundaries are embedded as a literal array in the bucket projection;
 # keep the per-row scan cheap
 MAX_BUCKETS = 4096
+
+
+def murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of a non-null IntegerType value
+    (``hashInt``, default seed 42): one 4-byte block mix + the
+    x86_32 finalizer with len=4.  Returns the SIGNED int32 Spark
+    emits.  Pinned against ``F.hash`` in tests/test_rebalance.py so
+    any engine drift is caught, not silently mis-partitioned."""
+    k = (x & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * 0x1B873593 & 0xFFFFFFFF
+    h = (seed ^ k) & 0xFFFFFFFF
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # finalizer: total byte length of the hashed input
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def perfect_hash_keys(partitions: int) -> list[int]:
+    """``keys[k]`` is the smallest non-negative int32 whose
+    ``pmod(murmur3(key), partitions)`` is exactly ``k`` — hashing
+    ``keys[class]`` routes class k to partition k with zero
+    collisions.  Coupon-collector cost ~``P ln P`` probes on the
+    driver (P <= MAX_BUCKETS, microseconds)."""
+    keys: list[int | None] = [None] * partitions
+    found, v = 0, 0
+    while found < partitions:
+        p = murmur3_int32(v) % partitions  # python % is already pmod
+        if keys[p] is None:
+            keys[p] = v
+            found += 1
+        v += 1
+    return keys  # type: ignore[return-value]
 
 
 def weighted_range_boundaries(
@@ -192,24 +242,29 @@ def byte_balanced(
     # over a 30k-doc corpus at B=4096 vs ~0.1s for the kernel, and
     # linear-in-B where the kernel is flat
     barr = np.array(bounds, dtype=object)
+    # class -> routing key whose murmur3 pmod lands on that exact
+    # partition: the final exchange is a plain hash repartition with a
+    # guaranteed bijection — no boundary re-sampling job, no
+    # session-history-dependent RangePartitioner seed (see module doc)
+    pkeys = np.array(perfect_hash_keys(partitions), dtype="int32")
 
-    def _buckets(s: pd.Series) -> pd.Series:
+    def _route(s: pd.Series) -> pd.Series:
         vals = s.to_numpy(dtype=object)
         mask = pd.isna(vals)
         if mask.any():
             vals = vals.copy()
             vals[mask] = bounds[0]
-        idx = np.searchsorted(barr, vals, side="right").astype("int32")
+        idx = np.searchsorted(barr, vals, side="right").astype("int64")
         if mask.any():
             idx[mask] = 0  # null key -> bucket 0, matching filter-
             # semantics (a null comparison keeps no boundary)
-        return pd.Series(idx)
+        return pd.Series(pkeys[idx % partitions])
 
-    bucket = F.pandas_udf(_buckets, "int")(F.col(key_col))
+    route = F.pandas_udf(_route, "int")(F.col(key_col))
     return (
-        df.withColumn("__class", bucket % partitions)
-        .repartitionByRange(partitions, "__class")
-        .drop("__class")
+        df.withColumn("__route", route)
+        .repartition(partitions, "__route")
+        .drop("__route")
     )
 
 
