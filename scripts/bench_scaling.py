@@ -289,6 +289,7 @@ def _write_md(ex_lo: dict, ex_hi: dict, threads: list[dict], rep: int,
                 old.find("\n## Storage"),
                 old.find("\n## ANN"),
                 old.find("\n## Heavy-tailed"),
+                old.find("\n## Corpus-size"),
             ) if i != -1),
             default=-1,
         )
