@@ -429,7 +429,13 @@ def robots_decisions(
     ``Disallow: /*?sessionid=`` — per RFC 9309 / Google's matcher.  A
     URL matching no rule is allowed.  An empty URL path evaluates as
     "/" (the REP rule that makes ``Disallow: /`` block the site
-    root), and hosts join case-insensitively with the ``www.`` prefix
+    root).  Input precondition: URLs are expected urlnorm-normalized
+    (the frontier/corpus contract) — a URL try_parse_url cannot parse
+    (e.g. a malformed %-escape) has no extractable path and evaluates
+    against "/" too, which can differ from a matcher that treats the
+    raw bytes as the path (seeded-fuzz-verified: zero divergence on
+    parseable inputs, divergence only on invalid escapes).  Hosts
+    join case-insensitively with the ``www.`` prefix
     stripped on both sides, same normalization as
     ``blocklist_filter`` — rule tables carrying BOTH host forms
     collapse to one rule array per normalized host (union of rules),
