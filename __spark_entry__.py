@@ -2374,7 +2374,10 @@ CHANGED_QUERIES = {
     "rebalance_roundtrip",
     # r4: new — JSONL source semantics (escape roundtrip + torn-line drop)
     "jsonl_roundtrip",
-    # r3 (carried: certified r2, code changed r3, re-certifying now):
+    # r3 (carried: certified r2, code changed r3, re-certifying now);
+    # late r4: the tokenizer fast-path guard for empty-'?'/'#' hrefs
+    # (fuzz-found urljoin parity) touched the same extraction path —
+    # oracle hashes re-verified unchanged at sf0.01:
     "extract_spans", "extract_metrics", "crawl_merge",
     "classifier_context", "classifier_regex",
 }

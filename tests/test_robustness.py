@@ -147,6 +147,21 @@ def test_fast_path_matches_urljoin(segs, trailing_slash):
     assert got == ([expected] if expected else [])
 
 
+def test_empty_query_fragment_matches_urljoin():
+    # urljoin's split/unsplit DROPS a bare '?' / '#' delimiter
+    # ('/a?' -> '/a'); the reference joins every href, so the
+    # tokenizer's verbatim fast paths must not keep them (fuzz-found)
+    from urllib.parse import urljoin
+
+    base = "https://host.example.org/x/y.html"
+    for href in ("/a?", "/a#", "/a?#", "/a?#z", "/?", "/#",
+                 "https://ext.org/p?", "https://ext.org/p#",
+                 "https://ext.org/p?#q", "/a??", "/a##", "/a?x#"):
+        cands, _, _ = tokenize_html(f'<a href="{href}">T</a>', base)
+        expected = urlnorm.normalize(urljoin(base, href))
+        assert [u for u, *_ in cands] == ([expected] if expected else []), href
+
+
 def test_video_id_reference_differential(spark):
     # differential vs the reference's exact regex battery
     # (fetch_youtube_transcripts.py:58-69): boundary-anchored catch-all

@@ -436,11 +436,21 @@ def tokenize_html(
         # dot segments).  Root-relative targets get dot segments
         # *removed* by urljoin (RFC 3986 §5.2.4), so any href containing
         # "/." ("/./", "/../", trailing "/." or "/..") must take the
-        # full resolve path.
-        if raw_target.startswith(("http://", "https://")):
+        # full resolve path.  Both fast paths also exclude targets with
+        # an EMPTY query or fragment ('a?', 'a#', 'a?#x'): urljoin's
+        # split/unsplit round-trip silently DROPS the bare delimiter
+        # ('/a?' -> '/a'), so the reference — which joins every href —
+        # never emits it, and a verbatim fast path must not either
+        # (fuzz-found; empty query ⟺ '?' at end or right before '#',
+        # empty fragment ⟺ trailing '#').
+        joins_clean = not (
+            raw_target.endswith(("?", "#")) or "?#" in raw_target
+        )
+        if joins_clean and raw_target.startswith(("http://", "https://")):
             resolved = raw_target
         elif (
-            bp
+            joins_clean
+            and bp
             and raw_target.startswith("/")
             and not raw_target.startswith("//")
             and "/." not in raw_target
