@@ -162,6 +162,19 @@ def test_empty_query_fragment_matches_urljoin():
         assert [u for u, *_ in cands] == ([expected] if expected else []), href
 
 
+def test_normalize_keeps_bare_delimiters_in_both_branches():
+    # WHATWG-style serializers (pydantic v2 HttpUrl) keep an EMPTY
+    # query/fragment delimiter; normalize's _CANON_RE fast path and
+    # its full-parser branch must agree on that (fuzz-pinned — the
+    # uppercase host forces the full branch, same canonical output)
+    for fast, forced_full in (("https://h.org/a?", "https://H.org/a?"),
+                              ("https://h.org/a#", "https://H.org/a#"),
+                              ("https://h.org/a?#", "https://H.org/a?#"),
+                              ("https://h.org/?x#", "https://H.org/?x#")):
+        assert urlnorm.normalize(fast) == fast
+        assert urlnorm.normalize(forced_full) == fast
+
+
 def test_video_id_reference_differential(spark):
     # differential vs the reference's exact regex battery
     # (fetch_youtube_transcripts.py:58-69): boundary-anchored catch-all

@@ -93,10 +93,22 @@ def normalize(url: str) -> str | None:
         netloc = f"{netloc}:{port}"
     path = parts.path or "/"
     out = f"{scheme}://{netloc}{path}"
+    # keep a BARE '?' / '#' delimiter (empty query/fragment): that is
+    # how WHATWG-style serializers (pydantic v2's HttpUrl via the rust
+    # url crate) round-trip them, and what the _CANON_RE fast path
+    # above already does — the two branches must agree (fuzz-pinned by
+    # tests/test_robustness.py).  urlsplit cannot distinguish absent
+    # from empty, so presence comes from the raw string: the fragment
+    # delimiter is the first '#', the query delimiter any '?' before it.
+    head = url.partition("#")[0]
     if parts.query:
         out += f"?{parts.query}"
+    elif "?" in head:
+        out += "?"
     if parts.fragment:
         out += f"#{parts.fragment}"
+    elif "#" in url:
+        out += "#"
     return out
 
 
