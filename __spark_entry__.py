@@ -2092,7 +2092,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash dedup (vectorized UDF -> rows-only)."""
+    """SimHash dedup, hash-certified end-to-end: the Arrow kernel's
+    token hash is md5-first-8-bytes (big-endian) precisely so DuckDB
+    can recompute the full pipeline — tokenize, per-token 64-bit
+    hash, per-bit majority vote, two's-complement pack, Hamming-0
+    canonical grouping — in closed form (graduated from rows-only in
+    round 5 per the r4 verdict)."""
     return dedup_docs.simhash_duplicates(_read(spark, sf_dir, "documents"))
 
 
@@ -4537,7 +4542,48 @@ def oracle_sql() -> dict[str, str]:
                sha256(text) AS content_hash
         FROM documents
         """,
-        # minhash_pairs / simhash / lsh_topk / crawl_merge: intentionally
+        # SimHash recomputed in closed form: same ASCII-whitespace
+        # tokenizer, same md5-8 big-endian token hash (the kernel uses
+        # md5 for exactly this cross-engine parity), same >=-majority
+        # per-bit vote, LSB-first pack, two's-complement view, then
+        # Hamming-0 canonical grouping.  Empty / whitespace-only /
+        # NULL text => simhash 0, like the kernel's zero-fill.
+        "simhash": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[ \t\n\r\f\v]+'),
+                   t -> t <> '')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+          FROM toks
+        ), bits AS (
+          SELECT doc_id, b,
+                 sum(((h >> b) & 1)::BIGINT) AS s, count(*) AS n
+          FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+          GROUP BY doc_id, b
+        ), packs AS (
+          SELECT doc_id,
+                 sum(CASE WHEN 2 * s >= n
+                     THEN (1::UBIGINT << b)::HUGEINT
+                     ELSE 0::HUGEINT END) AS packed
+          FROM bits GROUP BY doc_id
+        ), sh AS (
+          SELECT d.doc_id,
+                 CAST(CASE WHEN p.packed IS NULL THEN 0
+                      WHEN p.packed >= 9223372036854775808::HUGEINT
+                      THEN p.packed - 18446744073709551616::HUGEINT
+                      ELSE p.packed END AS BIGINT) AS simhash
+          FROM documents d LEFT JOIN packs p USING (doc_id)
+        )
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY simhash)
+                 AS is_duplicate
+        FROM sh
+        """,
+        # minhash_pairs / lsh_topk / crawl_merge: intentionally
         # no oracle (hash-seeded / approximate / iterative) -> rows-only.
     }
     # byte-balanced extraction is output-identical to plain extraction

@@ -336,20 +336,25 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash in one Arrow batch kernel.
 
     Tokenization (the same lower/\\s+/non-empty rule as the minhash
-    kernel) and 64-bit token hashing (blake2b-8, C-speed, full bit
-    dispersion) both run inside the UDF: shipping raw text beats
-    shipping a JVM-built token-hash array, and the former JVM
-    ``transform(toks, xxhash64)`` higher-order expression is
-    interpreted per element by Catalyst (no codegen) — the same
-    bottleneck profiled in the minhash path.  The bit aggregation is
-    the flatten + per-bit segment-reduce from before (a full
+    kernel) and 64-bit token hashing (md5 first 8 bytes big-endian,
+    C-speed, full bit dispersion) both run inside the UDF: shipping
+    raw text beats shipping a JVM-built token-hash array, and the
+    former JVM ``transform(toks, xxhash64)`` higher-order expression
+    is interpreted per element by Catalyst (no codegen) — the same
+    bottleneck profiled in the minhash path.  md5-8 (over blake2b-8)
+    because it is the one full-dispersion 64-bit token hash BOTH
+    engines share: DuckDB recomputes it as
+    ``('0x' || substr(md5(tok), 1, 16))::ubigint``, which is what
+    lets the driver hash-certify the whole simhash pipeline instead
+    of recording a rows-only row.  The bit aggregation is the
+    flatten + per-bit segment-reduce from before (a full
     (total_tokens, 64) bit matrix thrashes memory and benched ~100x
     slower).  Returns (doc_id, simhash bigint).
     """
 
     @F.pandas_udf("bigint")
     def _simhash(texts: pd.Series) -> pd.Series:
-        from hashlib import blake2b
+        from hashlib import md5
 
         import numpy as np
 
@@ -368,10 +373,10 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             th = np.fromiter(
                 (
                     int.from_bytes(
-                        blake2b(
-                            tok.encode("utf-8", "surrogatepass"), digest_size=8
-                        ).digest(),
-                        "little",
+                        md5(
+                            tok.encode("utf-8", "surrogatepass")
+                        ).digest()[:8],
+                        "big",
                     )
                     for tok in toks
                 ),
