@@ -2185,19 +2185,25 @@ def q_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup: deterministic BMP payloads synthesized per doc
-    (consecutive doc_ids share a base image, the odd twin has two
-    flipped pixels), real BMP decode -> 64-bit average hash -> the
-    same pigeonhole band join as text SimHash.  Decode is Python, so
-    rows-only by design; the aHash kernel and planted-twin recall are
-    pinned in tests/test_hamming.py, and the band join itself is
-    oracle-checked via hamming_neardup."""
+    """Image near-dup, hash-certified end-to-end (graduated from
+    rows-only in round 5 per the r4 verdict): deterministic BMP
+    payloads synthesized per doc (consecutive doc_ids share a base
+    image, the odd twin has two flipped pixels), real BMP encode ->
+    real decode -> 64-bit average hash -> the same pigeonhole band
+    join as text SimHash.  The payloads use the closed-form
+    ``synth_bmp_affine`` pixel pattern so the DuckDB oracle can
+    recompute the decoded grayscale grid, the block-mean aHash, and
+    the brute-force Hamming pairs in pure integer SQL — certifying
+    both the banding's soundness AND completeness (it must equal
+    brute force for distance <= 6).  The blake2b-patterned
+    ``synth_bmp`` variant and the raw kernel stay pinned in
+    tests/test_hamming.py."""
     from web_content_extractor_spark.operators.dedup_docs import (
         hamming_near_duplicates,
     )
     from web_content_extractor_spark.operators.multimodal import (
         average_hash,
-        synth_bmp,
+        synth_bmp_affine,
     )
 
     def _synth(batches):
@@ -2207,7 +2213,8 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 media_id=[str(i) for i in ids],
                 doc_id=[str(i) for i in ids],
                 payload=[
-                    synth_bmp(i // 2, flip_pixels=2 * (i % 2)) for i in ids
+                    synth_bmp_affine(i // 2, flip_pixels=2 * (i % 2))
+                    for i in ids
                 ],
             )[["media_id", "doc_id", "payload"]]
 
@@ -4582,6 +4589,49 @@ def oracle_sql() -> dict[str, str]:
                doc_id <> min(doc_id) OVER (PARTITION BY simhash)
                  AS is_duplicate
         FROM sh
+        """,
+        # Image near-dup recomputed in closed form from the
+        # synth_bmp_affine construction: gray pixel p of doc i is
+        # ((2*(i//2)+1)*(p+17)*40503 + 97*(i//2)) % 256, XOR 0xFF on
+        # the first two pixels of odd docs.  aHash bit (p//32)*8 +
+        # (p%16)//2 is set iff 64*block_sum > image_sum (the exact
+        # integer form of the kernel's strict grid > grid.mean() on
+        # dyadic-rational floats); pairs are brute-force popcount —
+        # the banded join must equal brute force for distance <= 6.
+        "image_neardup": """
+        WITH px AS (
+          SELECT d.doc_id, p.p,
+                 CASE WHEN d.doc_id % 2 = 1 AND p.p < 2
+                      THEN 255 - ((2*(d.doc_id//2)+1)*(p.p+17)*40503
+                                  + 97*(d.doc_id//2)) % 256
+                      ELSE ((2*(d.doc_id//2)+1)*(p.p+17)*40503
+                            + 97*(d.doc_id//2)) % 256
+                 END AS g
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS p) p
+        ), blocks AS (
+          SELECT doc_id, (p//32)*8 + (p%16)//2 AS bit, sum(g) AS bsum
+          FROM px GROUP BY doc_id, (p//32)*8 + (p%16)//2
+        ), tot AS (
+          SELECT doc_id, sum(g) AS t FROM px GROUP BY doc_id
+        ), packs AS (
+          SELECT b.doc_id,
+                 sum(CASE WHEN 64 * b.bsum > t.t
+                     THEN (1::UBIGINT << b.bit)::HUGEINT
+                     ELSE 0::HUGEINT END) AS packed
+          FROM blocks b JOIN tot t USING (doc_id)
+          GROUP BY b.doc_id
+        ), h AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN packed >= 9223372036854775808::HUGEINT
+                      THEN packed - 18446744073709551616::HUGEINT
+                      ELSE packed END AS BIGINT) AS phash
+          FROM packs
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
         """,
         # minhash_pairs / lsh_topk / crawl_merge: intentionally
         # no oracle (hash-seeded / approximate / iterative) -> rows-only.

@@ -604,6 +604,37 @@ def synth_bmp(seed: int, w: int = 16, h: int = 16, flip_pixels: int = 0) -> byte
     for p in range(min(flip_pixels, w * h)):
         for ch in range(3):
             px[p * 3 + ch] ^= 0xFF
+    return _pack_bmp24(px, w, h)
+
+
+def synth_bmp_affine(
+    seed: int, w: int = 16, h: int = 16, flip_pixels: int = 0
+) -> bytes:
+    """Closed-form sibling of ``synth_bmp`` for oracle-checked image
+    dedup: pixel p (row-major in the DECODED orientation) is gray
+    ``((2*seed+1) * (p+17) * 40503 + 97*seed) % 256`` on all three
+    channels, so an external engine can recompute the decoded image —
+    and hence the block-mean aHash — in pure integer SQL.  The
+    seed-dependent multiplier varies the mod-256 wrap pattern per
+    seed (a seed-independent slope would shift every image by a
+    constant, which the mean-threshold aHash cancels, collapsing all
+    fingerprints to one value).  ``flip_pixels`` inverts the first n
+    pixels like ``synth_bmp``.  Still a real BMP: the Spark path
+    exercises encode -> ``_decode_bmp`` -> ``_average_hash_bits``
+    unchanged."""
+    px = bytearray(w * h * 3)
+    for p in range(w * h):
+        g = ((2 * seed + 1) * (p + 17) * 40503 + 97 * seed) % 256
+        if p < flip_pixels:
+            g ^= 0xFF
+        px[3 * p] = px[3 * p + 1] = px[3 * p + 2] = g
+    return _pack_bmp24(px, w, h)
+
+
+def _pack_bmp24(px: bytearray, w: int, h: int) -> bytes:
+    """Wrap raw row-major RGB bytes in a bottom-up 24-bit BI_RGB BMP."""
+    import struct
+
     pad = (-(w * 3)) % 4
     rows = b"".join(
         bytes(px[y * w * 3 : (y + 1) * w * 3]) + b"\x00" * pad
