@@ -2369,137 +2369,46 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # enforces it.  Reset this set at the start of each round; add to it
 # whenever a change touches a query's output path.
 CHANGED_QUERIES = {
-    # r4: scalar output schema for the r3 err row
-    "anchor_index",
-    # r4: idempotent _host_key + blocklist normalization (crawl.py)
-    "crawl_schedule", "robots_decisions", "url_blocklist",
-    # r4: corpus_health operator refactor + approx clamp
-    "corpus_health",
-    # r4: ANN _read_pushdown (query-side reads filter at the scan);
-    # late r4: ivf_build trains on a driver-side hash sample, which
-    # also moves semantic_dedup's quantizer (same Lloyd trajectory at
-    # this corpus size, but float summation order differs)
-    "embedding_neardup_exact", "similarity_topk",
-    "ivf_topk", "pq_topk", "lsh_topk", "ivfpq_topk",
-    "semantic_dedup",
-    # r4: new — byte-balanced extraction roundtrip
-    "rebalance_roundtrip",
-    # r4: new — JSONL source semantics (escape roundtrip + torn-line drop)
-    "jsonl_roundtrip",
-    # r3 (carried: certified r2, code changed r3, re-certifying now);
-    # late r4: the tokenizer fast-path guard for empty-'?'/'#' hrefs
-    # (fuzz-found urljoin parity) touched the same extraction path —
-    # oracle hashes re-verified unchanged at sf0.01:
-    "extract_spans", "extract_metrics", "crawl_merge",
-    "classifier_context", "classifier_regex",
+    # r5: simhash kernel token hash blake2b -> md5-8 big-endian (the
+    # cross-engine hash that enables its closed-form oracle twin)
+    "simhash",
+    # r5: synthetic payloads switched to the closed-form
+    # synth_bmp_affine pattern + new brute-force Hamming oracle
+    "image_neardup",
 }
+
+# The round this committed registry's front-50 is the plan for: the
+# rotation-aging check evaluates the plan against the artifacts that
+# existed when it was written, so a LATER driver artifact landing in
+# the tree does not retroactively redden the committed state (the r4
+# failure mode — see tests/test_check_rotation.py).
+PLANNED_ROUND = 5
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # registry entries per round.  Round-4 front-50 (this round), per
-    # VERDICT_r3 task #3:
-    #   1. the 10 rows-only queries that have never had a driver row of
-    #      any kind (minhash_pairs, semantic_dedup, simhash, bpe_encode,
-    #      quality_classifier, the ANN topk family, image_neardup) — no
-    #      oracle_sql by design, so the driver records rows-only checks;
-    #   2. anchor_index — output schema changed this round (array ->
-    #      unit-separator string) to fix the r3 err row, needs a fresh
-    #      hash-green row;
-    #   3. the 39 oldest r2-certified entries, INCLUDING the extraction
-    #      block (extract_spans/extract_metrics/crawl_merge/classifier_*)
-    #      whose code changed in round 3 (rank precompute, jump-scan,
-    #      drop-not-fail URL parse) after its r2 certification.
-    # The 49 r3-certified entries (CORRECTNESS_r03 green) rotate to the
-    # back.  Round-5 rotation checklist (enforced by
-    # `python scripts/check_rotation.py` — run it after every edit):
-    #   1. RESET CHANGED_QUERIES above to the queries whose code/oracle
-    #      changes in round 5; every member must sit in the front-50.
-    #   2. Front-fill with the 17 entries whose last green row will be
-    #      r2-aged: pivot_counts, unpivot_counts, resample_counts,
-    #      moving_average, repetition_scores, line_dedup, chunk_docs,
-    #      pii_redact, shard_corpus (r2-green leftovers) plus the eight
-    #      stable entries demoted mid-r4 to make room for the
-    #      code-changed block (priority_order, agg_counts,
-    #      dedup_first_wins, window_rank, sessionize, group_by_source,
-    #      value_percentiles, json_props).
-    #   3. Back-fill the remaining ~35 slots with the oldest
-    #      r3-certified entries.
-    #   4. DELETE each promoted entry's old literal (duplicate keys
-    #      silently keep the FIRST position — test_check_rotation pins
-    #      this at the AST level).
+    # registry entries per round.  Round-5 front-50 (final round), per
+    # VERDICT_r4 tasks #1/#4 — every slot is an ORACLED entry (the r4
+    # rotation spent 12 slots on no_oracle rows; this one spends zero):
+    #   1. the two queries whose code/oracle changed this round
+    #      (CHANGED_QUERIES): simhash and image_neardup, both graduated
+    #      from rows-only to hash-certified closed-form oracles;
+    #   2. the 17 entries whose last green row is r2-aged (the exact
+    #      list scripts/check_rotation.py flagged once CORRECTNESS_r04
+    #      landed);
+    #   3. the 31 oldest r3-certified entries.
+    # Everything r4-certified rotates to the back, followed by the ten
+    # rows-only-by-design entries (their r4 driver rows recorded the
+    # observed row counts; their stronger differential/recall oracles
+    # live in pytest).  scripts/check_rotation.py --as-of 5 must exit 0
+    # on the committed tree — run it after every registry edit.
     return {
-        # --- rows-only block: first-ever driver rows (rows_match only;
-        # each keeps its stronger differential/recall pytest oracle) ---
-        "minhash_pairs": q_minhash_pairs,
-        "semantic_dedup": q_semantic_dedup,
+        # --- code-changed this round (CHANGED_QUERIES): graduated from
+        # rows-only to hash-certified closed-form oracles ---
         "simhash": q_simhash,
-        "bpe_encode": q_bpe_encode,
-        "quality_classifier": q_quality_classifier,
-        "ivf_topk": q_ivf_topk,
-        "pq_topk": q_pq_topk,
-        "lsh_topk": q_lsh_topk,
-        "ivfpq_topk": q_ivfpq_topk,
         "image_neardup": q_image_neardup,
-        # --- changed this round: scalar (driver-hashable) output schema ---
-        "anchor_index": q_anchor_index,
-        # --- also changed this round, so their r3 rows are stale by the
-        # rotation's own rule (code changed after certification):
-        # crawl_schedule/robots_decisions/url_blocklist via the
-        # idempotent _host_key + blocklist normalization, corpus_health
-        # via the operator refactor + approx clamp, and the two ANN
-        # entries via _read_pushdown ---
-        "crawl_schedule": q_crawl_schedule,
-        "robots_decisions": q_robots_decisions,
-        "url_blocklist": q_url_blocklist,
-        "corpus_health": q_corpus_health,
-        "embedding_neardup_exact": q_embedding_neardup_exact,
-        "similarity_topk": q_similarity_topk,
-        # new this round: byte-balanced extraction, certified against
-        # the extract_spans oracle (layout op, output-identical), and
-        # the JSONL source's escape-roundtrip + torn-line-drop contract
-        "rebalance_roundtrip": q_rebalance_roundtrip,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        # --- r2-certified, oldest rows; extraction path changed in r3 ---
-        # extraction pipeline (SURVEY §2.2-§2.4, full engine path)
-        "extract_spans": q_extract_spans,
-        "extract_metrics": q_extract_metrics,
-        "classifier_context": q_classifier_context,
-        "url_projections": q_url_projections,
-        "crawl_merge": q_crawl_merge,
-        "classifier_regex": q_classifier_regex,
-        "content_blocks": q_content_blocks,
-        "content_stats": q_content_stats,
-        "pdf_layout": q_pdf_layout,
-        "per_host_salted": q_per_host_salted,
-        "nav_links": q_nav_links,
-        "embedding_neardup": q_embedding_neardup,
-        "youtube_manifest": q_youtube_manifest,
-        "pdf_manifest": q_pdf_manifest,
-        "group_by_domain": q_group_by_domain,
-        "extract_errors": q_extract_errors,
-        "url_batch": q_url_batch,
-        "video_ids": q_video_ids,
-        "doc_link_stats": q_doc_link_stats,
-        # relational operators (SURVEY §2.5-§2.7)
-        "link_distribution": q_link_distribution,
-        "quality_score_rel": q_quality_score_rel,
-        "anti_join": q_anti_join,
-        "join_agg": q_join_agg,
-        # training-data ops
-        "windowed_counts": q_windowed_counts,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "token_stats": q_token_stats,
-        "lang_detect": q_lang_detect,
-        "quality_scores": q_quality_scores,
-        "quality_filters": q_quality_filters,
-        "curation_manifest": q_curation_manifest,
-        # --- position 51+: r2-green leftovers (oldest after this round;
-        # front of the r5 rotation — including the seven stable r2
-        # entries demoted mid-r4 to make room for the code-changed
-        # block above: priority_order, dedup_first_wins, window_rank,
-        # sessionize, group_by_source, value_percentiles, json_props) ---
+        # --- r2-aged front-fill: the 17 entries named by the r4
+        # verdict, code unchanged since their r2 certification ---
         "priority_order": q_priority_order,
         "agg_counts": q_agg_counts,
         "dedup_first_wins": q_dedup_first_wins,
@@ -2517,7 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
         "shard_corpus": q_shard_corpus,
-        # --- r3-certified (green rows in CORRECTNESS_r03) ---
+        # --- oldest r3-certified back-fill (31 entries) ---
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
         "pack_interleaved": q_pack_interleaved,
@@ -2534,9 +2443,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": q_bigram_nll,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_cdx": q_warc_cdx,
-        # (url_blocklist/crawl_schedule/robots_decisions/corpus_health/
-        # embedding_neardup_exact/similarity_topk moved to the
-        # code-changed front block above)
         "robots_rules": q_robots_rules,
         "sitemap_urls": q_sitemap_urls,
         "crawl_seeds": q_crawl_seeds,
@@ -2552,6 +2458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_substring_stats": q_dup_substring_stats,
         "dup_remove": q_dup_remove,
         "winnow_fingerprints": q_winnow_fingerprints,
+        # --- position 51+: r3-certified remainder (their age is 2 at
+        # the planned round, inside MAX_AGE) ---
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
         "asof_join": q_asof_join,
@@ -2564,6 +2472,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "interval_join": q_interval_join,
         "hamming_neardup": q_hamming_neardup,
+        # --- r4-certified (green rows in CORRECTNESS_r04) ---
+        "anchor_index": q_anchor_index,
+        "crawl_schedule": q_crawl_schedule,
+        "robots_decisions": q_robots_decisions,
+        "url_blocklist": q_url_blocklist,
+        "corpus_health": q_corpus_health,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        "similarity_topk": q_similarity_topk,
+        "rebalance_roundtrip": q_rebalance_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "extract_spans": q_extract_spans,
+        "extract_metrics": q_extract_metrics,
+        "classifier_context": q_classifier_context,
+        "url_projections": q_url_projections,
+        "classifier_regex": q_classifier_regex,
+        "content_blocks": q_content_blocks,
+        "content_stats": q_content_stats,
+        "pdf_layout": q_pdf_layout,
+        "per_host_salted": q_per_host_salted,
+        "nav_links": q_nav_links,
+        "youtube_manifest": q_youtube_manifest,
+        "pdf_manifest": q_pdf_manifest,
+        "group_by_domain": q_group_by_domain,
+        "extract_errors": q_extract_errors,
+        "url_batch": q_url_batch,
+        "video_ids": q_video_ids,
+        "doc_link_stats": q_doc_link_stats,
+        "link_distribution": q_link_distribution,
+        "quality_score_rel": q_quality_score_rel,
+        "anti_join": q_anti_join,
+        "join_agg": q_join_agg,
+        "windowed_counts": q_windowed_counts,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_stats": q_token_stats,
+        "lang_detect": q_lang_detect,
+        "quality_scores": q_quality_scores,
+        "quality_filters": q_quality_filters,
+        "curation_manifest": q_curation_manifest,
+        # --- rows-only by design (r4 driver rows record observed row
+        # counts; hash-seeded / approximate / iterative semantics keep
+        # their oracles in pytest differential/recall tests) ---
+        "minhash_pairs": q_minhash_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        "bpe_encode": q_bpe_encode,
+        "quality_classifier": q_quality_classifier,
+        "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
+        "lsh_topk": q_lsh_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "crawl_merge": q_crawl_merge,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 

@@ -9,12 +9,17 @@ formalizes the policy the round-3/4 rotations applied by hand:
   (the driver will produce their row), and rows-only entries (no
   oracle_sql) satisfy the policy with a rows-only row.
 
-Run pre-snapshot:  python scripts/check_rotation.py
+Run pre-snapshot:  python scripts/check_rotation.py [--as-of N]
 Exit 0 = every entry will be within policy after the coming driver run;
 exit 1 = some entry is aging out — rotate it into the front-50.
 
 Round numbers come from the CORRECTNESS_r*.json artifacts in the repo
-root; ``next_round`` is max(seen)+1.
+root; ``next_round`` is max(seen)+1.  ``--as-of N`` instead evaluates
+the registry as the plan for round N using only the artifacts from
+rounds < N — the form the committed tree is pinned against, so a later
+driver artifact landing in the repo root does not retroactively fail
+the committed plan (round 4's failure mode: the r04 artifact dropped
+after the last commit and flipped next_round under the default rule).
 """
 
 from __future__ import annotations
@@ -32,34 +37,54 @@ MAX_AGE = 2  # a row older than this many rounds is stale
 FRONT = 50  # driver gate window
 
 
-def green(rec: dict) -> bool:
+def green(rec: dict, rows_only: bool = False) -> bool:
     """A driver row counts if rows matched and, when the driver ran a
-    hash compare (oracled queries), the hash matched too."""
-    if not isinstance(rec, dict) or rec.get("err"):
+    hash compare (oracled queries), the hash matched too.  For entries
+    that genuinely have no ``oracle_sql`` twin (``rows_only=True``) the
+    driver records ``err: "no_oracle"`` with the observed row count —
+    that IS the rows-only row the policy docstring promises them, so it
+    counts; for an oracled entry the same shape would mean the driver
+    could not find the twin, which stays red."""
+    if not isinstance(rec, dict):
         return False
+    if rec.get("err"):
+        return (
+            rows_only
+            and rec.get("err") == "no_oracle"
+            and rec.get("spark_rows") is not None
+        )
     if not rec.get("rows_match"):
         return False
     hm = rec.get("hash_match")
     return hm is None or bool(hm)
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    as_of: int | None = None
+    if argv and argv[0] == "--as-of":
+        as_of = int(argv[1])
     rounds: dict[int, dict] = {}
     for path in glob.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)\.json$", path)
-        if m:
+        if m and (as_of is None or int(m.group(1)) < as_of):
             with open(path) as f:
                 rounds[int(m.group(1))] = json.load(f)
     if not rounds:
         print("no CORRECTNESS_r*.json artifacts found")
         return 1
-    next_round = max(rounds) + 1
+    next_round = max(rounds) + 1 if as_of is None else as_of
 
     names = list(entrymod.queries())
+    no_oracle = set(names) - set(entrymod.oracle_sql())
     front = set(names[:FRONT])
     last: dict[str, int | None] = {}
     for name in names:
-        seen = [r for r, d in sorted(rounds.items()) if green(d.get(name, {}))]
+        seen = [
+            r
+            for r, d in sorted(rounds.items())
+            if green(d.get(name, {}), rows_only=name in no_oracle)
+        ]
         last[name] = seen[-1] if seen else None
 
     stale = []

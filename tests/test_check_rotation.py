@@ -18,7 +18,59 @@ import check_rotation  # noqa: E402
 
 
 def test_current_registry_passes():
-    assert check_rotation.main() == 0
+    """The committed registry is the plan for PLANNED_ROUND, evaluated
+    against the artifacts that existed when it was written (--as-of).
+    The unpinned default run is the builder's live pre-snapshot check;
+    asserting it here is what reddened the round-4 tree the moment the
+    driver dropped CORRECTNESS_r04.json after the final commit."""
+    assert check_rotation.main(
+        ["--as-of", str(entrymod.PLANNED_ROUND)]
+    ) == 0
+
+
+def test_future_artifact_does_not_redden_committed_plan(
+    monkeypatch, tmp_path
+):
+    """Dropping a synthetic next-round artifact into the tree (what the
+    driver does after the builder's last commit) must not flip the
+    committed plan's verdict."""
+    import glob
+    import json
+    import shutil
+
+    for p in glob.glob("CORRECTNESS_r*.json"):
+        shutil.copy(p, tmp_path / p)
+    fake = {
+        name: {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": "synthetic",
+        }
+        for name in list(entrymod.queries())[:3]
+    }
+    (tmp_path / f"CORRECTNESS_r{entrymod.PLANNED_ROUND + 1:02d}.json").write_text(
+        json.dumps(fake)
+    )
+    monkeypatch.chdir(tmp_path)
+    assert check_rotation.main(
+        ["--as-of", str(entrymod.PLANNED_ROUND)]
+    ) == 0
+
+
+def test_rows_only_row_counts_only_without_oracle():
+    """err=no_oracle + an observed row count is the rows-only green the
+    policy promises unoracled entries — but the same row shape on an
+    ORACLED entry means the driver failed to find its twin."""
+    row = {"rows_match": None, "hash_match": None,
+           "spark_rows": 25, "err": "no_oracle"}
+    assert check_rotation.green(row, rows_only=True)
+    assert not check_rotation.green(row, rows_only=False)
+    assert not check_rotation.green(
+        {**row, "spark_rows": None}, rows_only=True
+    )
 
 
 def test_changed_query_outside_front50_fails(monkeypatch, capsys):
