@@ -46,18 +46,26 @@ def main() -> None:
         dst = f"{args.out}/{t}.parquet"
         if t == "documents":
             # re-key after sampling (several queries assume dense ids);
-            # n_chars recomputed so the metadata column stays truthful
+            # the mutation runs in an inner subquery and n_chars is
+            # derived OUTSIDE it — a same-select `length(text)` binds
+            # to the SOURCE column, not the mutated alias (DuckDB
+            # prefers a base column over a lateral alias), which left
+            # n_chars stale for duplication-mutated rows and violated
+            # the n_chars == length(text) domain mutations must keep
             q = f"""
             copy (
               select row_number() over () - 1 as doc_id,
-                     case when random() < 0.15 then upper(text)
-                          when random() < 0.15 then text || ' ' ||
-                               substr(text, 1, cast(random()*200 as int))
-                          when random() < 0.10 then replace(text, 'the', 'teh')
-                          else text end as text,
-                     lang, source, length(text) as n_chars
-              from read_parquet('{src}')
-              using sample 80 percent (bernoulli, 7)
+                     text, lang, source, length(text) as n_chars
+              from (
+                select case when random() < 0.15 then upper(text)
+                            when random() < 0.15 then text || ' ' ||
+                                 substr(text, 1, cast(random()*200 as int))
+                            when random() < 0.10 then replace(text, 'the', 'teh')
+                            else text end as text,
+                       lang, source
+                from read_parquet('{src}')
+                using sample 80 percent (bernoulli, 7)
+              )
             ) to '{dst}' (format parquet)"""
         elif t == "embeddings":
             q = f"""

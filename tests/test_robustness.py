@@ -162,6 +162,23 @@ def test_empty_query_fragment_matches_urljoin():
         assert [u for u, *_ in cands] == ([expected] if expected else []), href
 
 
+def test_unsafe_bytes_in_href_match_urljoin():
+    # urljoin strips urllib's _UNSAFE_URL_BYTES_TO_REMOVE (tab/CR/LF)
+    # from the target ('https://e.org/a\tb' -> 'https://e.org/ab');
+    # the reference joins every href, so the tokenizer's verbatim fast
+    # paths must not keep those bytes either (advisor-found, same
+    # class as the bare-delimiter divergence above)
+    from urllib.parse import urljoin
+
+    base = "https://host.example.org/x/y.html"
+    for href in ("https://ext.org/a\tb", "https://ext.org/a\nb",
+                 "https://ext.org/a\rb", "/p\tq", "/p\nq", "/p\rq",
+                 "/p\t", "\thttps://ext.org/c", "https://ext.org/\t?q=1"):
+        cands, _, _ = tokenize_html(f'<a href="{href}">T</a>', base)
+        expected = urlnorm.normalize(urljoin(base, href))
+        assert [u for u, *_ in cands] == ([expected] if expected else []), repr(href)
+
+
 def test_normalize_keeps_bare_delimiters_in_both_branches():
     # WHATWG-style serializers (pydantic v2 HttpUrl) keep an EMPTY
     # query/fragment delimiter; normalize's _CANON_RE fast path and

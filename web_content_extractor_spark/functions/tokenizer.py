@@ -443,8 +443,16 @@ def tokenize_html(
         # never emits it, and a verbatim fast path must not either
         # (fuzz-found; empty query ⟺ '?' at end or right before '#',
         # empty fragment ⟺ trailing '#').
+        # Same class of silent rewrite: urljoin also removes urllib's
+        # _UNSAFE_URL_BYTES_TO_REMOVE (tab/CR/LF) from the target
+        # ('/a\tb' -> '/ab'), so a target containing any of them must
+        # take the full resolve path too (advisor-found).
         joins_clean = not (
-            raw_target.endswith(("?", "#")) or "?#" in raw_target
+            raw_target.endswith(("?", "#"))
+            or "?#" in raw_target
+            or "\t" in raw_target
+            or "\r" in raw_target
+            or "\n" in raw_target
         )
         if joins_clean and raw_target.startswith(("http://", "https://")):
             resolved = raw_target
