@@ -324,14 +324,20 @@ def main() -> None:
     n_docs, fl_sec, _steal = flagship(spark, sf_dir, replication, passes=3)
 
     for name in HEADLINE:
-        # best-of-2 FULL passes: each pass rebuilds the DataFrame (so
-        # Catalyst planning is included; note the JVM has run the two
-        # flagship passes first, so headline numbers are NOT directly
-        # comparable to round-1's flagship-free-JVM basis) and starts
-        # from a cleared cache (so
-        # intra-query persists don't carry over).  The min filters the
-        # sandbox host's hypervisor-steal spikes — the same
-        # stabilization the flagship has used since round 1.
+        # one untimed WARM pass, then best-of-2 timed FULL passes —
+        # the same warm+min protocol the flagship and timed_best have
+        # used since round 1, now applied per query.  The warm pass
+        # pays whole-stage codegen, Python-worker module imports, and
+        # first-touch page cache once, so the timed passes measure
+        # steady state (BENCH.md's round-4 warm-up analysis: lsh_topk
+        # read 2.7 s on the driver pass purely because its first
+        # execution carried that one-time cost; quiet warm passes sit
+        # at 1.5-1.6 s).  Each timed pass still REBUILDS the frame
+        # (Catalyst planning included) from a cleared cache (no
+        # intra-query persist carry-over); the min filters the
+        # sandbox host's hypervisor-steal spikes.
+        spark.catalog.clearCache()
+        _force(queries[name](spark, sf_dir))
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()
