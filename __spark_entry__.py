@@ -2085,7 +2085,12 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup pairs (not SQL-expressible -> rows-only)."""
+    """MinHash LSH near-dup pairs, hash-certified end-to-end
+    (graduated from rows-only in round 5): the kernel's token hash is
+    md5-first-8-bytes (big-endian, folded mod 2^31-1) precisely so
+    DuckDB can recompute the full pipeline — tokenize, token hash,
+    polynomial 3-gram shingles, seed-42 permute-min signatures, 16x4
+    banding, matching-fraction jaccard estimate — in closed form."""
     return dedup_docs.minhash_lsh_pairs(
         _read(spark, sf_dir, "documents"), min_jaccard=0.8
     ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
@@ -2375,6 +2380,9 @@ CHANGED_QUERIES = {
     # r5: synthetic payloads switched to the closed-form
     # synth_bmp_affine pattern + new brute-force Hamming oracle
     "image_neardup",
+    # r5: minhash kernel token hash crc32 -> md5-8 (same cross-engine
+    # motive) + new closed-form signature/banding/jaccard oracle
+    "minhash_pairs",
 }
 
 # The round this committed registry's front-50 is the plan for: the
@@ -2390,14 +2398,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry entries per round.  Round-5 front-50 (final round), per
     # VERDICT_r4 tasks #1/#4 — every slot is an ORACLED entry (the r4
     # rotation spent 12 slots on no_oracle rows; this one spends zero):
-    #   1. the two queries whose code/oracle changed this round
-    #      (CHANGED_QUERIES): simhash and image_neardup, both graduated
-    #      from rows-only to hash-certified closed-form oracles;
+    #   1. the three queries whose code/oracle changed this round
+    #      (CHANGED_QUERIES): simhash, image_neardup and minhash_pairs,
+    #      all graduated from rows-only to hash-certified closed-form
+    #      oracles;
     #   2. the 17 entries whose last green row is r2-aged (the exact
     #      list scripts/check_rotation.py flagged once CORRECTNESS_r04
     #      landed);
-    #   3. the 31 oldest r3-certified entries.
-    # Everything r4-certified rotates to the back, followed by the ten
+    #   3. the 30 oldest r3-certified entries.
+    # Everything r4-certified rotates to the back, followed by the nine
     # rows-only-by-design entries (their r4 driver rows recorded the
     # observed row counts; their stronger differential/recall oracles
     # live in pytest).  scripts/check_rotation.py --as-of 5 must exit 0
@@ -2407,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only to hash-certified closed-form oracles ---
         "simhash": q_simhash,
         "image_neardup": q_image_neardup,
+        "minhash_pairs": q_minhash_pairs,
         # --- r2-aged front-fill: the 17 entries named by the r4
         # verdict, code unchanged since their r2 certification ---
         "priority_order": q_priority_order,
@@ -2426,7 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
         "shard_corpus": q_shard_corpus,
-        # --- oldest r3-certified back-fill (31 entries) ---
+        # --- oldest r3-certified back-fill (30 entries) ---
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
         "pack_interleaved": q_pack_interleaved,
@@ -2457,9 +2467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "dup_substring_stats": q_dup_substring_stats,
         "dup_remove": q_dup_remove,
-        "winnow_fingerprints": q_winnow_fingerprints,
         # --- position 51+: r3-certified remainder (their age is 2 at
         # the planned round, inside MAX_AGE) ---
+        "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
         "asof_join": q_asof_join,
@@ -2514,7 +2524,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rows-only by design (r4 driver rows record observed row
         # counts; hash-seeded / approximate / iterative semantics keep
         # their oracles in pytest differential/recall tests) ---
-        "minhash_pairs": q_minhash_pairs,
         "semantic_dedup": q_semantic_dedup,
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
@@ -4603,5 +4612,80 @@ def oracle_sql() -> dict[str, str]:
     # drop; everything else round-trips through to_json/from_json
     sql["jsonl_roundtrip"] = """
         SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    """
+    # MinHash+LSH recomputed in closed form (graduated from rows-only
+    # in round 5): same ASCII-whitespace tokenizer and md5-8 token
+    # hash as the kernel (folded mod 2^31-1 — the kernel switched
+    # from crc32 to md5-8 precisely for this cross-engine parity),
+    # same polynomial 3-gram hash (coefficients 1, 1000003,
+    # 1000003^2 mod p), the seed-42 permutation constants inlined
+    # below (deterministic algorithm parameters, exactly like the
+    # 1000003 coefficient), the 16x4 banding replicated on signature
+    # slices for candidate generation, and est_jaccard as the
+    # matching-position fraction over 64 perms filtered at 0.8.
+    # Soundness AND completeness of the Spark band join are thereby
+    # driver-checked (pigeonhole: est >= 0.8 means <= 12 mismatched
+    # positions, which cannot spoil all 16 bands — banding loses no
+    # qualifying pair, and the oracle's own banding mirrors it).
+    from web_content_extractor_spark.operators.dedup_docs import (
+        _perm_params,
+    )
+
+    perm_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_perm_params(64))
+    )
+    sql["minhash_pairs"] = f"""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(text), '[ \t\n\r\f\v]+'),
+                   t -> t <> '') AS toks
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 list_transform(toks, t ->
+                   (('0x' || substr(md5(t), 1, 16))::UBIGINT
+                    % 2147483647)::BIGINT) AS h
+          FROM tl WHERE len(toks) >= 3
+        ), grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, len(h) - 2),
+                     j -> (h[j] + 1000003 * h[j+1]
+                           + 1426104154 * h[j+2]) % 2147483647)) AS g
+            FROM th
+          )
+        ), perms(i, a, b) AS (VALUES {perm_rows}
+        ), sigrow AS (
+          SELECT g.doc_id, p.i,
+                 min((p.a * g.g + p.b) % 2147483647) AS s
+          FROM grams g CROSS JOIN perms p
+          GROUP BY g.doc_id, p.i
+        ), sig AS (
+          SELECT doc_id, list(s ORDER BY i) AS sig
+          FROM sigrow GROUP BY doc_id
+        ), bands AS (
+          SELECT doc_id,
+                 b.b || ':' || array_to_string(
+                   list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',') AS bk
+          FROM sig
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+          FROM bands l JOIN bands r
+            ON l.bk = r.bk AND l.doc_id < r.doc_id
+        ), scored AS (
+          SELECT c.da, c.db,
+                 sum(CASE WHEN x.s = y.s THEN 1 ELSE 0 END) / 64.0
+                   AS est
+          FROM cand c
+          JOIN sigrow x ON x.doc_id = c.da
+          JOIN sigrow y ON y.doc_id = c.db AND y.i = x.i
+          GROUP BY c.da, c.db
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               round(est, 6) AS est_jaccard
+        FROM scored WHERE est >= 0.8
     """
     return sql
