@@ -2383,6 +2383,9 @@ CHANGED_QUERIES = {
     # r5: minhash kernel token hash crc32 -> md5-8 (same cross-engine
     # motive) + new closed-form signature/banding/jaccard oracle
     "minhash_pairs",
+    # r5: new closed-form oracle (inlined hyperplanes, bucket + cosine
+    # recompute) — code unchanged, oracle status changed
+    "lsh_topk",
 }
 
 # The round this committed registry's front-50 is the plan for: the
@@ -2398,16 +2401,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry entries per round.  Round-5 front-50 (final round), per
     # VERDICT_r4 tasks #1/#4 — every slot is an ORACLED entry (the r4
     # rotation spent 12 slots on no_oracle rows; this one spends zero):
-    #   1. the three queries whose code/oracle changed this round
-    #      (CHANGED_QUERIES): simhash, image_neardup and minhash_pairs,
-    #      all graduated from rows-only to hash-certified closed-form
-    #      oracles;
+    #   1. the four queries whose code/oracle changed this round
+    #      (CHANGED_QUERIES): simhash, image_neardup, minhash_pairs and
+    #      lsh_topk, all graduated from rows-only to hash-certified
+    #      closed-form oracles;
     #   2. the 17 entries whose last green row is r2-aged (the exact
     #      list scripts/check_rotation.py flagged once CORRECTNESS_r04
     #      landed);
-    #   3. the 30 oldest r3-certified entries.
-    # Everything r4-certified rotates to the back, followed by the nine
-    # rows-only-by-design entries (their r4 driver rows recorded the
+    #   3. the 29 oldest r3-certified entries.
+    # Everything r4-certified rotates to the back, followed by the
+    # eight rows-only-by-design entries (their r4 driver rows recorded the
     # observed row counts; their stronger differential/recall oracles
     # live in pytest).  scripts/check_rotation.py --as-of 5 must exit 0
     # on the committed tree — run it after every registry edit.
@@ -2417,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "image_neardup": q_image_neardup,
         "minhash_pairs": q_minhash_pairs,
+        "lsh_topk": q_lsh_topk,
         # --- r2-aged front-fill: the 17 entries named by the r4
         # verdict, code unchanged since their r2 certification ---
         "priority_order": q_priority_order,
@@ -2436,7 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
         "shard_corpus": q_shard_corpus,
-        # --- oldest r3-certified back-fill (30 entries) ---
+        # --- oldest r3-certified back-fill (29 entries) ---
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
         "pack_interleaved": q_pack_interleaved,
@@ -2466,9 +2470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "snapshot_diff": q_snapshot_diff,
         "dup_substring_stats": q_dup_substring_stats,
-        "dup_remove": q_dup_remove,
         # --- position 51+: r3-certified remainder (their age is 2 at
         # the planned round, inside MAX_AGE) ---
+        "dup_remove": q_dup_remove,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
         "tfidf_topk": q_tfidf_topk,
@@ -2529,7 +2533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
-        "lsh_topk": q_lsh_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "crawl_merge": q_crawl_merge,
         "embedding_neardup": q_embedding_neardup,
@@ -4687,5 +4690,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT da AS doc_a, db AS doc_b,
                round(est, 6) AS est_jaccard
         FROM scored WHERE est >= 0.8
+    """
+    # Hyperplane LSH recomputed in closed form (graduated from
+    # rows-only in round 5): the 32 seed-42 hyperplanes are inlined
+    # as full-precision double literals (repr round-trips exactly —
+    # deterministic algorithm parameters, like the minhash perms),
+    # buckets are the same raw-dot sign rule + MSB-first 4-bit pack
+    # per table, candidates the same any-table collision with
+    # self-match excluded, and scoring the same round-6 cosine with
+    # row_number over (cos desc, neighbor asc) — the rounding/ranking
+    # parity already proven by three rounds of green similarity_topk
+    # rows.  The query side reuses the corpus bucket table because
+    # queries ARE corpus rows (vec_id < 5) and the Spark driver-side
+    # query-bucket formula is identical by construction.
+    from web_content_extractor_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    _P = hyperplanes(64, 32, 42)
+    plane_rows = ", ".join(
+        "({t}, {w}, [{vals}]::DOUBLE[])".format(
+            t=j // 4,
+            w=1 << (3 - j % 4),
+            vals=", ".join(repr(x) for x in _P[j]),
+        )
+        for j in range(32)
+    )
+    sql["lsh_topk"] = f"""
+        WITH planes(t, w, pvec) AS (VALUES {plane_rows}),
+        cb AS (
+          SELECT e.vec_id, p.t,
+                 sum(CASE WHEN list_inner_product(
+                       e.embedding::DOUBLE[], p.pvec) >= 0
+                     THEN p.w ELSE 0 END) AS bucket
+          FROM embeddings e CROSS JOIN planes p
+          GROUP BY e.vec_id, p.t
+        ), cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM cb q JOIN cb c ON q.t = c.t AND q.bucket = c.bucket
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ), scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_cosine_similarity(
+                   qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6)
+                   AS cos_sim
+          FROM cand
+          JOIN embeddings qe ON qe.vec_id = cand.query_id
+          JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
     """
     return sql
