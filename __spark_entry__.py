@@ -2386,6 +2386,9 @@ CHANGED_QUERIES = {
     # r5: new closed-form oracle (inlined hyperplanes, bucket + cosine
     # recompute) — code unchanged, oracle status changed
     "lsh_topk",
+    # r5: same — closed-form oracle over the r=6 x L=6 plane set with
+    # the twin construction replayed in SQL
+    "embedding_neardup",
 }
 
 # The round this committed registry's front-50 is the plan for: the
@@ -2401,16 +2404,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry entries per round.  Round-5 front-50 (final round), per
     # VERDICT_r4 tasks #1/#4 — every slot is an ORACLED entry (the r4
     # rotation spent 12 slots on no_oracle rows; this one spends zero):
-    #   1. the four queries whose code/oracle changed this round
-    #      (CHANGED_QUERIES): simhash, image_neardup, minhash_pairs and
-    #      lsh_topk, all graduated from rows-only to hash-certified
-    #      closed-form oracles;
+    #   1. the five queries whose code/oracle changed this round
+    #      (CHANGED_QUERIES): simhash, image_neardup, minhash_pairs,
+    #      lsh_topk and embedding_neardup, all graduated from rows-only
+    #      to hash-certified closed-form oracles;
     #   2. the 17 entries whose last green row is r2-aged (the exact
     #      list scripts/check_rotation.py flagged once CORRECTNESS_r04
     #      landed);
-    #   3. the 29 oldest r3-certified entries.
+    #   3. the 28 oldest r3-certified entries.
     # Everything r4-certified rotates to the back, followed by the
-    # eight rows-only-by-design entries (their r4 driver rows recorded the
+    # seven rows-only-by-design entries (their r4 driver rows recorded the
     # observed row counts; their stronger differential/recall oracles
     # live in pytest).  scripts/check_rotation.py --as-of 5 must exit 0
     # on the committed tree — run it after every registry edit.
@@ -2421,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "minhash_pairs": q_minhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
         # --- r2-aged front-fill: the 17 entries named by the r4
         # verdict, code unchanged since their r2 certification ---
         "priority_order": q_priority_order,
@@ -2440,7 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
         "shard_corpus": q_shard_corpus,
-        # --- oldest r3-certified back-fill (29 entries) ---
+        # --- oldest r3-certified back-fill (28 entries) ---
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
         "pack_interleaved": q_pack_interleaved,
@@ -2469,9 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "unigram_nll": q_unigram_nll,
         "snapshot_diff": q_snapshot_diff,
-        "dup_substring_stats": q_dup_substring_stats,
         # --- position 51+: r3-certified remainder (their age is 2 at
         # the planned round, inside MAX_AGE) ---
+        "dup_substring_stats": q_dup_substring_stats,
         "dup_remove": q_dup_remove,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontam": q_decontam,
@@ -2535,7 +2539,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "crawl_merge": q_crawl_merge,
-        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -4746,5 +4749,56 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+    # Embedding near-dup recomputed in closed form (graduated from
+    # rows-only in round 5): same inlined-hyperplane construction as
+    # lsh_topk but with the r=6 x L=6 plane set (36 planes, MSB-first
+    # 6-bit pack), the query's planted twins rebuilt with the exact
+    # Spark float algebra (x widens FLOAT->DOUBLE, then
+    # x * 1.001 + (i % 3) * 1e-4 in doubles — DuckDB's indexed
+    # lambda is 1-based, hence (i-1); DOUBLE casts defeat its
+    # decimal-literal arithmetic), any-table collision candidates,
+    # and the >= 0.95 filter applied to the ROUND-6 cosine exactly as
+    # the kernel does.  Planted twins sit at cos ~1 and the corpus
+    # max pairwise cosine is ~0.51, so the threshold has no boundary
+    # cases.
+    _P6 = hyperplanes(64, 36, 42)
+    plane_rows6 = ", ".join(
+        "({t}, {w}, [{vals}]::DOUBLE[])".format(
+            t=j // 6,
+            w=1 << (5 - j % 6),
+            vals=", ".join(repr(x) for x in _P6[j]),
+        )
+        for j in range(36)
+    )
+    sql["embedding_neardup"] = f"""
+        WITH uni AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding, (x, i) ->
+                   x::DOUBLE * 1.001::DOUBLE
+                   + ((i - 1) % 3) * 0.0001::DOUBLE) AS v
+          FROM embeddings WHERE vec_id < 20
+        ), planes(t, w, pvec) AS (VALUES {plane_rows6}),
+        cb AS (
+          SELECT u.vec_id, p.t,
+                 sum(CASE WHEN list_inner_product(u.v, p.pvec) >= 0
+                     THEN p.w ELSE 0 END) AS bucket
+          FROM uni u CROSS JOIN planes p
+          GROUP BY u.vec_id, p.t
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cb a JOIN cb b
+            ON a.t = b.t AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+        ), scored AS (
+          SELECT c.id_a, c.id_b,
+                 round(list_cosine_similarity(ua.v, ub.v), 6) AS cos_sim
+          FROM cand c
+          JOIN uni ua ON ua.vec_id = c.id_a
+          JOIN uni ub ON ub.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.95
     """
     return sql

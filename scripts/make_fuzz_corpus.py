@@ -7,7 +7,7 @@ diverge on data the fixed tables never exercise.  This script builds
 a schema-identical corpus by resampling the source tables and
 perturbing values INSIDE each column's domain (case flips, text
 duplication, typo injection, timestamp jitter, embedding noise), so
-`scripts/check_oracle.py <out_dir>` re-runs the whole oracle gate (102 twins as of round 5)
+`scripts/check_oracle.py <out_dir>` re-runs the whole oracle gate (103 twins as of round 5)
 on data neither side has seen.  Round-4 result: all oracles green on
 the mutated corpus (and the campaign's one red — literal HTML
 injected into documents.text — was a premise violation, not a bug:
